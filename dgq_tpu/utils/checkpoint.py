@@ -1,0 +1,194 @@
+"""Quantized checkpoint I/O.
+
+The reference serializes the torch state_dict to safetensors with buffer
+dtype/shape mismatch recovery at load (reference: dgq/entry.py:101-109,
+dgq/utils/loadutils.py:8-38 — the recovery papers over init-time dtype bugs,
+SURVEY §5).  Here the on-disk schema is explicit and stable:
+
+  * one safetensors file with flat keys
+    (``layers.{i}.self_attn.q_proj.qweight`` etc.),
+  * a sidecar JSON manifest carrying the static metadata (model config,
+    quant config, per-linear shapes/groupsize/w4w8/act_method, kv scales are
+    stored as arrays under ``kv_scales.{i}.{q,k,v}_scale``).
+
+Arrays round-trip via safetensors' flax API (handles bf16/int8 natively).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+
+from dgq_tpu.config import ActQuantConfig, QuantConfig, WtQuantConfig
+from dgq_tpu.models.llama import KVQuantState, LlamaConfig
+from dgq_tpu.quant.packing import PackedLinear
+
+_PACKED_FIELDS = ("qweight", "wscales", "wzeros", "wscales8", "bias", "amax")
+
+
+def _flatten(params, prefix: str, out: Dict[str, Any], meta: Dict[str, Any]):
+    if isinstance(params, PackedLinear):
+        meta[prefix] = {
+            "kind": "packed_linear",
+            "in_features": params.in_features,
+            "out_features": params.out_features,
+            "groupsize": params.groupsize,
+            "w4w8": params.w4w8,
+            "act_method": params.act_method,
+            "abits": params.abits,
+        }
+        for f in _PACKED_FIELDS:
+            v = getattr(params, f)
+            if v is not None:
+                out[f"{prefix}.{f}"] = v
+        return
+    if isinstance(params, dict):
+        for k, v in params.items():
+            _flatten(v, f"{prefix}.{k}" if prefix else k, out, meta)
+        return
+    if isinstance(params, (list, tuple)):
+        for i, v in enumerate(params):
+            _flatten(v, f"{prefix}.{i}", out, meta)
+        return
+    out[prefix] = jnp.asarray(params)
+
+
+def save_quantized(
+    path: str,
+    params,
+    cfg: LlamaConfig,
+    qcfg: QuantConfig,
+    kv_scales: Optional[List[Optional[KVQuantState]]] = None,
+    arch: str = "llama",
+):
+    from safetensors.flax import save_file
+
+    tensors: Dict[str, Any] = {}
+    meta: Dict[str, Any] = {}
+    _flatten(params, "", tensors, meta)
+    if kv_scales is not None:
+        for i, kv in enumerate(kv_scales):
+            if kv is None:
+                continue
+            tensors[f"kv_scales.{i}.q_scale"] = jnp.asarray(kv.q_scale)
+            tensors[f"kv_scales.{i}.k_scale"] = jnp.asarray(kv.k_scale)
+            tensors[f"kv_scales.{i}.v_scale"] = jnp.asarray(kv.v_scale)
+    manifest = {
+        "format_version": 1,
+        "arch": arch,
+        "model_config": dataclasses.asdict(cfg),
+        "quant_config": _qcfg_to_dict(qcfg),
+        "packed": meta,
+        "num_layers": cfg.num_hidden_layers,
+    }
+    save_file({k: jnp.asarray(v) for k, v in tensors.items()}, path)
+    with open(path + ".json", "w") as f:
+        json.dump(manifest, f, indent=1)
+
+
+def _qcfg_to_dict(qcfg: QuantConfig) -> dict:
+    return {
+        "act_quant": None if qcfg.act_quant is None else dataclasses.asdict(qcfg.act_quant),
+        "wt_quant": None if qcfg.wt_quant is None else dataclasses.asdict(qcfg.wt_quant),
+        "smoothquant": qcfg.smoothquant,
+        "meanact": qcfg.meanact,
+        "kvquant": qcfg.kvquant,
+        "nsamples": qcfg.nsamples,
+        "seqlen": qcfg.seqlen,
+    }
+
+
+def _qcfg_from_dict(d: dict) -> QuantConfig:
+    return QuantConfig(
+        act_quant=None if d["act_quant"] is None else ActQuantConfig(**d["act_quant"]),
+        wt_quant=None if d["wt_quant"] is None else WtQuantConfig(**d["wt_quant"]),
+        smoothquant=d["smoothquant"],
+        meanact=d["meanact"],
+        kvquant=d["kvquant"],
+        nsamples=d.get("nsamples", 32),
+        seqlen=d.get("seqlen", 2048),
+    )
+
+
+def load_quantized(path: str):
+    """Returns (params, cfg, qcfg, kv_scales)."""
+    from safetensors.flax import load_file
+
+    tensors = load_file(path)
+    with open(path + ".json") as f:
+        manifest = json.load(f)
+    cfg = LlamaConfig(**manifest["model_config"])
+    qcfg = _qcfg_from_dict(manifest["quant_config"])
+    packed_meta = manifest["packed"]
+
+    # rebuild nested structure
+    nested: Dict[str, Any] = {}
+    packed_groups: Dict[str, Dict[str, Any]] = {}
+    kv_raw: Dict[int, Dict[str, Any]] = {}
+    for key, arr in tensors.items():
+        if key.startswith("kv_scales."):
+            _, idx, field = key.split(".")
+            kv_raw.setdefault(int(idx), {})[field] = arr
+            continue
+        # match longest packed prefix
+        prefix = _packed_prefix(key, packed_meta)
+        if prefix is not None:
+            packed_groups.setdefault(prefix, {})[key[len(prefix) + 1 :]] = arr
+        else:
+            _insert(nested, key.split("."), arr)
+
+    for prefix, fields in packed_groups.items():
+        m = packed_meta[prefix]
+        pl = PackedLinear(
+            qweight=fields["qweight"],
+            wscales=fields["wscales"],
+            wzeros=fields["wzeros"],
+            wscales8=fields.get("wscales8"),
+            bias=fields.get("bias"),
+            amax=fields.get("amax"),
+            in_features=m["in_features"],
+            out_features=m["out_features"],
+            groupsize=m["groupsize"],
+            w4w8=m["w4w8"],
+            act_method=m["act_method"],
+            abits=m["abits"],
+        )
+        _insert(nested, prefix.split("."), pl)
+
+    params = _listify(nested)
+    kv_scales: List[Optional[KVQuantState]] = []
+    for i in range(manifest["num_layers"]):
+        if i in kv_raw:
+            kv_scales.append(KVQuantState(**kv_raw[i]))
+        else:
+            kv_scales.append(None)
+    return params, cfg, qcfg, kv_scales
+
+
+def _packed_prefix(key: str, packed_meta: Dict[str, Any]) -> Optional[str]:
+    parts = key.split(".")
+    for cut in range(len(parts) - 1, 0, -1):
+        prefix = ".".join(parts[:cut])
+        if prefix in packed_meta:
+            return prefix
+    return None
+
+
+def _insert(tree: Dict, parts: List[str], value):
+    for p in parts[:-1]:
+        tree = tree.setdefault(p, {})
+    tree[parts[-1]] = value
+
+
+def _listify(tree):
+    """Convert {'0': .., '1': ..} dicts back into lists."""
+    if isinstance(tree, dict):
+        keys = list(tree.keys())
+        if keys and all(k.isdigit() for k in keys):
+            return [_listify(tree[str(i)]) for i in range(len(keys))]
+        return {k: _listify(v) for k, v in tree.items()}
+    return tree
