@@ -1,0 +1,356 @@
+"""Real-quant INT8-dataflow LLaMA engine.
+
+The TPU-native counterpart of the reference's A8W4LlamaForCausalLM
+(reference: dgq/models/llama_a8w4.py): activations enter the integer domain
+at each RMSNormQ (norm weight pre-divided by the static input scale, output
+rounded to int8 — fused.py:27-43), every linear is the fused W4A8 Pallas
+GEMM, the KV cache lives in INT8, and requantization happens exactly where
+the reference puts it: post-RoPE q/k/v (llama_a8w4.py:113-115), pre-o_proj
+(:158), pre-down_proj (:282-284).
+
+Differences from the reference (TPU-first redesign):
+  * static-shape ring KV cache (B, Hkv, Smax, Dh) int8 + a current-length
+    scalar, instead of torch dynamic concat — XLA requires static shapes
+    (SURVEY §7 "hard parts"),
+  * layers are stacked pytrees scanned with lax.scan (one compiled block
+    body for all layers),
+  * GQA is handled by reshaping query heads over kv heads — no materialized
+    repeat_kv on the int8 cache.
+
+Engine parameters are converted from a PTQ result by :func:`from_ptq`, the
+counterpart of inference_model/from_float (reference: loadutils.py:42-73):
+  attn_input_scale = q_proj.amax / 127    out_input_scale  = o_proj.amax/127
+  q/k/v_output_scale = kv quantizer scales
+  mlp_input_scale  = up_proj.amax / 127   down_input_scale = down_proj.amax/127
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dgq_tpu.models.llama import LlamaConfig, rms_norm, rope_cos_sin, rotate_half
+from dgq_tpu.quant.packing import PackedLinear, dequantize_to_int8
+
+
+class EngineLinear(NamedTuple):
+    """Span-packed dual-grained linear with a precomputed epilogue alpha."""
+
+    qweight: jax.Array  # (K//2, N) int8, span layout
+    wscales: jax.Array  # (G, N) int8
+    wzeros: jax.Array  # (G, N) int8
+    alpha: jax.Array  # (N,) f32 = wscales8 * input_scale
+    bias: Optional[jax.Array]  # (N,) f32 or None
+
+
+class EngineLayer(NamedTuple):
+    ln1_weight: jax.Array  # (D,) f32, pre-divided by attn_input_scale
+    ln2_weight: jax.Array  # (D,) f32, pre-divided by mlp_input_scale
+    q_proj: EngineLinear
+    k_proj: EngineLinear
+    v_proj: EngineLinear
+    o_proj: EngineLinear
+    gate_proj: EngineLinear
+    up_proj: EngineLinear
+    down_proj: EngineLinear
+    q_scale: jax.Array  # () f32 static post-RoPE scales
+    k_scale: jax.Array
+    v_scale: jax.Array
+    out_input_scale: jax.Array  # () f32
+    down_input_scale: jax.Array
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["embed_tokens", "layers", "norm_weight", "lm_head"],
+    meta_fields=["rms_eps"],
+)
+@dataclasses.dataclass
+class EngineParams:
+    embed_tokens: jax.Array  # (V, D)
+    layers: EngineLayer  # stacked: every leaf has leading dim L
+    norm_weight: jax.Array  # (D,)
+    lm_head: jax.Array  # (V, D)
+    rms_eps: float = 1e-5
+
+
+class KVCache(NamedTuple):
+    k: jax.Array  # (L, B, Hkv, Smax, Dh) int8
+    v: jax.Array  # (L, B, Hkv, Smax, Dh) int8
+    length: jax.Array  # () int32 tokens already cached
+
+
+def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int, num_layers: Optional[int] = None) -> KVCache:
+    L = num_layers or cfg.num_hidden_layers
+    shape = (L, batch, cfg.num_key_value_heads, max_len, cfg.head_dim)
+    return KVCache(
+        k=jnp.zeros(shape, jnp.int8),
+        v=jnp.zeros(shape, jnp.int8),
+        length=jnp.zeros((), jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# conversion from PTQ output
+# ---------------------------------------------------------------------------
+
+
+def _engine_linear(pl: PackedLinear, input_scale: jax.Array) -> EngineLinear:
+    assert pl.w4w8 and pl.span == 2 * pl.groupsize, "engine requires span-packed w4w8"
+    return EngineLinear(
+        qweight=pl.qweight,
+        wscales=pl.wscales,
+        wzeros=pl.wzeros,
+        alpha=pl.wscales8.astype(jnp.float32) * input_scale.astype(jnp.float32),
+        bias=pl.bias,
+    )
+
+
+def from_ptq(params, kv_scales, cfg: LlamaConfig) -> EngineParams:
+    """Convert a PTQ result (params with PackedLinear leaves + kv scales)
+    into stacked engine params (reference: loadutils.py:57-70 +
+    A8W4LlamaForCausalLM.from_float)."""
+    per_layer = []
+    for li, layer in enumerate(params["layers"]):
+        at = layer["self_attn"]
+        ml = layer["mlp"]
+        attn_input_scale = at["q_proj"].amax.astype(jnp.float32) / 127.0
+        out_input_scale = at["o_proj"].amax.astype(jnp.float32) / 127.0
+        mlp_input_scale = ml["up_proj"].amax.astype(jnp.float32) / 127.0
+        down_input_scale = ml["down_proj"].amax.astype(jnp.float32) / 127.0
+        kv = kv_scales[li]
+        per_layer.append(
+            EngineLayer(
+                ln1_weight=layer["input_layernorm"]["weight"].astype(jnp.float32)
+                / attn_input_scale,
+                ln2_weight=layer["post_attention_layernorm"]["weight"].astype(jnp.float32)
+                / mlp_input_scale,
+                q_proj=_engine_linear(at["q_proj"], attn_input_scale),
+                k_proj=_engine_linear(at["k_proj"], attn_input_scale),
+                v_proj=_engine_linear(at["v_proj"], attn_input_scale),
+                o_proj=_engine_linear(at["o_proj"], out_input_scale),
+                gate_proj=_engine_linear(ml["gate_proj"], mlp_input_scale),
+                up_proj=_engine_linear(ml["up_proj"], mlp_input_scale),
+                down_proj=_engine_linear(ml["down_proj"], down_input_scale),
+                q_scale=kv.q_scale.astype(jnp.float32),
+                k_scale=kv.k_scale.astype(jnp.float32),
+                v_scale=kv.v_scale.astype(jnp.float32),
+                out_input_scale=out_input_scale,
+                down_input_scale=down_input_scale,
+            )
+        )
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per_layer)
+    return EngineParams(
+        embed_tokens=params["embed_tokens"],
+        layers=stacked,
+        norm_weight=params["norm"]["weight"].astype(jnp.float32),
+        lm_head=params["lm_head"]["weight"],
+        rms_eps=cfg.rms_norm_eps,
+    )
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _rms_norm_q(x: jax.Array, weight_q: jax.Array, eps: float) -> jax.Array:
+    """RMSNormQ: fp norm with pre-scaled weight, round -> int8
+    (reference: fused.py:34-37)."""
+    y = rms_norm(x.astype(jnp.float32), weight_q, eps)
+    return jnp.clip(jnp.round(y), -128, 127).astype(jnp.int8)
+
+
+def _linear_s8(lin: EngineLinear, x_s8: jax.Array, *, use_kernel: bool, groupsize: int = 128,
+               bm: int = 256, interpret: bool = False) -> jax.Array:
+    """int8 activations -> fp32 output via the fused dequant GEMM."""
+    m = x_s8.shape[0] * x_s8.shape[1] if x_s8.ndim == 3 else x_s8.shape[0]
+    x2 = x_s8.reshape(-1, x_s8.shape[-1])
+    if use_kernel:
+        from dgq_tpu.ops.quant_matmul import w4a8_matmul_packed
+
+        y = w4a8_matmul_packed(
+            x2, lin.qweight, lin.wscales, lin.wzeros, lin.alpha,
+            groupsize=groupsize, span=2 * groupsize, bm=bm, interpret=interpret,
+        )
+    else:
+        # XLA path: dequant to int8 then dot (golden / CPU tests)
+        from dgq_tpu.quant.packing import unpack_nibbles
+
+        codes = unpack_nibbles(lin.qweight, 2 * groupsize).astype(jnp.int32)
+        k = codes.shape[0]
+        scales_k = jnp.repeat(lin.wscales.astype(jnp.int32), groupsize, axis=0)
+        zeros_k = jnp.repeat(lin.wzeros.astype(jnp.int32), groupsize, axis=0)
+        w_s8 = ((codes - zeros_k) * scales_k).astype(jnp.int8)
+        y = jax.lax.dot_general(
+            x2, w_s8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        ).astype(jnp.float32) * lin.alpha[None, :]
+    if lin.bias is not None:
+        y = y + lin.bias
+    return y.reshape(*x_s8.shape[:-1], -1)
+
+
+def _requant(x: jax.Array, scale: jax.Array, qmin: float = -128.0) -> jax.Array:
+    """round(x/scale) clamped to int8 (reference: llama_a8w4.py:113-115,158)."""
+    return jnp.clip(jnp.round(x / scale), qmin, 127.0).astype(jnp.int8)
+
+
+def _attention_scores(q_s8, k_s8, q_scale, k_scale, head_dim):
+    """q.k^T on dequantized int8 (the reference dequantizes then matmuls in
+    fp — llama_a8w4.py:126-129; we keep the same numerics)."""
+    qf = q_s8.astype(jnp.float32) * q_scale
+    kf = k_s8.astype(jnp.float32) * k_scale
+    return jnp.einsum("bhqd,bhkd->bhqk", qf, kf) / math.sqrt(head_dim)
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Static knobs for the engine forward."""
+
+    cfg: LlamaConfig
+    use_kernel: bool = True  # Pallas GEMM vs XLA fallback
+    interpret: bool = False
+    bm_prefill: int = 256
+    bm_decode: int = 128
+    tp_axis: Optional[str] = None  # set under shard_map: psum o_proj/down_proj
+
+    def __hash__(self):
+        return hash(
+            (self.cfg, self.use_kernel, self.interpret, self.bm_prefill, self.bm_decode, self.tp_axis)
+        )
+
+
+def _block(ecfg: EngineConfig, layer: EngineLayer, x: jax.Array,
+           k_cache, v_cache, cache_len, pos_cos, pos_sin, mask, bm: int):
+    """One engine decoder block on (B, S, D) fp activations.
+
+    Returns (x_out, new_k_cache, new_v_cache).  k/v caches are
+    (B, Hkv, Smax, Dh) int8; new tokens are written at [cache_len, cache_len+S).
+    """
+    cfg = ecfg.cfg
+    b, s, d = x.shape
+    dh = cfg.head_dim
+
+    # ---- attention ----
+    x_s8 = _rms_norm_q(x, layer.ln1_weight, cfg.rms_norm_eps)
+    q = _linear_s8(layer.q_proj, x_s8, use_kernel=ecfg.use_kernel, bm=bm, interpret=ecfg.interpret)
+    k = _linear_s8(layer.k_proj, x_s8, use_kernel=ecfg.use_kernel, bm=bm, interpret=ecfg.interpret)
+    v = _linear_s8(layer.v_proj, x_s8, use_kernel=ecfg.use_kernel, bm=bm, interpret=ecfg.interpret)
+
+    # head counts inferred from (possibly tensor-sharded) projection widths,
+    # so the same block body runs unsharded and under shard_map TP
+    h = q.shape[-1] // dh
+    hk = k.shape[-1] // dh
+
+    q = q.reshape(b, s, h, dh).transpose(0, 2, 1, 3)
+    k = k.reshape(b, s, hk, dh).transpose(0, 2, 1, 3)
+    v = v.reshape(b, s, hk, dh).transpose(0, 2, 1, 3)
+
+    # RoPE in fp (reference: llama_a8w4.py:110-111)
+    cos = pos_cos[None, None, :, :]
+    sin = pos_sin[None, None, :, :]
+    q = q * cos + rotate_half(q) * sin
+    k = k * cos + rotate_half(k) * sin
+
+    # post-RoPE requant to int8 — the KV cache lives in INT8
+    q_s8 = _requant(q, layer.q_scale)
+    k_s8 = _requant(k, layer.k_scale)
+    v_s8 = _requant(v, layer.v_scale)
+
+    k_cache = jax.lax.dynamic_update_slice(k_cache, k_s8, (0, 0, cache_len, 0))
+    v_cache = jax.lax.dynamic_update_slice(v_cache, v_s8, (0, 0, cache_len, 0))
+
+    # GQA: fold query-head groups onto kv heads
+    rep = h // hk
+    qg = q_s8.reshape(b, hk, rep * s, dh)  # (B, Hkv, rep*S, Dh)
+    scores = _attention_scores(qg, k_cache, layer.q_scale, layer.k_scale, dh)
+    scores = scores.reshape(b, hk, rep, s, -1) + mask[None, None, None, :, :]
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    vf = v_cache.astype(jnp.float32) * layer.v_scale
+    ctx = jnp.einsum("bgrqk,bgkd->bgrqd", probs, vf)  # (B, Hkv, rep, S, Dh)
+    ctx = ctx.transpose(0, 3, 1, 2, 4).reshape(b, s, h * dh)
+
+    ctx_s8 = _requant(ctx, layer.out_input_scale, qmin=-127.0)  # llama_a8w4.py:158 clamps -127
+    attn_out = _linear_s8(layer.o_proj, ctx_s8, use_kernel=ecfg.use_kernel, bm=bm, interpret=ecfg.interpret)
+    if ecfg.tp_axis is not None:
+        # row-parallel o_proj: all-reduce the fp32 partial sums *after* the
+        # per-channel epilogue (int32 psum would overflow the alpha-scaling
+        # contract — SURVEY §7 "multi-host INT8 collectives")
+        attn_out = jax.lax.psum(attn_out, ecfg.tp_axis)
+    x = x + attn_out.astype(x.dtype)
+
+    # ---- mlp ----
+    x_s8 = _rms_norm_q(x, layer.ln2_weight, cfg.rms_norm_eps)
+    gate = _linear_s8(layer.gate_proj, x_s8, use_kernel=ecfg.use_kernel, bm=bm, interpret=ecfg.interpret)
+    up = _linear_s8(layer.up_proj, x_s8, use_kernel=ecfg.use_kernel, bm=bm, interpret=ecfg.interpret)
+    hidden = jax.nn.silu(gate) * up
+    h_s8 = _requant(hidden, layer.down_input_scale)
+    mlp_out = _linear_s8(layer.down_proj, h_s8, use_kernel=ecfg.use_kernel, bm=bm, interpret=ecfg.interpret)
+    if ecfg.tp_axis is not None:
+        mlp_out = jax.lax.psum(mlp_out, ecfg.tp_axis)
+    x = x + mlp_out.astype(x.dtype)
+    return x, k_cache, v_cache
+
+
+@partial(jax.jit, static_argnames=("ecfg",))
+def engine_forward(
+    ecfg: EngineConfig,
+    params: EngineParams,
+    input_ids: jax.Array,  # (B, S)
+    cache: KVCache,
+) -> Tuple[jax.Array, KVCache]:
+    """Prefill or decode step: runs S tokens starting at cache.length.
+
+    Returns (logits (B, S, V), updated cache).
+    """
+    cfg = ecfg.cfg
+    b, s = input_ids.shape
+    smax = cache.k.shape[3]
+    x = params.embed_tokens[input_ids].astype(jnp.float32)
+
+    positions = cache.length + jnp.arange(s)
+    pos_cos, pos_sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta, jnp.float32)
+
+    # additive mask over the full cache: key j visible iff j <= cache.length + i
+    i = (cache.length + jnp.arange(s))[:, None]
+    j = jnp.arange(smax)[None, :]
+    mask = jnp.where(j <= i, 0.0, jnp.finfo(jnp.float32).min)  # (S, Smax)
+
+    bm = ecfg.bm_prefill if s > 8 else ecfg.bm_decode
+
+    def scan_body(x, layer_and_cache):
+        layer, k_c, v_c = layer_and_cache
+        x, k_c, v_c = _block(ecfg, layer, x, k_c, v_c, cache.length, pos_cos, pos_sin, mask, bm)
+        return x, (k_c, v_c)
+
+    x, (new_k, new_v) = jax.lax.scan(scan_body, x, (params.layers, cache.k, cache.v))
+
+    x = rms_norm(x, params.norm_weight.astype(x.dtype), cfg.rms_norm_eps)
+    logits = jnp.einsum("bsd,vd->bsv", x, params.lm_head.astype(x.dtype))
+    new_cache = KVCache(k=new_k, v=new_v, length=cache.length + s)
+    return logits, new_cache
+
+
+def generate(
+    ecfg: EngineConfig,
+    params: EngineParams,
+    prompt_ids: jax.Array,  # (B, S)
+    max_new_tokens: int,
+    max_len: int,
+) -> jax.Array:
+    """Greedy decode loop (prefill + N decode steps)."""
+    b, s = prompt_ids.shape
+    cache = init_kv_cache(ecfg.cfg, b, max_len)
+    logits, cache = engine_forward(ecfg, params, prompt_ids, cache)
+    next_tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+    toks = [next_tok]
+    for _ in range(max_new_tokens - 1):
+        logits, cache = engine_forward(ecfg, params, next_tok[:, None], cache)
+        next_tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+        toks.append(next_tok)
+    return jnp.stack(toks, axis=1)

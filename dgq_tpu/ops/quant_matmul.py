@@ -1,0 +1,233 @@
+"""Fused W4A8 dequant-GEMM Pallas TPU kernel.
+
+The TPU-native counterpart of the reference's CUTLASS path
+(reference: dgq/kernels/linear.cu).  The reference launches a separate
+INT4->INT8 dequant kernel that materializes the full INT8 weight in global
+memory before every GEMM (linear.cu:21-51, SURVEY §2.2 "not fused into the
+GEMM mainloop").  Here the unpack+dequant is fused into the GEMM: each
+(K-block, N-block) tile of packed nibbles is unpacked to INT8 in VMEM,
+dequantized in the *integer* domain with the dual-grained per-group INT8
+scales, fed to the MXU as s8 x s8 -> s32, and the only floating-point work is
+the per-output-channel alpha epilogue (alpha = wscales8 * input_scale,
+matching W4A8BF32OF32Linear.from_float at models/linear.py:91).
+
+Packed layout (see dgq_tpu/quant/packing.py): weight is (K//2, N) int8 in
+"span" layout — every 2*groupsize logical rows pack group 2t in the high
+nibbles and group 2t+1 in the low nibbles of the same groupsize packed rows.
+The kernel's K-block is one span (= 2*groupsize = 256 for g128), so unpack is
+
+    hi = (byte >> 4) & 0xF   -> group 2t codes   (groupsize, bn)
+    lo =  byte       & 0xF   -> group 2t+1 codes (groupsize, bn)
+
+and each plane's dequant broadcasts a single (1, bn) scale/zero row: a pure
+VPU shift/mask/multiply that pipelines under the MXU.
+
+Grid is (M/bm, N/bn, K/bk), K innermost ("arbitrary"), int32 accumulator in
+VMEM scratch; fp32 (or re-quantized int8) store on the last K step.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dgq_tpu.quant.packing import PackedLinear, dequantize_to_int8
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _kernel(
+    x_ref,  # (bm, bk) int8
+    qw_ref,  # (bk//2, bn) int8 packed (one span)
+    scales_ref,  # (16, bn) int8: rows 0-7 = group 2k (replicated), 8-15 = group 2k+1
+    zeros_ref,  # (16, bn) int8
+    alpha_ref,  # (1, bn) f32 per-channel epilogue scale
+    out_ref,  # (bm, bn) out_dtype
+    acc_ref,  # (bm, bn) int32 scratch
+    *,
+    nk: int,
+    out_dtype,
+):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    byte = qw_ref[:].astype(jnp.int32) & 0xFF
+    hi = byte >> 4  # plane 0: group 2k codes
+    lo = byte & 0xF  # plane 1: group 2k+1 codes
+
+    # group params arrive 8x-replicated on sublanes so the BlockSpec stays
+    # 8-aligned (Mosaic rejects 2-row sublane blocks / unaligned slices)
+    s = scales_ref[:].astype(jnp.int32)
+    z = zeros_ref[:].astype(jnp.int32)
+    w_hi = (hi - z[0:1, :]) * s[0:1, :]
+    w_lo = (lo - z[8:9, :]) * s[8:9, :]
+    w_s8 = jnp.concatenate([w_hi, w_lo], axis=0).astype(jnp.int8)  # (bk, bn)
+
+    acc_ref[:] += jax.lax.dot_general(
+        x_ref[:],
+        w_s8,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    @pl.when(k == nk - 1)
+    def _():
+        y = acc_ref[:].astype(jnp.float32) * alpha_ref[:].astype(jnp.float32)
+        if out_dtype == jnp.int8:
+            out_ref[:] = jnp.clip(jnp.round(y), -128, 127).astype(jnp.int8)
+        else:
+            out_ref[:] = y.astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("groupsize", "span", "bm", "bn", "out_dtype", "interpret"),
+)
+def w4a8_matmul_packed(
+    x_s8: jax.Array,  # (M, K) int8
+    qweight: jax.Array,  # (K//2, N) int8, span layout
+    wscales: jax.Array,  # (G, N) int8
+    wzeros: jax.Array,  # (G, N) int8
+    alpha: jax.Array,  # (N,) f32
+    *,
+    groupsize: int = 128,
+    span: int = 256,
+    bm: int = 256,
+    bn: int = 256,
+    out_dtype=jnp.float32,
+    interpret: bool = False,
+) -> jax.Array:
+    """Raw fused kernel entry: y[m, n] = (sum_k x[m,k] * w_s8[k,n]) * alpha[n].
+
+    Requires span == 2*groupsize, K % span == 0, N % bn == 0.  M is padded
+    here to a multiple of bm.
+    """
+    m, k = x_s8.shape
+    k2, n = qweight.shape
+    assert 2 * k2 == k, (x_s8.shape, qweight.shape)
+    assert span == 2 * groupsize, "kernel K-block must be one packed span"
+    assert k % span == 0, (k, span)
+    bk = span
+    nk = k // bk
+    if n % bn != 0:
+        bn = n if n < bn else 128
+    assert n % bn == 0, (n, bn)
+
+    m_pad = _cdiv(m, bm) * bm
+    if m_pad != m:
+        x_s8 = jnp.pad(x_s8, ((0, m_pad - m), (0, 0)))
+
+    # 8x sublane replication so each K step reads an aligned (16, bn) block:
+    # rows [16k, 16k+8) = group 2k, rows [16k+8, 16k+16) = group 2k+1
+    scales_x = jnp.repeat(wscales, 8, axis=0)
+    zeros_x = jnp.repeat(wzeros, 8, axis=0)
+
+    grid = (m_pad // bm, n // bn, nk)
+    out = pl.pallas_call(
+        functools.partial(_kernel, nk=nk, out_dtype=out_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // 2, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * n * k,
+            bytes_accessed=m_pad * k + k2 * n + m_pad * n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x_s8, qweight, scales_x, zeros_x, alpha.reshape(1, n))
+    if m_pad != m:
+        out = out[:m]
+    return out
+
+
+def quantize_static_int8(x: jax.Array, amax: jax.Array) -> jax.Array:
+    """Static symmetric int8 activation quantization (scale = amax/127).
+    reference: quant_linear.py:66-71, integer output variant."""
+    scale = amax.astype(jnp.float32) / 127.0
+    return jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
+
+
+def w4a8_matmul(
+    x: jax.Array,  # (..., K) fp activations
+    lin: PackedLinear,
+    *,
+    out_dtype=jnp.float32,
+    bm: int = 256,
+    bn: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """Full W4A8 linear: static int8 act quant -> fused dequant GEMM ->
+    per-channel fp epilogue (+bias).  The engine-path equivalent of the
+    reference's W4A8BF32OF32Linear.forward (models/linear.py:76-85)."""
+    assert lin.w4w8 and lin.span == 2 * lin.groupsize, "kernel needs span-packed w4w8 weights"
+    x2 = x.reshape(-1, x.shape[-1])
+    x_s8 = quantize_static_int8(x2, lin.amax)
+    input_scale = lin.amax.astype(jnp.float32) / 127.0
+    alpha = lin.wscales8.astype(jnp.float32) * input_scale
+    y = w4a8_matmul_packed(
+        x_s8,
+        lin.qweight,
+        lin.wscales,
+        lin.wzeros,
+        alpha,
+        groupsize=lin.groupsize,
+        span=lin.span,
+        bm=bm,
+        bn=bn,
+        out_dtype=jnp.float32 if out_dtype != jnp.int8 else jnp.int8,
+        interpret=interpret,
+    )
+    if lin.bias is not None and out_dtype != jnp.int8:
+        y = y + lin.bias.astype(y.dtype)
+    y = y.astype(out_dtype) if out_dtype != jnp.int8 else y
+    return y.reshape(*x.shape[:-1], lin.out_features)
+
+
+def w4a8_matmul_xla(
+    x: jax.Array,
+    lin: PackedLinear,
+    *,
+    out_dtype=jnp.float32,
+) -> jax.Array:
+    """XLA reference path (golden model for the kernel, and fallback for
+    non-span layouts): dequantize to int8, s8xs8->s32 dot, fp epilogue."""
+    x2 = x.reshape(-1, x.shape[-1])
+    x_s8 = quantize_static_int8(x2, lin.amax)
+    w_s8 = dequantize_to_int8(lin)  # (K, N)
+    acc = jax.lax.dot_general(
+        x_s8,
+        w_s8,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    input_scale = lin.amax.astype(jnp.float32) / 127.0
+    alpha = lin.wscales8.astype(jnp.float32) * input_scale
+    y = acc.astype(jnp.float32) * alpha[None, :]
+    if out_dtype == jnp.int8:
+        return jnp.clip(jnp.round(y), -128, 127).astype(jnp.int8).reshape(
+            *x.shape[:-1], lin.out_features
+        )
+    if lin.bias is not None:
+        y = y + lin.bias
+    return y.astype(out_dtype).reshape(*x.shape[:-1], lin.out_features)

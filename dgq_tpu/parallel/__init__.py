@@ -1,0 +1,5 @@
+from dgq_tpu.parallel.mesh import make_mesh  # noqa: F401
+from dgq_tpu.parallel.sharded_engine import (  # noqa: F401
+    shard_engine_params,
+    sharded_engine_forward,
+)

@@ -1,0 +1,142 @@
+"""Tensor/data-parallel engine execution via shard_map.
+
+Megatron-style TP laid onto the INT8 engine (SURVEY §2.3 "first-class
+components to build"):
+
+  * column-parallel q/k/v/gate/up: output features (= heads) sharded on
+    'tp'; the packed INT4 weight (K//2, N), its INT8 group scales (G, N) and
+    the fp per-channel alpha (N,) all shard on their N axis,
+  * row-parallel o_proj/down_proj: input features sharded — the packed
+    weight shards on its K//2 axis and the group scales on G; each shard's
+    fused GEMM produces a partial fp32 sum that is psum'd over 'tp' after the
+    per-channel epilogue (int32 psum would break the alpha contract),
+  * INT8 KV cache shards on (dp: batch, tp: kv heads),
+  * everything else (norms, embeddings, activation scales) is replicated.
+
+The block body itself is unchanged — it infers local head counts from the
+sharded projection widths — so the Pallas fused GEMM runs unmodified on each
+shard's local tiles.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dgq_tpu.models.engine import (
+    EngineConfig,
+    EngineLayer,
+    EngineLinear,
+    EngineParams,
+    KVCache,
+    engine_forward,
+)
+
+# leading axis of every stacked layer leaf is L (layers) -> always None
+
+
+_COL_LINEARS = ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj")
+_ROW_LINEARS = ("o_proj", "down_proj")
+
+
+def _spec_for_path(path) -> P:
+    """PartitionSpec for one engine-param leaf, keyed by its tree path.
+
+    Stacked layer leaves carry a leading L axis (always unsharded).
+    """
+    names = [getattr(p, "name", getattr(p, "key", None)) for p in path]
+    for i, nm in enumerate(names):
+        if nm in _COL_LINEARS:
+            field = names[i + 1]
+            if field == "qweight" or field in ("wscales", "wzeros"):
+                return P(None, None, "tp")  # (L, K//2|G, N) shard N
+            return P(None, "tp")  # alpha/bias (L, N)
+        if nm in _ROW_LINEARS:
+            field = names[i + 1]
+            if field == "qweight" or field in ("wscales", "wzeros"):
+                return P(None, "tp", None)  # (L, K//2|G, N) shard K
+            return P(None, None)  # alpha/bias replicated (psum'd output)
+    if names and names[0] in ("ln1_weight", "ln2_weight"):
+        return P(None, None)
+    # scalars / norms / embeddings / lm_head: replicated
+    return P()
+
+
+def engine_param_specs(params: EngineParams) -> EngineParams:
+    """Spec tree with the exact same structure as ``params`` (None biases
+    stay empty nodes)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: _spec_for_path(path), params
+    )
+
+
+def kv_cache_specs() -> KVCache:
+    return KVCache(
+        k=P(None, "dp", "tp", None, None),
+        v=P(None, "dp", "tp", None, None),
+        length=P(),
+    )
+
+
+def _spec_tree(params_like, spec_like):
+    """Match spec leaves to param leaves, turning None params into None specs."""
+    return jax.tree_util.tree_map(
+        lambda p, s: s,
+        params_like,
+        spec_like,
+        is_leaf=lambda x: x is None,
+    )
+
+
+def shard_engine_params(params: EngineParams, mesh: Mesh) -> EngineParams:
+    """Place engine params onto the mesh with TP shardings."""
+    specs = engine_param_specs(params)
+
+    def place(p, s):
+        if p is None or not hasattr(p, "shape"):
+            return p
+        return jax.device_put(p, NamedSharding(mesh, s))
+
+    return jax.tree_util.tree_map(place, params, specs)
+
+
+def shard_kv_cache(cache: KVCache, mesh: Mesh) -> KVCache:
+    specs = kv_cache_specs()
+    return KVCache(
+        k=jax.device_put(cache.k, NamedSharding(mesh, specs.k)),
+        v=jax.device_put(cache.v, NamedSharding(mesh, specs.v)),
+        length=jax.device_put(cache.length, NamedSharding(mesh, specs.length)),
+    )
+
+
+def sharded_engine_forward(
+    ecfg: EngineConfig,
+    params: EngineParams,
+    input_ids: jax.Array,
+    cache: KVCache,
+    mesh: Mesh,
+) -> Tuple[jax.Array, KVCache]:
+    """TP x DP engine step: shard_map over the mesh; logits replicated over
+    tp, batch-sharded over dp."""
+    ecfg_local = dataclasses.replace(ecfg, tp_axis="tp")
+    pspecs = engine_param_specs(params)
+    cspecs = kv_cache_specs()
+
+    def local_step(params_l, ids_l, cache_l):
+        # engine_forward is already jitted; inside shard_map it traces with
+        # local shapes and the tp_axis psums become ICI collectives
+        return engine_forward(ecfg_local, params_l, ids_l, cache_l)
+
+    fn = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(pspecs, P("dp", None), cspecs),
+        out_specs=(P("dp", None, None), cspecs),
+        check_vma=False,
+    )
+    return fn(params, input_ids, cache)

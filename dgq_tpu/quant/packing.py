@@ -32,31 +32,55 @@ import jax
 import jax.numpy as jnp
 
 
-def pack_nibbles(codes_kn: jax.Array) -> jax.Array:
-    """Pack (K, N) integer codes in [0, 15] into (K//2, N) int8 bytes."""
+def pack_nibbles(codes_kn: jax.Array, span: int = 0) -> jax.Array:
+    """Pack (K, N) integer codes in [0, 15] into (K//2, N) int8 bytes.
+
+    Two layouts:
+      * ``span == 0`` ("pair"): byte k2 packs logical rows (2*k2, 2*k2+1) —
+        the reference's adjacent-pair scheme transposed to (K, N).
+      * ``span == 2*groupsize`` ("span"): K is cut into spans of ``span``
+        rows; within a span, byte row r packs logical row r (high nibble)
+        and row r + span/2 (low nibble).  With span = 2*groupsize each nibble
+        plane is exactly one quantization group, so the Pallas GEMM unpacks
+        with a shift/mask and a sublane concat — no row interleave — and
+        broadcasts one (1, N) scale row per plane.
+    """
     k, n = codes_kn.shape
     assert k % 2 == 0, f"K={k} must be even to nibble-pack"
     c = codes_kn.astype(jnp.int32)
-    hi = c[0::2, :]
-    lo = c[1::2, :]
+    if span:
+        assert k % span == 0, f"K={k} must be a multiple of span={span}"
+        half = span // 2
+        cs = c.reshape(k // span, span, n)
+        hi = cs[:, :half, :].reshape(k // 2, n)
+        lo = cs[:, half:, :].reshape(k // 2, n)
+    else:
+        hi = c[0::2, :]
+        lo = c[1::2, :]
     byte = (hi << 4) | (lo & 0xF)
     return jax.lax.bitcast_convert_type(byte.astype(jnp.uint8), jnp.int8)
 
 
-def unpack_nibbles(packed: jax.Array) -> jax.Array:
+def unpack_nibbles(packed: jax.Array, span: int = 0) -> jax.Array:
     """Unpack (K//2, N) int8 bytes into (K, N) int8 codes in [0, 15]."""
     k2, n = packed.shape
     ub = jax.lax.bitcast_convert_type(packed, jnp.uint8).astype(jnp.int32)
     hi = ub >> 4
     lo = ub & 0xF
-    out = jnp.stack([hi, lo], axis=1).reshape(2 * k2, n)
+    if span:
+        half = span // 2
+        hi_s = hi.reshape(k2 // half, half, n)
+        lo_s = lo.reshape(k2 // half, half, n)
+        out = jnp.concatenate([hi_s, lo_s], axis=1).reshape(2 * k2, n)
+    else:
+        out = jnp.stack([hi, lo], axis=1).reshape(2 * k2, n)
     return out.astype(jnp.int8)
 
 
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["qweight", "wscales", "wzeros", "wscales8", "bias", "amax"],
-    meta_fields=["in_features", "out_features", "groupsize", "w4w8", "act_method", "abits"],
+    meta_fields=["in_features", "out_features", "groupsize", "w4w8", "act_method", "abits", "span"],
 )
 @dataclasses.dataclass
 class PackedLinear:
@@ -84,6 +108,7 @@ class PackedLinear:
     w4w8: bool
     act_method: Optional[str] = "static"
     abits: int = 8
+    span: int = 0  # nibble layout: 0 = adjacent-pair, else 2*groupsize span
 
 
 def _group_scales_to_k(scales_gn: jax.Array, groupsize: int) -> jax.Array:
@@ -116,8 +141,9 @@ def pack_linear(
     codes = jnp.round(wg / scales[:, :, None] + zeros[:, :, None])
     codes = jnp.clip(codes, 0, 15)
     codes_kn = codes.reshape(n, k).T  # (K, N)
+    span = 2 * groupsize if k % (2 * groupsize) == 0 else 0
     return PackedLinear(
-        qweight=pack_nibbles(codes_kn),
+        qweight=pack_nibbles(codes_kn, span),
         wscales=scales.T,  # (G, N)
         wzeros=zeros.T,
         wscales8=None,
@@ -128,6 +154,7 @@ def pack_linear(
         groupsize=groupsize,
         w4w8=False,
         act_method=act_method,
+        span=span,
     )
 
 
@@ -166,8 +193,9 @@ def pack_linear_w4w8(
     lower = jnp.clip(izeros - int_max, 0.0, None)[:, :, None]
     codes = jnp.clip(jnp.clip(codes, lower, upper), 0, 15)
     codes_kn = codes.reshape(n, k).T
+    span = 2 * groupsize if k % (2 * groupsize) == 0 else 0
     return PackedLinear(
-        qweight=pack_nibbles(codes_kn),
+        qweight=pack_nibbles(codes_kn, span),
         wscales=iscales.T.astype(jnp.int8),  # (G, N)
         wzeros=izeros.T.astype(jnp.int8),
         wscales8=scale8,
@@ -178,6 +206,7 @@ def pack_linear_w4w8(
         groupsize=groupsize,
         w4w8=True,
         act_method=act_method,
+        span=span,
     )
 
 
@@ -186,7 +215,7 @@ def dequantize_linear(pl: PackedLinear) -> jax.Array:
 
     reference: quant_linear.py:97-108 (unpack), transposed to input-major.
     """
-    codes = unpack_nibbles(pl.qweight).astype(jnp.float32)  # (K, N)
+    codes = unpack_nibbles(pl.qweight, pl.span).astype(jnp.float32)  # (K, N)
     if pl.w4w8:
         scales = pl.wscales.astype(jnp.float32) * pl.wscales8.astype(jnp.float32)[None, :]
     else:
@@ -207,7 +236,7 @@ def dequantize_to_int8(pl: PackedLinear) -> jax.Array:
     (reference: quantizer_helper.py:176-183).
     """
     assert pl.w4w8, "int8 dequant path requires dual-grained packing"
-    codes = unpack_nibbles(pl.qweight).astype(jnp.int32)
+    codes = unpack_nibbles(pl.qweight, pl.span).astype(jnp.int32)
     scales_k = _group_scales_to_k(pl.wscales.astype(jnp.int32), pl.groupsize)
     zeros_k = _group_scales_to_k(pl.wzeros.astype(jnp.int32), pl.groupsize)
     return ((codes - zeros_k) * scales_k).astype(jnp.int8)

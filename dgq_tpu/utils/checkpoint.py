@@ -40,6 +40,7 @@ def _flatten(params, prefix: str, out: Dict[str, Any], meta: Dict[str, Any]):
             "w4w8": params.w4w8,
             "act_method": params.act_method,
             "abits": params.abits,
+            "span": params.span,
         }
         for f in _PACKED_FIELDS:
             v = getattr(params, f)
@@ -156,6 +157,7 @@ def load_quantized(path: str):
             w4w8=m["w4w8"],
             act_method=m["act_method"],
             abits=m["abits"],
+            span=m.get("span", 0),
         )
         _insert(nested, prefix.split("."), pl)
 

@@ -1,0 +1,112 @@
+"""INT8-dataflow engine tests: conversion from PTQ, prefill/decode parity,
+INT8 KV cache behavior."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dgq_tpu.config import ActQuantConfig, QuantConfig, WtQuantConfig
+from dgq_tpu.models.engine import (
+    EngineConfig,
+    engine_forward,
+    from_ptq,
+    generate,
+    init_kv_cache,
+)
+from dgq_tpu.models.llama import QuantState, init_llama_params, llama_apply, tiny_llama_config
+from dgq_tpu.quant.calibrate import ptq_llama
+from dgq_tpu.utils.datautils import synthetic_stream
+
+
+@pytest.fixture(scope="module")
+def engine_setup():
+    # hidden sizes chosen so every linear K is a multiple of one 128-group
+    # span (256): hidden 256, intermediate 512
+    cfg = tiny_llama_config(hidden_size=256, intermediate_size=512, num_hidden_layers=2,
+                            num_attention_heads=4, num_key_value_heads=4)
+    params = init_llama_params(cfg, jax.random.PRNGKey(0))
+    calib = jnp.asarray(synthetic_stream(cfg.vocab_size, 2 * 64).reshape(2, 64))
+    qcfg = QuantConfig(
+        act_quant=ActQuantConfig(),
+        wt_quant=WtQuantConfig(groupsize=128),
+        smoothquant=True,
+        kvquant=True,
+    )
+    res = ptq_llama(params, cfg, calib, qcfg, verbose=False)
+    eng = from_ptq(res.params, res.kv_scales, cfg)
+    return cfg, params, res, eng
+
+
+def test_engine_prefill_close_to_fake_quant(engine_setup):
+    cfg, params, res, eng = engine_setup
+    ecfg = EngineConfig(cfg=cfg, use_kernel=False)
+    ids = jnp.asarray(synthetic_stream(cfg.vocab_size, 32, seed=9).reshape(1, 32))
+    cache = init_kv_cache(cfg, 1, 64)
+    logits, cache2 = engine_forward(ecfg, eng, ids, cache)
+    assert logits.shape == (1, 32, cfg.vocab_size)
+    assert int(cache2.length) == 32
+    assert bool(jnp.isfinite(logits).all())
+
+    # engine int8 dataflow vs fake-quant path: same weights, requant points
+    # inject extra noise — top-1 agreement on most positions is the bar
+    qs = QuantState(actq=True, wtq=True, kv=True)
+    fq_logits = llama_apply(res.params, ids, cfg, qs, res.kv_scales)
+    top1_eng = np.asarray(jnp.argmax(logits[0], -1))
+    top1_fq = np.asarray(jnp.argmax(fq_logits[0], -1))
+    agree = (top1_eng == top1_fq).mean()
+    assert agree > 0.8, f"engine/fake-quant top-1 agreement too low: {agree}"
+
+
+def test_engine_kernel_matches_xla_path(engine_setup):
+    cfg, params, res, eng = engine_setup
+    ids = jnp.asarray(synthetic_stream(cfg.vocab_size, 16, seed=3).reshape(1, 16))
+    cache = init_kv_cache(cfg, 1, 32)
+    lx, _ = engine_forward(EngineConfig(cfg=cfg, use_kernel=False), eng, ids, cache)
+    lk, _ = engine_forward(
+        EngineConfig(cfg=cfg, use_kernel=True, interpret=True, bm_prefill=128, bm_decode=128),
+        eng, ids, cache,
+    )
+    np.testing.assert_allclose(np.asarray(lx), np.asarray(lk), rtol=2e-4, atol=2e-4)
+
+
+def test_engine_decode_matches_prefill(engine_setup):
+    """Decoding token-by-token with the INT8 cache must reproduce the
+    prefill logits (static cache correctness)."""
+    cfg, params, res, eng = engine_setup
+    ecfg = EngineConfig(cfg=cfg, use_kernel=False)
+    ids = jnp.asarray(synthetic_stream(cfg.vocab_size, 12, seed=5).reshape(1, 12))
+
+    cache = init_kv_cache(cfg, 1, 16)
+    logits_all, _ = engine_forward(ecfg, eng, ids, cache)
+
+    cache = init_kv_cache(cfg, 1, 16)
+    step_logits = []
+    for t in range(12):
+        lg, cache = engine_forward(ecfg, eng, ids[:, t : t + 1], cache)
+        step_logits.append(lg[:, 0])
+    step_logits = jnp.stack(step_logits, axis=1)
+    np.testing.assert_allclose(
+        np.asarray(logits_all), np.asarray(step_logits), rtol=2e-3, atol=2e-3
+    )
+
+
+def test_engine_generate_runs(engine_setup):
+    cfg, params, res, eng = engine_setup
+    ecfg = EngineConfig(cfg=cfg, use_kernel=False)
+    prompt = jnp.asarray(synthetic_stream(cfg.vocab_size, 8, seed=7).reshape(1, 8))
+    toks = generate(ecfg, eng, prompt, max_new_tokens=4, max_len=16)
+    assert toks.shape == (1, 4)
+    assert bool((toks >= 0).all()) and bool((toks < cfg.vocab_size).all())
+
+
+def test_kv_cache_is_int8(engine_setup):
+    cfg, params, res, eng = engine_setup
+    cache = init_kv_cache(cfg, 1, 16)
+    assert cache.k.dtype == jnp.int8 and cache.v.dtype == jnp.int8
+    ecfg = EngineConfig(cfg=cfg, use_kernel=False)
+    ids = jnp.asarray(synthetic_stream(cfg.vocab_size, 4, seed=2).reshape(1, 4))
+    _, cache2 = engine_forward(ecfg, eng, ids, cache)
+    # written region is (mostly) nonzero, unwritten region untouched
+    assert int(jnp.abs(cache2.k[:, :, :, :4]).sum()) > 0
+    assert int(jnp.abs(cache2.k[:, :, :, 4:]).sum()) == 0

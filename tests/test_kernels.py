@@ -1,0 +1,109 @@
+"""Pallas fused dequant-GEMM golden tests (interpret mode on CPU).
+
+Mirrors the reference's kernel test strategy
+(reference: dgq/test/test_linear_kernels.py): a python dequant golden vs the
+fused kernel, loose fp tolerance — but runs without accelerator hardware via
+interpret=True (SURVEY §4 implication).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dgq_tpu.ops.quant_matmul import (
+    quantize_static_int8,
+    w4a8_matmul,
+    w4a8_matmul_packed,
+    w4a8_matmul_xla,
+)
+from dgq_tpu.quant.packing import (
+    dequantize_linear,
+    dequantize_to_int8,
+    pack_linear_w4w8,
+    pack_nibbles,
+    unpack_nibbles,
+)
+from dgq_tpu.quant.search import search_quantize
+
+
+def _make_packed(n=256, k=512, g=128, seed=0, with_bias=False):
+    rng = np.random.default_rng(seed)
+    w = rng.normal(size=(n, k)).astype(np.float32)
+    xcal = rng.normal(size=(64, k)).astype(np.float32)
+    res = search_quantize(jnp.asarray(w), jnp.asarray(xcal), groupsize=g, w4w8=True)
+    bias = jnp.asarray(rng.normal(size=(n,)).astype(np.float32)) if with_bias else None
+    amax = jnp.asarray(3.0, jnp.float32)
+    return pack_linear_w4w8(
+        res.qweight_fp, res.scale, res.zero, res.scale8, g, bias=bias, amax=amax
+    )
+
+
+def test_span_nibble_roundtrip():
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 16, size=(512, 128)).astype(np.int8)
+    packed = pack_nibbles(jnp.asarray(codes), span=256)
+    back = np.asarray(unpack_nibbles(packed, span=256))
+    np.testing.assert_array_equal(back, codes)
+
+
+def test_kernel_matches_xla_golden_fp32():
+    lin = _make_packed()
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(100, 512)).astype(np.float32))
+    want = np.asarray(w4a8_matmul_xla(x, lin))
+    got = np.asarray(w4a8_matmul(x, lin, interpret=True, bm=128, bn=128))
+    # identical integer path; only epilogue fp order differs
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_kernel_matches_fp_reference_loose():
+    """vs the fp fake-quant matmul: quantization error only (the reference's
+    atol=0.5 style tolerance at test_linear_kernels.py:42)."""
+    lin = _make_packed()
+    rng = np.random.default_rng(2)
+    x = jnp.asarray((rng.normal(size=(64, 512)) * 0.3).astype(np.float32))
+    w_fp = dequantize_linear(lin)  # (K, N)
+    xq = quantize_static_int8(x, lin.amax).astype(jnp.float32) * (lin.amax / 127.0)
+    want = np.asarray(xq @ w_fp)
+    got = np.asarray(w4a8_matmul(x, lin, interpret=True, bm=128, bn=128))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_kernel_int8_out_matches_xla():
+    lin = _make_packed()
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(32, 512)).astype(np.float32))
+    want = np.asarray(w4a8_matmul_xla(x, lin, out_dtype=jnp.int8))
+    got = np.asarray(w4a8_matmul(x, lin, out_dtype=jnp.int8, interpret=True, bm=128, bn=128))
+    # rounding at the int8 boundary may differ by 1 on exact .5 ties
+    assert (np.abs(got.astype(np.int32) - want.astype(np.int32)) <= 1).all()
+
+
+def test_kernel_handles_unaligned_m():
+    lin = _make_packed()
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(7, 512)).astype(np.float32))
+    want = np.asarray(w4a8_matmul_xla(x, lin))
+    got = np.asarray(w4a8_matmul(x, lin, interpret=True, bm=128, bn=128))
+    assert got.shape == (7, 256)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_kernel_with_bias():
+    lin = _make_packed(with_bias=True)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(16, 512)).astype(np.float32))
+    want = np.asarray(w4a8_matmul_xla(x, lin))
+    got = np.asarray(w4a8_matmul(x, lin, interpret=True, bm=128, bn=128))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_kernel_batched_input_shape():
+    lin = _make_packed()
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(2, 9, 512)).astype(np.float32))
+    got = np.asarray(w4a8_matmul(x, lin, interpret=True, bm=128, bn=128))
+    assert got.shape == (2, 9, 256)
+    want = np.asarray(w4a8_matmul_xla(x, lin))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
