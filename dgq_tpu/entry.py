@@ -1,0 +1,245 @@
+"""CLI entry point.
+
+Mirrors the reference CLI surface (reference: dgq/entry.py:15-47):
+
+  python -m dgq_tpu.entry MODEL DATASET --wbits 4 --abits 8 --groupsize 128 \
+      --wt_fun search --act_fun static --w4w8 --smoothquant --kvquant \
+      --save_safetensors out.safetensors --eval
+
+with the reference's quirks fixed (SURVEY §7 "quirks to NOT replicate"):
+  * --inference_mod actually gates engine conversion (the reference's
+    hasattr check is always true, entry.py:95),
+  * GPTQ knobs --act-order/--percdamp are wired through,
+  * flags the reference parses but never consumes (--benchmark, --check,
+    --sym, --true-sequential, --observe, --nearest, --csqa_eval) are
+    accepted for CLI compatibility and reported as no-ops.
+
+MODEL is a HF checkpoint directory (LLaMA-family) or "tiny[:llama|opt|bloom]"
+for a random-initialized smoke-test model.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="dgq_tpu")
+    p.add_argument("model", type=str, help="HF model dir, or tiny[:arch] fixture")
+    p.add_argument(
+        "dataset", type=str,
+        choices=["wikitext2", "ptb", "c4", "synthetic"],
+        help="calibration dataset",
+    )
+    p.add_argument("--nsamples", type=int, default=18)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--wbits", type=int, default=4, choices=[2, 3, 4, 8, 16])
+    p.add_argument("--abits", type=int, default=8, choices=[8, 16])
+    p.add_argument("--percdamp", type=float, default=0.01)
+    p.add_argument("--save", type=str, default="", help="(alias of --save_safetensors)")
+    p.add_argument("--save_safetensors", type=str, default="")
+    p.add_argument("--load", type=str, default="", help="load quantized checkpoint")
+    p.add_argument("--groupsize", type=int, default=-1)
+    p.add_argument("--act-order", action="store_true")
+    p.add_argument("--act_fun", type=str, default="static",
+                   choices=["static", "per_tensor", "per_token", "per_tensor_asym", "no"])
+    p.add_argument("--wt_fun", type=str, default="naive",
+                   choices=["naive", "search", "gptq", "no"])
+    p.add_argument("--smoothquant", action="store_true")
+    p.add_argument("--kvquant", action="store_true")
+    p.add_argument("--meanact", action="store_true")
+    p.add_argument("--w4w8", action="store_true", help="dual grained quantization")
+    p.add_argument("--eval", action="store_true")
+    p.add_argument("--mmlu_eval", type=str, default="no", help="path to mmlu jsonl, or 'no'")
+    p.add_argument("--inference_mod", action="store_true",
+                   help="convert to the real-quant INT8 engine after load")
+    p.add_argument("--eval_samples", type=int, default=None, help="cap ppl windows")
+    p.add_argument("--data_path", type=str, default=None)
+    # accepted-but-inert reference flags (parity)
+    for flag in ("--benchmark", "--check", "--sym", "--true-sequential",
+                 "--observe", "--nearest"):
+        p.add_argument(flag, action="store_true", help="accepted for reference CLI parity (no-op)")
+    p.add_argument("--csqa_eval", type=str, default="no", help="no-op (reference parity)")
+    return p
+
+
+def generate_qconfig(args):
+    """reference: entry.py:50-73, with gptq knobs properly wired."""
+    from dgq_tpu.config import ActQuantConfig, QuantConfig, WtQuantConfig
+
+    act = None if args.act_fun == "no" else ActQuantConfig(bits=args.abits, method=args.act_fun)
+    wt = None
+    if args.wt_fun != "no":
+        wt = WtQuantConfig(
+            bits=args.wbits,
+            method=args.wt_fun,
+            groupsize=args.groupsize,
+            w4w8=args.w4w8,
+            percdamp=args.percdamp,
+            act_order=getattr(args, "act_order", False),
+        )
+    return QuantConfig(
+        act_quant=act,
+        wt_quant=wt,
+        smoothquant=args.smoothquant,
+        meanact=args.meanact,
+        kvquant=args.kvquant,
+        nsamples=args.nsamples,
+    )
+
+
+def prepare_model(model: str, seed: int = 0):
+    """Returns (params, cfg, arch, apply_fn, vocab_size, model_dir|None)."""
+    from dgq_tpu.models import llama as L
+
+    if model.startswith("tiny"):
+        arch = model.split(":")[1] if ":" in model else "llama"
+        key = jax.random.PRNGKey(seed)
+        if arch == "llama":
+            cfg = L.tiny_llama_config(hidden_size=256, intermediate_size=512,
+                                      num_attention_heads=4, num_key_value_heads=4)
+            params = L.init_llama_params(cfg, key)
+            return params, cfg, arch, None
+        if arch == "opt":
+            from dgq_tpu.models.opt import init_opt_params, tiny_opt_config
+
+            cfg = tiny_opt_config(hidden_size=256, ffn_dim=512)
+            return init_opt_params(cfg, key), cfg, arch, None
+        if arch == "bloom":
+            from dgq_tpu.models.bloom import init_bloom_params, tiny_bloom_config
+
+            cfg = tiny_bloom_config(hidden_size=256)
+            return init_bloom_params(cfg, key), cfg, arch, None
+        raise ValueError(arch)
+
+    import os
+
+    with open(os.path.join(model, "config.json")) as f:
+        hf_cfg = json.load(f)
+    model_type = hf_cfg.get("model_type", "llama")
+    if model_type == "llama":
+        from dgq_tpu.models.hf_loader import load_llama_config, load_llama_params
+
+        cfg = load_llama_config(model)
+        params = load_llama_params(model)
+        return params, cfg, "llama", model
+    raise NotImplementedError(f"HF ingestion for {model_type} not wired yet")
+
+
+def apply_fn_for(arch: str, cfg):
+    if arch == "llama":
+        from dgq_tpu.models.llama import llama_apply
+
+        return lambda ps, ids, qs=None, kv=None: llama_apply(
+            ps, ids, cfg, qs or _fp_qs(), kv
+        )
+    if arch == "opt":
+        from dgq_tpu.models.opt import opt_apply
+
+        return lambda ps, ids, qs=None, kv=None: opt_apply(ps, ids, cfg, qs or _fp_qs(), kv)
+    if arch == "bloom":
+        from dgq_tpu.models.bloom import bloom_apply
+
+        return lambda ps, ids, qs=None, kv=None: bloom_apply(ps, ids, cfg, qs or _fp_qs(), kv)
+    raise ValueError(arch)
+
+
+def _fp_qs():
+    from dgq_tpu.models.llama import QuantState
+
+    return QuantState()
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    params, cfg, arch, model_dir = prepare_model(args.model, args.seed)
+    qcfg = generate_qconfig(args)
+    print(f"[dgq_tpu] arch={arch} qconfig={qcfg}")
+
+    from dgq_tpu.models.llama import QuantState
+    from dgq_tpu.utils.checkpoint import load_quantized, save_quantized
+    from dgq_tpu.utils.datautils import get_calib_samples, get_eval_stream
+    from dgq_tpu.utils.evalutils import ppl_eval
+
+    vocab = cfg.vocab_size
+    seqlen = qcfg.seqlen if not args.model.startswith("tiny") else 64
+
+    kv_scales = None
+    if args.load:
+        params, cfg, qcfg, kv_scales = load_quantized(args.load)
+        print(f"[dgq_tpu] loaded {args.load}")
+    else:
+        calib = get_calib_samples(
+            args.dataset, args.nsamples, seed=args.seed, seqlen=seqlen,
+            model_path=model_dir, vocab_size=vocab, data_path=args.data_path,
+        )
+        from dgq_tpu.quant.calibrate import ptq
+
+        tick = time.time()
+        res = ptq(params, cfg, jnp.asarray(calib), qcfg, arch=arch)
+        print(f"[dgq_tpu] PTQ took {time.time() - tick:.1f}s")
+        params, kv_scales = res.params, res.kv_scales
+        out_path = args.save_safetensors or args.save
+        if out_path:
+            save_quantized(out_path, params, cfg, qcfg, kv_scales, arch=arch)
+            print(f"[dgq_tpu] saved {out_path}")
+
+    engine_state = None
+    if args.inference_mod and arch == "llama":
+        from dgq_tpu.models.engine import EngineConfig, from_ptq
+
+        eng = from_ptq(params, kv_scales, cfg)
+        on_tpu = jax.default_backend() not in ("cpu",)
+        engine_state = (EngineConfig(cfg=cfg, use_kernel=on_tpu), eng)
+        print("[dgq_tpu] converted to INT8 engine")
+
+    if args.eval:
+        apply_fn = apply_fn_for(arch, cfg)
+        qs = QuantState(actq=qcfg.actq, wtq=qcfg.wtq, kv=qcfg.kvquant)
+
+        def logits_fn(ps_and_kv, batch):
+            ps, kv = ps_and_kv
+            return apply_fn(ps, batch, qs, kv)
+
+        datasets = ["wikitext2", "ptb", "c4"] if args.dataset != "synthetic" else ["synthetic"]
+        for ds in datasets:
+            try:
+                stream = get_eval_stream(
+                    ds, seqlen=seqlen, model_path=model_dir, vocab_size=vocab,
+                    data_path=args.data_path,
+                )
+            except Exception as e:
+                print(f"[dgq_tpu] {ds}: unavailable offline ({type(e).__name__}); skipping")
+                continue
+            ppl = ppl_eval(
+                logits_fn, (params, kv_scales), stream, seqlen,
+                max_samples=args.eval_samples, verbose=True,
+            )
+            print(f"[dgq_tpu] {ds} ppl = {ppl:.4f}")
+
+    if args.mmlu_eval != "no":
+        from dgq_tpu.utils.datautils import prepare_mmlu
+        from dgq_tpu.utils.evalutils import mmlu_accuracy
+
+        apply_fn = apply_fn_for(arch, cfg)
+        qs = QuantState(actq=qcfg.actq, wtq=qcfg.wtq, kv=qcfg.kvquant)
+        examples, abcd = prepare_mmlu(model_dir, args.mmlu_eval)
+        result = mmlu_accuracy(
+            lambda ps_and_kv, batch: apply_fn(ps_and_kv[0], batch, qs, ps_and_kv[1]),
+            (params, kv_scales),
+            examples,
+            abcd,
+        )
+        print(json.dumps({k: v for k, v in result.items() if k == "accuracy"}))
+        print(result)
+
+
+if __name__ == "__main__":
+    main()
