@@ -80,17 +80,17 @@ class EngineParams:
 
 
 class KVCache(NamedTuple):
-    k: jax.Array  # (L, B, Hkv, Smax, Dh) int8
+    k: jax.Array  # (L, B, Hkv, Dh, Smax) int8 — K stored TRANSPOSED so the
+    #               scores matmul contracts without a relayout (ops/attention.py)
     v: jax.Array  # (L, B, Hkv, Smax, Dh) int8
     length: jax.Array  # () int32 tokens already cached
 
 
 def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int, num_layers: Optional[int] = None) -> KVCache:
     L = num_layers or cfg.num_hidden_layers
-    shape = (L, batch, cfg.num_key_value_heads, max_len, cfg.head_dim)
     return KVCache(
-        k=jnp.zeros(shape, jnp.int8),
-        v=jnp.zeros(shape, jnp.int8),
+        k=jnp.zeros((L, batch, cfg.num_key_value_heads, cfg.head_dim, max_len), jnp.int8),
+        v=jnp.zeros((L, batch, cfg.num_key_value_heads, max_len, cfg.head_dim), jnp.int8),
         length=jnp.zeros((), jnp.int32),
     )
 
@@ -200,12 +200,17 @@ def _requant(x: jax.Array, scale: jax.Array, qmin: float = -128.0) -> jax.Array:
     return jnp.clip(jnp.round(x / scale), qmin, 127.0).astype(jnp.int8)
 
 
-def _attention_scores(q_s8, k_s8, q_scale, k_scale, head_dim):
-    """q.k^T on dequantized int8 (the reference dequantizes then matmuls in
-    fp — llama_a8w4.py:126-129; we keep the same numerics)."""
-    qf = q_s8.astype(jnp.float32) * q_scale
-    kf = k_s8.astype(jnp.float32) * k_scale
-    return jnp.einsum("bhqd,bhkd->bhqk", qf, kf) / math.sqrt(head_dim)
+def _attention_scores(q_s8, kt_s8, q_scale, k_scale, head_dim):
+    """q.k^T in the INT8 domain: s8 x s8 -> s32 on the MXU, then one scalar
+    rescale.  Numerically identical to the reference's dequantize-then-fp
+    matmul (llama_a8w4.py:126-129): (q*sq).(k*sk) == sq*sk*(q.k) exactly —
+    but without materializing dequantized fp K (the TPU-native counterpart
+    of the reference's INT8 CUTLASS qk BMM, bmm.cu:10).  K arrives
+    pre-transposed (B, Hkv, Dh, S)."""
+    s32 = jnp.einsum(
+        "bhqd,bhdk->bhqk", q_s8, kt_s8, preferred_element_type=jnp.int32
+    )
+    return s32.astype(jnp.float32) * (q_scale * k_scale / math.sqrt(head_dim))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -262,18 +267,36 @@ def _block(ecfg: EngineConfig, layer: EngineLayer, x: jax.Array,
     k_s8 = _requant(k, layer.k_scale)
     v_s8 = _requant(v, layer.v_scale)
 
-    k_cache = jax.lax.dynamic_update_slice(k_cache, k_s8, (0, 0, cache_len, 0))
+    # K cache is stored transposed (B, Hkv, Dh, Smax)
+    k_cache = jax.lax.dynamic_update_slice(
+        k_cache, k_s8.transpose(0, 1, 3, 2), (0, 0, 0, cache_len)
+    )
     v_cache = jax.lax.dynamic_update_slice(v_cache, v_s8, (0, 0, cache_len, 0))
 
-    # GQA: fold query-head groups onto kv heads
     rep = h // hk
-    qg = q_s8.reshape(b, hk, rep * s, dh)  # (B, Hkv, rep*S, Dh)
-    scores = _attention_scores(qg, k_cache, layer.q_scale, layer.k_scale, dh)
-    scores = scores.reshape(b, hk, rep, s, -1) + mask[None, None, None, :, :]
-    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
-    vf = v_cache.astype(jnp.float32) * layer.v_scale
-    ctx = jnp.einsum("bgrqk,bgkd->bgrqd", probs, vf)  # (B, Hkv, rep, S, Dh)
-    ctx = ctx.transpose(0, 3, 1, 2, 4).reshape(b, s, h * dh)
+    if s == 1 and ecfg.use_kernel:
+        from dgq_tpu.ops.attention import int8_decode_attention
+
+        ctx = int8_decode_attention(
+            q_s8[:, :, 0, :],  # (B, H, Dh)
+            k_cache,
+            v_cache,
+            cache_len + 1,
+            layer.q_scale,
+            layer.k_scale,
+            layer.v_scale,
+            interpret=ecfg.interpret,
+        )  # (B, H, Dh) f32
+        ctx = ctx.reshape(b, 1, h * dh)
+    else:
+        # GQA: fold query-head groups onto kv heads
+        qg = q_s8.reshape(b, hk, rep * s, dh)  # (B, Hkv, rep*S, Dh)
+        scores = _attention_scores(qg, k_cache, layer.q_scale, layer.k_scale, dh)
+        scores = scores.reshape(b, hk, rep, s, -1) + mask[None, None, None, :, :]
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+        vf = v_cache.astype(jnp.float32) * layer.v_scale
+        ctx = jnp.einsum("bgrqk,bgkd->bgrqd", probs, vf)  # (B, Hkv, rep, S, Dh)
+        ctx = ctx.transpose(0, 3, 1, 2, 4).reshape(b, s, h * dh)
 
     ctx_s8 = _requant(ctx, layer.out_input_scale, qmin=-127.0)  # llama_a8w4.py:158 clamps -127
     attn_out = _linear_s8(layer.o_proj, ctx_s8, use_kernel=ecfg.use_kernel, bm=bm, interpret=ecfg.interpret)
@@ -310,7 +333,7 @@ def engine_forward(
     """
     cfg = ecfg.cfg
     b, s = input_ids.shape
-    smax = cache.k.shape[3]
+    smax = cache.k.shape[4]  # k is (L, B, Hkv, Dh, Smax)
     x = params.embed_tokens[input_ids].astype(jnp.float32)
 
     positions = cache.length + jnp.arange(s)

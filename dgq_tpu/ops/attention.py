@@ -1,0 +1,129 @@
+"""INT8-KV attention kernels.
+
+The TPU-native counterpart of the reference's INT8 attention path: the
+reference stores the KV cache in INT8 and runs q.k^T through an INT8 CUTLASS
+BMM (reference: dgq/models/bmm.cu:10-80, llama_a8w4.py:113-129).  Here the
+decode attention is one Pallas kernel per (batch, kv-head): the INT8 K tile
+feeds the MXU directly (s8 x s8 -> s32) with the per-tensor q/k scales folded
+into one fp multiplier, softmax runs in fp32, and the INT8 V tile is
+dequantized in VMEM right before the probs @ V matmul — V never
+materializes in fp in HBM.
+
+Cache layout: K is stored transposed, (B, Hkv, Dh, Smax), so the scores
+matmul contracts along the last/first dims without a Mosaic relayout; V is
+(B, Hkv, Smax, Dh).
+
+The whole per-(b, h) cache slice sits in VMEM (Smax*Dh bytes each for K/V —
+at Smax=8192, Dh=128: 1 MB each), so no inner flash loop is needed; the
+kernel is HBM-bandwidth-bound on the cache read, which is the decode
+optimum.  Longer contexts need the blocked variant (future work, SURVEY §5
+long-context row).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _decode_kernel(
+    len_ref,  # SMEM (1,) int32: valid cache length (including current token)
+    q_ref,  # (1, 1, rep, Dh) int8
+    kt_ref,  # (1, 1, Dh, Smax) int8
+    v_ref,  # (1, 1, Smax, Dh) int8
+    scale_ref,  # SMEM (3,) f32: qk_scale (= q_scale*k_scale/sqrt(dh)), v_scale
+    out_ref,  # (1, 1, rep, Dh) f32
+):
+    rep, dh = q_ref.shape[2], q_ref.shape[3]
+    smax = kt_ref.shape[3]
+    length = len_ref[0]
+
+    q = q_ref[0, 0]  # (rep, Dh) int8
+    kt = kt_ref[0, 0]  # (Dh, Smax) int8
+    scores = jax.lax.dot_general(
+        q, kt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )  # (rep, Smax)
+    qk_scale = scale_ref[0]
+    s = scores.astype(jnp.float32) * qk_scale
+
+    pos = jax.lax.broadcasted_iota(jnp.int32, (rep, smax), 1)
+    s = jnp.where(pos < length, s, jnp.finfo(jnp.float32).min)
+
+    m = jnp.max(s, axis=1, keepdims=True)
+    e = jnp.exp(s - m)
+    denom = jnp.sum(e, axis=1, keepdims=True)
+    p = e / denom  # (rep, Smax) f32
+
+    v_scale = scale_ref[1]
+    vf = v_ref[0, 0].astype(jnp.float32) * v_scale  # (Smax, Dh) f32, in VMEM
+    out_ref[0, 0] = jax.lax.dot_general(
+        p, vf, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def int8_decode_attention(
+    q_s8: jax.Array,  # (B, H, Dh) int8 — current token's quantized queries
+    kt_cache: jax.Array,  # (B, Hkv, Dh, Smax) int8
+    v_cache: jax.Array,  # (B, Hkv, Smax, Dh) int8
+    length: jax.Array,  # () int32 — valid tokens in cache
+    q_scale: jax.Array,
+    k_scale: jax.Array,
+    v_scale: jax.Array,
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """Single-token attention over the INT8 cache -> (B, H, Dh) f32."""
+    b, h, dh = q_s8.shape
+    _, hk, _, smax = kt_cache.shape
+    rep = h // hk
+    qg = q_s8.reshape(b, hk, rep, dh)
+
+    qk_scale = (q_scale * k_scale / math.sqrt(dh)).astype(jnp.float32)
+    scales = jnp.stack([qk_scale, v_scale.astype(jnp.float32), jnp.float32(0)])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # length, scales
+        grid=(b, hk),
+        in_specs=[
+            pl.BlockSpec((1, 1, rep, dh), lambda i, j, *_: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, dh, smax), lambda i, j, *_: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, smax, dh), lambda i, j, *_: (i, j, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, rep, dh), lambda i, j, *_: (i, j, 0, 0), memory_space=pltpu.VMEM),
+    )
+
+    def kernel(len_ref, scale_ref, q_ref, kt_ref, v_ref, out_ref):
+        _decode_kernel(len_ref, q_ref, kt_ref, v_ref, scale_ref, out_ref)
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hk, rep, dh), jnp.float32),
+        interpret=interpret,
+    )(length.reshape(1).astype(jnp.int32), scales, qg, kt_cache, v_cache)
+    return out.reshape(b, h, dh)
+
+
+def int8_decode_attention_xla(
+    q_s8, kt_cache, v_cache, length, q_scale, k_scale, v_scale
+) -> jax.Array:
+    """XLA golden model for the decode kernel."""
+    b, h, dh = q_s8.shape
+    _, hk, _, smax = kt_cache.shape
+    rep = h // hk
+    qg = q_s8.reshape(b, hk, rep, dh)
+    s32 = jnp.einsum("bgrd,bgds->bgrs", qg, kt_cache, preferred_element_type=jnp.int32)
+    s = s32.astype(jnp.float32) * (q_scale * k_scale / math.sqrt(dh))
+    pos = jnp.arange(smax)[None, None, None, :]
+    s = jnp.where(pos < length, s, jnp.finfo(jnp.float32).min)
+    p = jax.nn.softmax(s, axis=-1)
+    vf = v_cache.astype(jnp.float32) * v_scale
+    out = jnp.einsum("bgrs,bgsd->bgrd", p, vf)
+    return out.reshape(b, h, dh)

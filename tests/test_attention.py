@@ -1,0 +1,48 @@
+"""INT8-KV decode attention kernel golden tests (interpret mode)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from dgq_tpu.ops.attention import int8_decode_attention, int8_decode_attention_xla
+
+
+def _setup(b=2, h=8, hk=4, dh=128, smax=256, length=100, seed=0):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.integers(-127, 128, (b, h, dh)), jnp.int8)
+    kt = jnp.asarray(rng.integers(-127, 128, (b, hk, dh, smax)), jnp.int8)
+    v = jnp.asarray(rng.integers(-127, 128, (b, hk, smax, dh)), jnp.int8)
+    return q, kt, v, jnp.asarray(length, jnp.int32)
+
+
+def test_decode_attention_matches_xla():
+    q, kt, v, ln = _setup()
+    args = (q, kt, v, ln, jnp.float32(0.02), jnp.float32(0.03), jnp.float32(0.05))
+    want = np.asarray(int8_decode_attention_xla(*args))
+    got = np.asarray(int8_decode_attention(*args, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_decode_attention_respects_length():
+    q, kt, v, _ = _setup(smax=128)
+    a = (q, kt, v)
+    scales = (jnp.float32(0.02), jnp.float32(0.03), jnp.float32(0.05))
+    out_short = np.asarray(
+        int8_decode_attention(*a, jnp.asarray(10, jnp.int32), *scales, interpret=True)
+    )
+    out_long = np.asarray(
+        int8_decode_attention(*a, jnp.asarray(100, jnp.int32), *scales, interpret=True)
+    )
+    assert not np.allclose(out_short, out_long)
+    # matches masked-xla at each length
+    want_short = np.asarray(
+        int8_decode_attention_xla(*a, jnp.asarray(10, jnp.int32), *scales)
+    )
+    np.testing.assert_allclose(out_short, want_short, rtol=1e-5, atol=1e-5)
+
+
+def test_decode_attention_mha_no_gqa():
+    q, kt, v, ln = _setup(h=4, hk=4)
+    args = (q, kt, v, ln, jnp.float32(0.01), jnp.float32(0.01), jnp.float32(0.01))
+    want = np.asarray(int8_decode_attention_xla(*args))
+    got = np.asarray(int8_decode_attention(*args, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

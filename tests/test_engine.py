@@ -107,6 +107,7 @@ def test_kv_cache_is_int8(engine_setup):
     ecfg = EngineConfig(cfg=cfg, use_kernel=False)
     ids = jnp.asarray(synthetic_stream(cfg.vocab_size, 4, seed=2).reshape(1, 4))
     _, cache2 = engine_forward(ecfg, eng, ids, cache)
-    # written region is (mostly) nonzero, unwritten region untouched
-    assert int(jnp.abs(cache2.k[:, :, :, :4]).sum()) > 0
-    assert int(jnp.abs(cache2.k[:, :, :, 4:]).sum()) == 0
+    # K is stored transposed (L, B, Hkv, Dh, Smax): written region is the
+    # first 4 positions of the LAST axis; unwritten region untouched
+    assert int(jnp.abs(cache2.k[..., :4]).sum()) > 0
+    assert int(jnp.abs(cache2.k[..., 4:]).sum()) == 0
