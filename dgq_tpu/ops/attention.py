@@ -33,7 +33,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _decode_kernel(
-    len_ref,  # SMEM (1,) int32: valid cache length (including current token)
+    len_ref,  # SMEM (B,) int32: per-slot valid cache length (incl. current token)
     q_ref,  # (1, 1, rep, Dh) int8
     kt_ref,  # (1, 1, Dh, Smax) int8
     v_ref,  # (1, 1, Smax, Dh) int8
@@ -42,7 +42,7 @@ def _decode_kernel(
 ):
     rep, dh = q_ref.shape[2], q_ref.shape[3]
     smax = kt_ref.shape[3]
-    length = len_ref[0]
+    length = len_ref[pl.program_id(0)]
 
     q = q_ref[0, 0]  # (rep, Dh) int8
     kt = kt_ref[0, 0]  # (Dh, Smax) int8
@@ -72,7 +72,7 @@ def int8_decode_attention(
     q_s8: jax.Array,  # (B, H, Dh) int8 — current token's quantized queries
     kt_cache: jax.Array,  # (B, Hkv, Dh, Smax) int8
     v_cache: jax.Array,  # (B, Hkv, Smax, Dh) int8
-    length: jax.Array,  # () int32 — valid tokens in cache
+    length: jax.Array,  # () or (B,) int32 — valid tokens per slot
     q_scale: jax.Array,
     k_scale: jax.Array,
     v_scale: jax.Array,
@@ -84,6 +84,7 @@ def int8_decode_attention(
     _, hk, _, smax = kt_cache.shape
     rep = h // hk
     qg = q_s8.reshape(b, hk, rep, dh)
+    lengths = jnp.broadcast_to(jnp.asarray(length, jnp.int32), (b,))
 
     qk_scale = (q_scale * k_scale / math.sqrt(dh)).astype(jnp.float32)
     scales = jnp.stack([qk_scale, v_scale.astype(jnp.float32), jnp.float32(0)])
@@ -107,7 +108,7 @@ def int8_decode_attention(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, hk, rep, dh), jnp.float32),
         interpret=interpret,
-    )(length.reshape(1).astype(jnp.int32), scales, qg, kt_cache, v_cache)
+    )(lengths, scales, qg, kt_cache, v_cache)
     return out.reshape(b, h, dh)
 
 
@@ -119,10 +120,11 @@ def int8_decode_attention_xla(
     _, hk, _, smax = kt_cache.shape
     rep = h // hk
     qg = q_s8.reshape(b, hk, rep, dh)
+    lengths = jnp.broadcast_to(jnp.asarray(length, jnp.int32), (b,))
     s32 = jnp.einsum("bgrd,bgds->bgrs", qg, kt_cache, preferred_element_type=jnp.int32)
     s = s32.astype(jnp.float32) * (q_scale * k_scale / math.sqrt(dh))
     pos = jnp.arange(smax)[None, None, None, :]
-    s = jnp.where(pos < length, s, jnp.finfo(jnp.float32).min)
+    s = jnp.where(pos < lengths[:, None, None, None], s, jnp.finfo(jnp.float32).min)
     p = jax.nn.softmax(s, axis=-1)
     vf = v_cache.astype(jnp.float32) * v_scale
     out = jnp.einsum("bgrs,bgsd->bgrd", p, vf)

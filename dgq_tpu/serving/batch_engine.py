@@ -1,0 +1,214 @@
+"""Slot-based batched engine execution for continuous batching.
+
+The reference has no serving layer at all (SURVEY §2.3) — this is new,
+TPU-first capability (BASELINE config 4: "continuous batching on one host").
+
+Design: the INT8 KV cache holds B independent *slots*, each with its own
+length.  Two jitted entry points with static shapes:
+
+  * ``engine_prefill_slot``  — run one prompt through the stacked layers and
+    write its INT8 K/V into slot ``slot_idx`` (a traced scalar — one compiled
+    program serves every slot),
+  * ``engine_decode_batched`` — one decode step for ALL active slots at
+    their own positions (per-slot RoPE, per-slot masking, per-slot cache
+    append), the Pallas decode-attention kernel handling per-slot lengths
+    natively.
+
+Inactive slots simply decode garbage that the scheduler ignores — branchless
+static shapes, XLA-friendly.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dgq_tpu.models.engine import (
+    EngineConfig,
+    EngineParams,
+    KVCache,
+    _block,
+    _linear_s8,
+    _requant,
+    _rms_norm_q,
+)
+from dgq_tpu.models.llama import rms_norm, rope_cos_sin, rotate_half
+
+
+class BatchedKVCache(NamedTuple):
+    k: jax.Array  # (L, B, Hkv, Dh, Smax) int8, K transposed
+    v: jax.Array  # (L, B, Hkv, Smax, Dh) int8
+    lengths: jax.Array  # (B,) int32 per-slot valid token counts
+
+
+def init_batched_cache(cfg, batch: int, max_len: int) -> BatchedKVCache:
+    L = cfg.num_hidden_layers
+    return BatchedKVCache(
+        k=jnp.zeros((L, batch, cfg.num_key_value_heads, cfg.head_dim, max_len), jnp.int8),
+        v=jnp.zeros((L, batch, cfg.num_key_value_heads, max_len, cfg.head_dim), jnp.int8),
+        lengths=jnp.zeros((batch,), jnp.int32),
+    )
+
+
+@partial(jax.jit, static_argnames=("ecfg",))
+def engine_prefill_slot(
+    ecfg: EngineConfig,
+    params: EngineParams,
+    slot_idx: jax.Array,  # () int32
+    input_ids: jax.Array,  # (S,) int32 — padded prompt
+    prompt_len: jax.Array,  # () int32 — true length (<= S)
+    cache: BatchedKVCache,
+) -> Tuple[jax.Array, BatchedKVCache]:
+    """Prefill one slot from position 0; returns (last-token logits (V,),
+    updated cache)."""
+    cfg = ecfg.cfg
+    s = input_ids.shape[0]
+    x = params.embed_tokens[input_ids[None, :]].astype(jnp.float32)  # (1, S, D)
+
+    pos_cos, pos_sin = rope_cos_sin(jnp.arange(s), cfg.head_dim, cfg.rope_theta, jnp.float32)
+    smax = cache.k.shape[4]
+    i = jnp.arange(s)[:, None]
+    j = jnp.arange(smax)[None, :]
+    # causal within the prompt; everything beyond the (fresh) slot is masked
+    mask = jnp.where((j <= i) & (j < prompt_len), 0.0, jnp.finfo(jnp.float32).min)
+
+    # slice this slot's cache out: (L, 1, Hkv, ...) and run the normal blocks
+    k_slot = jax.lax.dynamic_slice_in_dim(cache.k, slot_idx, 1, axis=1)
+    v_slot = jax.lax.dynamic_slice_in_dim(cache.v, slot_idx, 1, axis=1)
+
+    def scan_body(xc, layer_and_cache):
+        layer, k_c, v_c = layer_and_cache
+        xc, k_c, v_c = _block(
+            ecfg, layer, xc, k_c, v_c, jnp.int32(0), pos_cos, pos_sin, mask,
+            ecfg.bm_prefill,
+        )
+        return xc, (k_c, v_c)
+
+    x, (new_k, new_v) = jax.lax.scan(scan_body, x, (params.layers, k_slot, v_slot))
+
+    new_cache = BatchedKVCache(
+        k=jax.lax.dynamic_update_slice_in_dim(cache.k, new_k, slot_idx, axis=1),
+        v=jax.lax.dynamic_update_slice_in_dim(cache.v, new_v, slot_idx, axis=1),
+        lengths=cache.lengths.at[slot_idx].set(prompt_len),
+    )
+
+    x = rms_norm(x, params.norm_weight.astype(x.dtype), cfg.rms_norm_eps)
+    last = x[0, prompt_len - 1]
+    logits = params.lm_head.astype(x.dtype) @ last
+    return logits, new_cache
+
+
+def _decode_block_batched(ecfg: EngineConfig, layer, x, k_cache, v_cache, lengths, pos_cos, pos_sin):
+    """One decoder block for a single decode token per slot.
+
+    x: (B, 1, D); caches (B, Hkv, ...); lengths (B,) — each slot's token
+    appends at its own offset; attention masks per slot.
+    """
+    cfg = ecfg.cfg
+    b = x.shape[0]
+    dh = cfg.head_dim
+
+    x_s8 = _rms_norm_q(x, layer.ln1_weight, cfg.rms_norm_eps)
+    q = _linear_s8(layer.q_proj, x_s8, use_kernel=ecfg.use_kernel, bm=ecfg.bm_decode, interpret=ecfg.interpret)
+    k = _linear_s8(layer.k_proj, x_s8, use_kernel=ecfg.use_kernel, bm=ecfg.bm_decode, interpret=ecfg.interpret)
+    v = _linear_s8(layer.v_proj, x_s8, use_kernel=ecfg.use_kernel, bm=ecfg.bm_decode, interpret=ecfg.interpret)
+
+    h = q.shape[-1] // dh
+    hk = k.shape[-1] // dh
+    rep = h // hk
+
+    q = q.reshape(b, 1, h, dh).transpose(0, 2, 1, 3)  # (B, H, 1, Dh)
+    k = k.reshape(b, 1, hk, dh).transpose(0, 2, 1, 3)
+    v = v.reshape(b, 1, hk, dh).transpose(0, 2, 1, 3)
+
+    # per-slot RoPE: cos/sin (B, 1, Dh) -> (B, 1, 1, Dh)
+    cos = pos_cos[:, None, :, :]
+    sin = pos_sin[:, None, :, :]
+    q = q * cos + rotate_half(q) * sin
+    k = k * cos + rotate_half(k) * sin
+
+    q_s8 = _requant(q, layer.q_scale)
+    k_s8 = _requant(k, layer.k_scale)
+    v_s8 = _requant(v, layer.v_scale)
+
+    # per-slot cache append (vmapped dynamic updates)
+    def upd_k(kc, knew, ln):
+        return jax.lax.dynamic_update_slice(kc, knew, (0, 0, ln))
+
+    def upd_v(vc, vnew, ln):
+        return jax.lax.dynamic_update_slice(vc, vnew, (0, ln, 0))
+
+    k_cache = jax.vmap(upd_k)(k_cache, k_s8.transpose(0, 1, 3, 2), lengths)
+    v_cache = jax.vmap(upd_v)(v_cache, v_s8, lengths)
+
+    if ecfg.use_kernel:
+        from dgq_tpu.ops.attention import int8_decode_attention
+
+        ctx = int8_decode_attention(
+            q_s8[:, :, 0, :], k_cache, v_cache, lengths + 1,
+            layer.q_scale, layer.k_scale, layer.v_scale,
+            interpret=ecfg.interpret,
+        ).reshape(b, 1, h * dh)
+    else:
+        from dgq_tpu.ops.attention import int8_decode_attention_xla
+
+        ctx = int8_decode_attention_xla(
+            q_s8[:, :, 0, :], k_cache, v_cache, lengths + 1,
+            layer.q_scale, layer.k_scale, layer.v_scale,
+        ).reshape(b, 1, h * dh)
+
+    ctx_s8 = _requant(ctx, layer.out_input_scale, qmin=-127.0)
+    attn_out = _linear_s8(layer.o_proj, ctx_s8, use_kernel=ecfg.use_kernel, bm=ecfg.bm_decode, interpret=ecfg.interpret)
+    if ecfg.tp_axis is not None:
+        attn_out = jax.lax.psum(attn_out, ecfg.tp_axis)
+    x = x + attn_out.astype(x.dtype)
+
+    x_s8 = _rms_norm_q(x, layer.ln2_weight, cfg.rms_norm_eps)
+    gate = _linear_s8(layer.gate_proj, x_s8, use_kernel=ecfg.use_kernel, bm=ecfg.bm_decode, interpret=ecfg.interpret)
+    up = _linear_s8(layer.up_proj, x_s8, use_kernel=ecfg.use_kernel, bm=ecfg.bm_decode, interpret=ecfg.interpret)
+    hidden = jax.nn.silu(gate) * up
+    h_s8 = _requant(hidden, layer.down_input_scale)
+    mlp_out = _linear_s8(layer.down_proj, h_s8, use_kernel=ecfg.use_kernel, bm=ecfg.bm_decode, interpret=ecfg.interpret)
+    if ecfg.tp_axis is not None:
+        mlp_out = jax.lax.psum(mlp_out, ecfg.tp_axis)
+    x = x + mlp_out.astype(x.dtype)
+    return x, k_cache, v_cache
+
+
+@partial(jax.jit, static_argnames=("ecfg",))
+def engine_decode_batched(
+    ecfg: EngineConfig,
+    params: EngineParams,
+    tokens: jax.Array,  # (B,) int32 — current token per slot
+    cache: BatchedKVCache,
+    active: jax.Array = None,  # (B,) bool — only active slots advance
+) -> Tuple[jax.Array, BatchedKVCache]:
+    """One decode step for every slot -> (logits (B, V), updated cache).
+
+    Inactive slots compute garbage at a fixed position (repeatedly
+    overwritten, never advancing) — branchless static shapes.
+    """
+    cfg = ecfg.cfg
+    b = tokens.shape[0]
+    x = params.embed_tokens[tokens[:, None]].astype(jnp.float32)  # (B, 1, D)
+
+    pos_cos, pos_sin = jax.vmap(
+        lambda p: rope_cos_sin(p[None], cfg.head_dim, cfg.rope_theta, jnp.float32)
+    )(cache.lengths)  # each (B, 1, Dh)
+
+    def scan_body(xc, layer_and_cache):
+        layer, k_c, v_c = layer_and_cache
+        xc, k_c, v_c = _decode_block_batched(
+            ecfg, layer, xc, k_c, v_c, cache.lengths, pos_cos, pos_sin
+        )
+        return xc, (k_c, v_c)
+
+    x, (new_k, new_v) = jax.lax.scan(scan_body, x, (params.layers, cache.k, cache.v))
+
+    x = rms_norm(x, params.norm_weight.astype(x.dtype), cfg.rms_norm_eps)
+    logits = jnp.einsum("bd,vd->bv", x[:, 0], params.lm_head.astype(x.dtype))
+    adv = jnp.ones_like(cache.lengths) if active is None else active.astype(jnp.int32)
+    return logits, BatchedKVCache(k=new_k, v=new_v, lengths=cache.lengths + adv)

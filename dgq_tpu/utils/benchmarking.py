@@ -1,11 +1,13 @@
 """Honest device timing over async/tunneled backends.
 
 ``block_until_ready`` through the axon TPU tunnel does not await device
-completion, so naive timing measures dispatch, not compute.  The harness
-here chains N invocations with a real data dependency (each step's input is
-derived from the previous step's output), fetches a scalar with
-jax.device_get (the only truly synchronizing op), and differences two chain
-lengths to cancel fixed dispatch/flush costs.
+completion and jax.profiler hangs, so the only physical method is:
+
+  * chain N invocations by feeding each output back into the next input
+    (a true device-side data dependency),
+  * synchronize with jax.device_get of a small slice,
+  * difference two chain lengths to cancel fixed dispatch/flush cost,
+  * take the min over repeats to filter tunnel queue noise.
 
 All operands are jit *arguments* (device-resident) — closure constants are
 re-materialized per call on tunneled backends and poison measurements.
@@ -20,48 +22,62 @@ import jax
 import jax.numpy as jnp
 
 
-def _default_chain(out: jax.Array, x: jax.Array) -> jax.Array:
-    """Derive the next input from the output (forcing sequential device
-    execution) while keeping x's shape/dtype and value distribution: add the
-    output's low bit to one element of x."""
-    bit = (out.reshape(-1)[0].astype(jnp.int32) & 1).astype(x.dtype)
-    return x.at[(0,) * x.ndim].add(bit)
+def _same_shape_feedback(out: jax.Array, x: jax.Array) -> jax.Array:
+    if out.shape == x.shape and out.dtype == x.dtype:
+        return out
+    raise ValueError(
+        "fn output does not match input; pass feedback=(out, x) -> next_x"
+    )
 
 
 def device_time(
     fn: Callable,
-    *args,
-    iters: int = 24,
-    base_iters: int = 8,
-    chain: Optional[Callable] = None,
+    x: jax.Array,
+    *rest,
+    feedback: Optional[Callable] = None,
+    iters: int = 96,
+    base_iters: int = 24,
+    repeats: int = 3,
 ) -> float:
-    """Seconds per invocation of fn(*args). ``chain(out, x)`` maps each
-    output back into the next first-argument (default: perturb one element
-    of x by the output's low bit, a true data dependency)."""
-    chain = chain or _default_chain
-
-    step = jax.jit(lambda x0, *rest: chain(fn(x0, *rest), x0))
+    """Seconds per invocation of fn(x, *rest)."""
+    feedback = feedback or _same_shape_feedback
+    step = jax.jit(lambda a, *r: feedback(fn(a, *r), a))
 
     def run(n):
-        x = args[0]
+        a = x
         for _ in range(n):
-            x = step(x, *args[1:])
-        jax.device_get(x.reshape(-1)[:1])
+            a = step(a, *rest)
+        jax.device_get(a.reshape(-1)[:1])
 
     run(2)  # warm compile + caches
 
-    t0 = time.perf_counter()
-    run(base_iters)
-    t_short = time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        run(base_iters)
+        t_short = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        run(iters)
+        t_long = time.perf_counter() - t0
+        best = min(best, max(t_long - t_short, 1e-9) / (iters - base_iters))
+    return best
 
-    t0 = time.perf_counter()
-    run(iters)
-    t_long = time.perf_counter() - t0
 
-    return max(t_long - t_short, 1e-9) / (iters - base_iters)
+def int8_gemm_feedback(m: int, k: int):
+    """Feedback for GEMM-shaped fns: fold the f32/int32 (M, N) output back
+    into an int8 (M, K) input (adds one cheap VPU pass to every iteration —
+    apply the same feedback to the baseline being compared against)."""
+
+    def fb(out, x):
+        del x
+        src = out[:, :k] if out.shape[1] >= k else jnp.pad(out, ((0, 0), (0, k - out.shape[1])))
+        return (src.astype(jnp.int32) & 0x7F).astype(jnp.int8)
+
+    return fb
 
 
 def gemm_tops(fn: Callable, args, m: int, n: int, k: int, **kw) -> Tuple[float, float]:
     """(seconds, TOPS) for a GEMM-shaped fn(*args)."""
+    kw.setdefault("feedback", int8_gemm_feedback(m, k))
     dt = device_time(fn, *args, **kw)
     return dt, 2.0 * m * n * k / dt / 1e12

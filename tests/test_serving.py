@@ -1,0 +1,107 @@
+"""Continuous batching: per-slot cache correctness + scheduler behavior."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dgq_tpu.config import ActQuantConfig, QuantConfig, WtQuantConfig
+from dgq_tpu.models.engine import EngineConfig, engine_forward, from_ptq, init_kv_cache
+from dgq_tpu.models.llama import init_llama_params, tiny_llama_config
+from dgq_tpu.quant.calibrate import ptq_llama
+from dgq_tpu.serving.batch_engine import (
+    engine_decode_batched,
+    engine_prefill_slot,
+    init_batched_cache,
+)
+from dgq_tpu.serving.scheduler import ContinuousBatcher, Request
+from dgq_tpu.utils.datautils import synthetic_stream
+
+
+@pytest.fixture(scope="module")
+def serving_setup():
+    cfg = tiny_llama_config(hidden_size=256, intermediate_size=512, num_hidden_layers=2,
+                            num_attention_heads=4, num_key_value_heads=4)
+    params = init_llama_params(cfg, jax.random.PRNGKey(0))
+    calib = jnp.asarray(synthetic_stream(cfg.vocab_size, 2 * 32).reshape(2, 32))
+    qcfg = QuantConfig(act_quant=ActQuantConfig(), wt_quant=WtQuantConfig(groupsize=128))
+    res = ptq_llama(params, cfg, calib, qcfg, verbose=False)
+    eng = from_ptq(res.params, res.kv_scales, cfg)
+    ecfg = EngineConfig(cfg=cfg, use_kernel=False)
+    return cfg, eng, ecfg
+
+
+def test_slot_prefill_then_decode_matches_plain_engine(serving_setup):
+    """Prefill into slot 1 of a 3-slot cache + batched decode must reproduce
+    the plain single-sequence engine."""
+    cfg, eng, ecfg = serving_setup
+    prompt = synthetic_stream(cfg.vocab_size, 8, seed=3).astype(np.int32)
+
+    # plain engine path
+    cache0 = init_kv_cache(cfg, 1, 32)
+    logits_plain, cache0 = engine_forward(ecfg, eng, jnp.asarray(prompt[None]), cache0)
+    tok_plain = int(jnp.argmax(logits_plain[0, -1]))
+    lg2, cache0 = engine_forward(
+        ecfg, eng, jnp.asarray([[tok_plain]], jnp.int32), cache0
+    )
+    tok2_plain = int(jnp.argmax(lg2[0, -1]))
+
+    # slot path (slot 1 of 3, prompt padded to 16)
+    cache = init_batched_cache(cfg, 3, 32)
+    logits, cache = engine_prefill_slot(
+        ecfg, eng, jnp.asarray(1, jnp.int32),
+        jnp.asarray(np.pad(prompt, (0, 8))), jnp.asarray(8, jnp.int32), cache,
+    )
+    tok = int(jnp.argmax(logits))
+    assert tok == tok_plain
+    assert int(cache.lengths[1]) == 8 and int(cache.lengths[0]) == 0
+
+    toks = jnp.asarray([0, tok, 0], jnp.int32)
+    logits_b, cache = engine_decode_batched(
+        ecfg, eng, toks, cache, jnp.asarray([False, True, False])
+    )
+    tok2 = int(jnp.argmax(logits_b[1]))
+    assert tok2 == tok2_plain
+    assert int(cache.lengths[1]) == 9
+    assert int(cache.lengths[0]) == 0  # inactive slots do not advance
+
+
+def test_continuous_batcher_serves_multiple_requests(serving_setup):
+    cfg, eng, ecfg = serving_setup
+    batcher = ContinuousBatcher(ecfg, eng, num_slots=2, max_len=32, prefill_pad=8)
+    rng = np.random.default_rng(0)
+    reqs = [
+        Request(uid=i, prompt_ids=rng.integers(0, cfg.vocab_size, size=ln).astype(np.int32),
+                max_new_tokens=4)
+        for i, ln in enumerate([5, 7, 3])  # 3 requests, 2 slots
+    ]
+    for r in reqs:
+        batcher.add_request(r)
+    finished = batcher.run()
+    assert len(finished) == 3
+    for r in finished:
+        assert r.done and len(r.output_ids) == 4
+        assert all(0 <= t < cfg.vocab_size for t in r.output_ids)
+
+
+def test_batcher_outputs_match_sequential_engine(serving_setup):
+    """The interleaved continuous-batching schedule must produce the same
+    greedy tokens as running each request alone."""
+    cfg, eng, ecfg = serving_setup
+    rng = np.random.default_rng(1)
+    prompts = [rng.integers(0, cfg.vocab_size, size=6).astype(np.int32) for _ in range(3)]
+
+    # sequential reference
+    from dgq_tpu.models.engine import generate
+
+    seq_outputs = []
+    for p in prompts:
+        toks = generate(ecfg, eng, jnp.asarray(p[None]), max_new_tokens=3, max_len=32)
+        seq_outputs.append(list(np.asarray(toks[0])))
+
+    batcher = ContinuousBatcher(ecfg, eng, num_slots=2, max_len=32, prefill_pad=8)
+    for i, p in enumerate(prompts):
+        batcher.add_request(Request(uid=i, prompt_ids=p, max_new_tokens=3))
+    finished = sorted(batcher.run(), key=lambda r: r.uid)
+    for r, want in zip(finished, seq_outputs):
+        assert r.output_ids == want, (r.uid, r.output_ids, want)
