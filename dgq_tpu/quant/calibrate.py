@@ -27,6 +27,7 @@ dgq_tpu/quant/arch.py adapters.
 
 from __future__ import annotations
 
+import time
 from functools import partial
 from typing import Any, Dict, List, NamedTuple, Optional
 
@@ -175,6 +176,7 @@ def ptq(
     *,
     arch: str = "llama",
     verbose: bool = True,
+    report=None,  # Optional[dgq_tpu.utils.metrics.QuantReport]
 ) -> PTQResult:
     """Quantize a params pytree layer-sequentially (any supported arch)."""
     adapter = get_adapter(arch, cfg)
@@ -241,7 +243,26 @@ def ptq(
             lin = _get(layer, path)
             inp1 = last_inputs[fam].reshape(-1, last_inputs[fam].shape[-1])
             amax = jnp.max(absmaxes[name]) if qcfg.actq else None
+            t0 = time.time()
             packed = _quantize_linear(lin, inp1, hessians.get(fam), qcfg, amax)
+            if report is not None:
+                from dgq_tpu.quant.packing import dequantize_linear
+                from dgq_tpu.utils.metrics import LinearQuantRecord, weight_quant_metrics
+
+                w_q = dequantize_linear(packed).T  # (N, K)
+                wsnr, osnr = weight_quant_metrics(
+                    lin["weight"].astype(jnp.float32), w_q, inp1
+                )
+                report.add(
+                    LinearQuantRecord(
+                        layer=li, name=name,
+                        weight_error=float(jnp.mean((w_q - lin["weight"]) ** 2)),
+                        weight_snr=wsnr, output_snr=osnr,
+                        amax=None if amax is None else float(amax),
+                        time_s=time.time() - t0,
+                    ),
+                    verbose=verbose,
+                )
             _set(layer, path, packed)
 
         # ---- pass 3: quantized re-forward feeds the next block ----

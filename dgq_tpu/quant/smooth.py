@@ -124,6 +124,46 @@ def mean_ln_fcs(
     return new_ln_b, new_fc_biases
 
 
+def smooth_att_qk(
+    q_weight: jax.Array,
+    k_weight: jax.Array,
+    q_out_scales: jax.Array,
+    k_out_scales: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """Balance q/k output ranges per channel: q rows divided by
+    s = sqrt(q_scale/k_scale), k rows multiplied by s, preserving q.k^T.
+
+    reference: smooth.py:95-98 defines this but divides *both* projections
+    (not function-preserving; its call sites are commented out).  We keep the
+    mathematically sound variant (documented deviation)."""
+    s = jnp.sqrt(q_out_scales.astype(jnp.float32) / k_out_scales.astype(jnp.float32))
+    return (
+        q_weight / s.astype(q_weight.dtype)[:, None],
+        k_weight * s.astype(k_weight.dtype)[:, None],
+    )
+
+
+def smooth_ov(
+    v_weight: jax.Array,
+    v_bias: Optional[jax.Array],
+    o_weight: jax.Array,
+    act_scales: jax.Array,
+) -> Tuple[jax.Array, Optional[jax.Array], jax.Array]:
+    """Migrate o_proj input outliers into v_proj rows (the top-50% baseline
+    variant).  reference: smooth.py:201-227 (call sites commented out)."""
+    num = o_weight.shape[1]
+    basl = int(num * 0.5 + 1.5)  # hyperparameter (reference: smooth.py:208)
+    maxsv = jnp.sort(act_scales.astype(jnp.float32))
+    baseline = maxsv[-basl]
+    scales = act_scales / baseline
+    scales = jnp.where(act_scales <= baseline, 1.0, scales)
+    scales = jnp.where(baseline < 1e-4, jnp.ones_like(scales), scales)
+    new_o = o_weight * scales.astype(o_weight.dtype)[None, :]
+    new_v = v_weight / scales.astype(v_weight.dtype)[:, None]
+    new_vb = None if v_bias is None else v_bias / scales.astype(v_bias.dtype)
+    return new_v, new_vb, new_o
+
+
 # ---------------------------------------------------------------------------
 # architecture wiring (LLaMA): operates on the layer param dict in place of
 # the reference's smooth_module isinstance dispatch (smooth.py:230-316).

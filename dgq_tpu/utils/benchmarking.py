@@ -51,7 +51,7 @@ def device_time(
 
     run(2)  # warm compile + caches
 
-    best = float("inf")
+    samples = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         run(base_iters)
@@ -59,8 +59,10 @@ def device_time(
         t0 = time.perf_counter()
         run(iters)
         t_long = time.perf_counter() - t0
-        best = min(best, max(t_long - t_short, 1e-9) / (iters - base_iters))
-    return best
+        samples.append(max(t_long - t_short, 1e-9) / (iters - base_iters))
+    # median: tunnel queue noise hits both directions, min/max are biased
+    samples.sort()
+    return samples[len(samples) // 2]
 
 
 def int8_gemm_feedback(m: int, k: int):
