@@ -175,9 +175,12 @@ def _linear_s8(lin: EngineLinear, x_s8: jax.Array, *, use_kernel: bool, groupsiz
         from dgq_tpu.ops.quant_matmul import w4a8_matmul_packed
 
         y = w4a8_matmul_packed(
-            x2, lin.qweight, lin.wscales, lin.wzeros, lin.alpha,
+            x2, lin.qweight, lin.wscales, lin.wzeros, lin.alpha, lin.bias,
             groupsize=groupsize, span=2 * groupsize, bm=bm, interpret=interpret,
         )
+        if lin.bias is not None:
+            y = y.reshape(*x_s8.shape[:-1], -1)
+            return y  # bias fused in the kernel epilogue
     else:
         # XLA path: dequant to int8 then dot (golden / CPU tests)
         from dgq_tpu.quant.packing import unpack_nibbles

@@ -67,7 +67,7 @@ def _decode_kernel(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "apply_sqrt_dh"))
 def int8_decode_attention(
     q_s8: jax.Array,  # (B, H, Dh) int8 — current token's quantized queries
     kt_cache: jax.Array,  # (B, Hkv, Dh, Smax) int8
@@ -77,6 +77,7 @@ def int8_decode_attention(
     k_scale: jax.Array,
     v_scale: jax.Array,
     *,
+    apply_sqrt_dh: bool = True,  # OPT absorbs 1/sqrt(dh) into q (opt_a8w4.py:60-61)
     interpret: bool = False,
 ) -> jax.Array:
     """Single-token attention over the INT8 cache -> (B, H, Dh) f32."""
@@ -86,7 +87,9 @@ def int8_decode_attention(
     qg = q_s8.reshape(b, hk, rep, dh)
     lengths = jnp.broadcast_to(jnp.asarray(length, jnp.int32), (b,))
 
-    qk_scale = (q_scale * k_scale / math.sqrt(dh)).astype(jnp.float32)
+    qk_scale = (q_scale * k_scale).astype(jnp.float32)
+    if apply_sqrt_dh:
+        qk_scale = qk_scale / math.sqrt(dh)
     scales = jnp.stack([qk_scale, v_scale.astype(jnp.float32), jnp.float32(0)])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -113,7 +116,7 @@ def int8_decode_attention(
 
 
 def int8_decode_attention_xla(
-    q_s8, kt_cache, v_cache, length, q_scale, k_scale, v_scale
+    q_s8, kt_cache, v_cache, length, q_scale, k_scale, v_scale, apply_sqrt_dh=True
 ) -> jax.Array:
     """XLA golden model for the decode kernel."""
     b, h, dh = q_s8.shape
@@ -121,8 +124,11 @@ def int8_decode_attention_xla(
     rep = h // hk
     qg = q_s8.reshape(b, hk, rep, dh)
     lengths = jnp.broadcast_to(jnp.asarray(length, jnp.int32), (b,))
+    qk = q_scale * k_scale
+    if apply_sqrt_dh:
+        qk = qk / math.sqrt(dh)
     s32 = jnp.einsum("bgrd,bgds->bgrs", qg, kt_cache, preferred_element_type=jnp.int32)
-    s = s32.astype(jnp.float32) * (q_scale * k_scale / math.sqrt(dh))
+    s = s32.astype(jnp.float32) * qk
     pos = jnp.arange(smax)[None, None, None, :]
     s = jnp.where(pos < lengths[:, None, None, None], s, jnp.finfo(jnp.float32).min)
     p = jax.nn.softmax(s, axis=-1)

@@ -49,6 +49,7 @@ def _kernel(
     scales_ref,  # (16, bn) int8: rows 0-7 = group 2k (replicated), 8-15 = group 2k+1
     zeros_ref,  # (16, bn) int8
     alpha_ref,  # (1, bn) f32 per-channel epilogue scale
+    beta_ref,  # (1, bn) f32 per-channel epilogue bias (pre-rounding for int8 out)
     out_ref,  # (bm, bn) out_dtype
     acc_ref,  # (bm, bn) int32 scratch
     *,
@@ -83,6 +84,7 @@ def _kernel(
     @pl.when(k == nk - 1)
     def _():
         y = acc_ref[:].astype(jnp.float32) * alpha_ref[:].astype(jnp.float32)
+        y = y + beta_ref[:].astype(jnp.float32)
         if out_dtype == jnp.int8:
             out_ref[:] = jnp.clip(jnp.round(y), -128, 127).astype(jnp.int8)
         else:
@@ -99,6 +101,7 @@ def w4a8_matmul_packed(
     wscales: jax.Array,  # (G, N) int8
     wzeros: jax.Array,  # (G, N) int8
     alpha: jax.Array,  # (N,) f32
+    beta: Optional[jax.Array] = None,  # (N,) f32 epilogue bias (fused pre-round)
     *,
     groupsize: int = 128,
     span: int = 256,
@@ -131,6 +134,8 @@ def w4a8_matmul_packed(
     # rows [16k, 16k+8) = group 2k, rows [16k+8, 16k+16) = group 2k+1
     scales_x = jnp.repeat(wscales, 8, axis=0)
     zeros_x = jnp.repeat(wzeros, 8, axis=0)
+    if beta is None:
+        beta = jnp.zeros((n,), jnp.float32)
 
     grid = (m_pad // bm, n // bn, nk)
     out = pl.pallas_call(
@@ -141,6 +146,7 @@ def w4a8_matmul_packed(
             pl.BlockSpec((bk // 2, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((16, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((16, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bn), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM),
@@ -155,7 +161,7 @@ def w4a8_matmul_packed(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x_s8, qweight, scales_x, zeros_x, alpha.reshape(1, n))
+    )(x_s8, qweight, scales_x, zeros_x, alpha.reshape(1, n), beta.reshape(1, n))
     if m_pad != m:
         out = out[:m]
     return out
@@ -191,6 +197,8 @@ def w4a8_matmul(
         lin.wscales,
         lin.wzeros,
         alpha,
+        # fused epilogue bias; int8-out callers scale their own beta
+        lin.bias if out_dtype != jnp.int8 else None,
         groupsize=lin.groupsize,
         span=lin.span,
         bm=bm,
@@ -198,8 +206,6 @@ def w4a8_matmul(
         out_dtype=jnp.float32 if out_dtype != jnp.int8 else jnp.int8,
         interpret=interpret,
     )
-    if lin.bias is not None and out_dtype != jnp.int8:
-        y = y + lin.bias.astype(y.dtype)
     y = y.astype(out_dtype) if out_dtype != jnp.int8 else y
     return y.reshape(*x.shape[:-1], lin.out_features)
 
