@@ -291,6 +291,21 @@ def _block(ecfg: EngineConfig, layer: EngineLayer, x: jax.Array,
             interpret=ecfg.interpret,
         )  # (B, H, Dh) f32
         ctx = ctx.reshape(b, 1, h * dh)
+    elif ecfg.use_kernel and s % 128 == 0 and k_cache.shape[-1] % 128 == 0:
+        # flash prefill: blockwise online softmax, scores never hit HBM
+        from dgq_tpu.ops.attention import int8_prefill_attention
+
+        smax = k_cache.shape[-1]
+        ctx = int8_prefill_attention(
+            q_s8, k_cache, v_cache,
+            cache_len + s,  # total valid length
+            layer.q_scale, layer.k_scale, layer.v_scale,
+            cache_len,  # absolute position of the first query row
+            bq=256 if s % 256 == 0 else 128,
+            bkv=256 if smax % 256 == 0 else 128,
+            interpret=ecfg.interpret,
+        )  # (B, H, S, Dh) f32
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, h * dh)
     else:
         # GQA: fold query-head groups onto kv heads
         qg = q_s8.reshape(b, hk, rep * s, dh)  # (B, Hkv, rep*S, Dh)

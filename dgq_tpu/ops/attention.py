@@ -115,6 +115,143 @@ def int8_decode_attention(
     return out.reshape(b, h, dh)
 
 
+def _prefill_kernel(
+    plen_ref,  # SMEM (2,) int32: [total valid length, query position offset]
+    scale_ref,  # SMEM (3,) f32
+    q_ref,  # (1, 1, bq, Dh) int8
+    kt_ref,  # (1, 1, Dh, Smax) int8
+    v_ref,  # (1, 1, Smax, Dh) int8
+    out_ref,  # (1, 1, bq, Dh) f32
+    *,
+    bkv: int,
+):
+    bq, dh = q_ref.shape[2], q_ref.shape[3]
+    smax = kt_ref.shape[3]
+    iq = pl.program_id(2)
+    plen = plen_ref[0]
+    q0 = plen_ref[1] + iq * bq  # absolute position of this query block
+    qk_scale = scale_ref[0]
+    v_scale = scale_ref[1]
+
+    q = q_ref[0, 0]  # (bq, Dh) int8
+    nkv = smax // bkv
+    # only blocks that intersect the causal window [0, q0+bq) matter
+    nkv_live = jax.lax.min((q0 + bq + bkv - 1) // bkv, jnp.int32(nkv))
+
+    neg = jnp.finfo(jnp.float32).min
+
+    def body(jk, carry):
+        m, l, acc = carry
+        k0 = jk * bkv
+        kt = kt_ref[0, 0, :, pl.ds(k0, bkv)]  # (Dh, bkv) int8
+        s32 = jax.lax.dot_general(
+            q, kt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        s = s32.astype(jnp.float32) * qk_scale
+        qpos = q0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 0)
+        kpos = k0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 1)
+        s = jnp.where((kpos <= qpos) & (kpos < plen), s, neg)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        vf = v_ref[0, 0, pl.ds(k0, bkv), :].astype(jnp.float32) * v_scale
+        acc_new = acc * alpha + jax.lax.dot_general(
+            p, vf, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((bq, 1), neg, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    a0 = jnp.zeros((bq, dh), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, nkv_live, body, (m0, l0, a0))
+    out_ref[0, 0] = acc / jnp.maximum(l, 1e-20)
+
+
+@functools.partial(jax.jit, static_argnames=("bq", "bkv", "apply_sqrt_dh", "interpret"))
+def int8_prefill_attention(
+    q_s8: jax.Array,  # (B, H, S, Dh) int8 post-RoPE quantized queries
+    kt_cache: jax.Array,  # (B, Hkv, Dh, Smax) int8 (written for [0, offset+S))
+    v_cache: jax.Array,  # (B, Hkv, Smax, Dh) int8
+    prompt_len: jax.Array,  # () int32 total valid length (offset + true S)
+    q_scale: jax.Array,
+    k_scale: jax.Array,
+    v_scale: jax.Array,
+    q_offset: jax.Array = None,  # () int32 absolute position of q row 0
+    *,
+    bq: int = 256,
+    bkv: int = 256,
+    apply_sqrt_dh: bool = True,
+    interpret: bool = False,
+) -> jax.Array:
+    """Causal flash attention over the INT8 cache -> (B, H, S, Dh) f32.
+
+    Blockwise online softmax in VMEM: scores never materialize at (S, S) in
+    HBM (SURVEY §5 long-context row: "blockwise Pallas flash-attention with
+    INT8 KV, quant/dequant fused in-kernel").  GQA handled by an index-map
+    fold (kv head = query head // rep).
+    """
+    b, h, s, dh = q_s8.shape
+    _, hk, _, smax = kt_cache.shape
+    rep = h // hk
+    assert s % bq == 0 and smax % bkv == 0, (s, bq, smax, bkv)
+
+    qk = (q_scale * k_scale).astype(jnp.float32)
+    if apply_sqrt_dh:
+        qk = qk / math.sqrt(dh)
+    scales = jnp.stack([qk, v_scale.astype(jnp.float32), jnp.float32(0)])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, h, s // bq),
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, dh), lambda i, j, iq, *_: (i, j, iq, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, dh, smax), lambda i, j, iq, *_: (i, j // rep, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, smax, dh), lambda i, j, iq, *_: (i, j // rep, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bq, dh), lambda i, j, iq, *_: (i, j, iq, 0), memory_space=pltpu.VMEM),
+    )
+
+    def kernel(plen_ref, scale_ref, q_ref, kt_ref, v_ref, out_ref):
+        _prefill_kernel(plen_ref, scale_ref, q_ref, kt_ref, v_ref, out_ref, bkv=bkv)
+
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, s, dh), jnp.float32),
+        interpret=interpret,
+    )(
+        jnp.stack([
+            jnp.asarray(prompt_len, jnp.int32),
+            jnp.zeros((), jnp.int32) if q_offset is None else jnp.asarray(q_offset, jnp.int32),
+        ]),
+        scales, q_s8, kt_cache, v_cache,
+    )
+
+
+def int8_prefill_attention_xla(
+    q_s8, kt_cache, v_cache, prompt_len, q_scale, k_scale, v_scale, apply_sqrt_dh=True
+) -> jax.Array:
+    """XLA golden model for the prefill kernel (materializes S x Smax)."""
+    b, h, s, dh = q_s8.shape
+    _, hk, _, smax = kt_cache.shape
+    rep = h // hk
+    qk = q_scale * k_scale
+    if apply_sqrt_dh:
+        qk = qk / math.sqrt(dh)
+    qg = q_s8.reshape(b, hk, rep * s, dh)
+    s32 = jnp.einsum("bgrd,bgds->bgrs", qg, kt_cache, preferred_element_type=jnp.int32)
+    scores = s32.astype(jnp.float32).reshape(b, hk, rep, s, smax) * qk
+    qpos = jnp.arange(s)[None, None, None, :, None]
+    kpos = jnp.arange(smax)[None, None, None, None, :]
+    scores = jnp.where((kpos <= qpos) & (kpos < prompt_len), scores, jnp.finfo(jnp.float32).min)
+    p = jax.nn.softmax(scores, axis=-1)
+    vf = v_cache.astype(jnp.float32) * v_scale
+    out = jnp.einsum("bgrqs,bgsd->bgrqd", p, vf)
+    return out.reshape(b, h, s, dh)
+
+
 def int8_decode_attention_xla(
     q_s8, kt_cache, v_cache, length, q_scale, k_scale, v_scale, apply_sqrt_dh=True
 ) -> jax.Array:

@@ -1,0 +1,122 @@
+"""LLaMA-7B-shaped single-chip decode throughput (BASELINE config 2).
+
+Random dual-grained packed weights at real 7B shapes; greedy decode is
+naturally dependency-chained (token t+1 depends on logits t), so wall-clock
+over many steps with a device_get sync is honest even through the axon
+tunnel.
+"""
+
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dgq_tpu.models.engine import (
+    EngineConfig,
+    EngineLayer,
+    EngineLinear,
+    EngineParams,
+    engine_forward,
+    init_kv_cache,
+)
+from dgq_tpu.models.llama import LlamaConfig
+
+
+def random_engine_linear(key, n_out, n_in, g=128):
+    k1, k2, k3 = jax.random.split(key, 3)
+    return EngineLinear(
+        qweight=jax.random.randint(k1, (n_in // 2, n_out), -128, 128, jnp.int8),
+        wscales=jax.random.randint(k2, (n_in // g, n_out), 1, 4, jnp.int8),
+        wzeros=jax.random.randint(k3, (n_in // g, n_out), 4, 12, jnp.int8),
+        alpha=jnp.full((n_out,), 1e-4, jnp.float32),
+        bias=None,
+    )
+
+
+def build_7b_engine(cfg: LlamaConfig, seed=0) -> EngineParams:
+    d, f = cfg.hidden_size, cfg.intermediate_size
+    nq = cfg.num_attention_heads * cfg.head_dim
+    nkv = cfg.num_key_value_heads * cfg.head_dim
+    keys = jax.random.split(jax.random.PRNGKey(seed), cfg.num_hidden_layers * 7 + 2)
+    per_layer = []
+    ki = 0
+    for _ in range(cfg.num_hidden_layers):
+        per_layer.append(
+            EngineLayer(
+                ln1_weight=jnp.ones((d,), jnp.float32) * 10.0,
+                ln2_weight=jnp.ones((d,), jnp.float32) * 10.0,
+                q_proj=random_engine_linear(keys[ki + 0], nq, d),
+                k_proj=random_engine_linear(keys[ki + 1], nkv, d),
+                v_proj=random_engine_linear(keys[ki + 2], nkv, d),
+                o_proj=random_engine_linear(keys[ki + 3], d, nq),
+                gate_proj=random_engine_linear(keys[ki + 4], f, d),
+                up_proj=random_engine_linear(keys[ki + 5], f, d),
+                down_proj=random_engine_linear(keys[ki + 6], d, f),
+                q_scale=jnp.float32(0.05),
+                k_scale=jnp.float32(0.05),
+                v_scale=jnp.float32(0.05),
+                out_input_scale=jnp.float32(0.05),
+                down_input_scale=jnp.float32(0.05),
+            )
+        )
+        ki += 7
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per_layer)
+    return EngineParams(
+        embed_tokens=jax.random.normal(keys[-2], (cfg.vocab_size, d), jnp.bfloat16) * 0.02,
+        layers=stacked,
+        norm_weight=jnp.ones((d,), jnp.float32),
+        lm_head=jax.random.normal(keys[-1], (cfg.vocab_size, d), jnp.bfloat16) * 0.02,
+        rms_eps=cfg.rms_norm_eps,
+    )
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--prefill", type=int, default=128)
+    p.add_argument("--steps", type=int, default=64)
+    p.add_argument("--max-len", type=int, default=1024)
+    p.add_argument("--layers", type=int, default=32)
+    p.add_argument("--no-kernel", action="store_true")
+    args = p.parse_args()
+
+    cfg = LlamaConfig(num_hidden_layers=args.layers)
+    on_tpu = jax.default_backend() not in ("cpu",)
+    ecfg = EngineConfig(cfg=cfg, use_kernel=on_tpu and not args.no_kernel, bm_decode=128)
+
+    print(f"building 7B-shaped engine ({args.layers} layers)...", flush=True)
+    eng = build_7b_engine(cfg)
+    cache = init_kv_cache(cfg, args.batch, args.max_len)
+    ids = jnp.zeros((args.batch, args.prefill), jnp.int32)
+
+    t0 = time.perf_counter()
+    logits, cache = engine_forward(ecfg, eng, ids, cache)
+    tok = jnp.argmax(logits[:, -1:, :], axis=-1).astype(jnp.int32)
+    jax.device_get(tok)
+    print(f"prefill({args.prefill}) + compile: {time.perf_counter() - t0:.1f}s", flush=True)
+
+    # warm decode compile
+    logits, cache = engine_forward(ecfg, eng, tok, cache)
+    tok = jnp.argmax(logits[:, -1:, :], axis=-1).astype(jnp.int32)
+    jax.device_get(tok)
+
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        logits, cache = engine_forward(ecfg, eng, tok, cache)
+        tok = jnp.argmax(logits[:, -1:, :], axis=-1).astype(jnp.int32)
+    jax.device_get(tok)
+    dt = (time.perf_counter() - t0) / args.steps
+    print(
+        f"decode: {dt*1e3:.2f} ms/step, {args.batch/dt:.1f} tok/s total "
+        f"({1/dt:.1f} steps/s, batch={args.batch}, kernel={ecfg.use_kernel})",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -46,3 +46,36 @@ def test_decode_attention_mha_no_gqa():
     want = np.asarray(int8_decode_attention_xla(*args))
     got = np.asarray(int8_decode_attention(*args, interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_prefill_attention_matches_xla():
+    import jax
+    from dgq_tpu.ops.attention import int8_prefill_attention, int8_prefill_attention_xla
+
+    rng = np.random.default_rng(7)
+    b, h, hk, dh, s, smax = 1, 4, 2, 128, 256, 512
+    q = jnp.asarray(rng.integers(-127, 128, (b, h, s, dh)), jnp.int8)
+    kt = jnp.asarray(rng.integers(-127, 128, (b, hk, dh, smax)), jnp.int8)
+    v = jnp.asarray(rng.integers(-127, 128, (b, hk, smax, dh)), jnp.int8)
+    args = (q, kt, v, jnp.asarray(s, jnp.int32),
+            jnp.float32(0.02), jnp.float32(0.03), jnp.float32(0.05))
+    want = np.asarray(int8_prefill_attention_xla(*args))
+    got = np.asarray(int8_prefill_attention(*args, bq=128, bkv=128, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_prefill_attention_respects_prompt_len():
+    from dgq_tpu.ops.attention import int8_prefill_attention, int8_prefill_attention_xla
+
+    rng = np.random.default_rng(8)
+    b, h, hk, dh, s, smax = 1, 2, 2, 128, 128, 256
+    q = jnp.asarray(rng.integers(-127, 128, (b, h, s, dh)), jnp.int8)
+    kt = jnp.asarray(rng.integers(-127, 128, (b, hk, dh, smax)), jnp.int8)
+    v = jnp.asarray(rng.integers(-127, 128, (b, hk, smax, dh)), jnp.int8)
+    scales = (jnp.float32(0.02), jnp.float32(0.03), jnp.float32(0.05))
+    # padded prompt: only first 70 tokens are real
+    want = np.asarray(int8_prefill_attention_xla(q, kt, v, jnp.asarray(70, jnp.int32), *scales))
+    got = np.asarray(int8_prefill_attention(q, kt, v, jnp.asarray(70, jnp.int32), *scales,
+                                            bq=128, bkv=128, interpret=True))
+    # rows < 70 are fully determined; compare those
+    np.testing.assert_allclose(got[:, :, :70], want[:, :, :70], rtol=2e-4, atol=2e-4)

@@ -111,3 +111,17 @@ def test_kv_cache_is_int8(engine_setup):
     # first 4 positions of the LAST axis; unwritten region untouched
     assert int(jnp.abs(cache2.k[..., :4]).sum()) > 0
     assert int(jnp.abs(cache2.k[..., 4:]).sum()) == 0
+
+
+def test_engine_flash_prefill_matches_xla_path(engine_setup):
+    """s=128 routes through the flash prefill kernel when use_kernel."""
+    cfg, params, res, eng = engine_setup
+    ids = jnp.asarray(synthetic_stream(cfg.vocab_size, 128, seed=21).reshape(1, 128))
+    cache = init_kv_cache(cfg, 1, 256)
+    lx, cx = engine_forward(EngineConfig(cfg=cfg, use_kernel=False), eng, ids, cache)
+    lk, ck = engine_forward(
+        EngineConfig(cfg=cfg, use_kernel=True, interpret=True, bm_prefill=128, bm_decode=128),
+        eng, ids, cache,
+    )
+    np.testing.assert_allclose(np.asarray(lx), np.asarray(lk), rtol=3e-4, atol=3e-4)
+    np.testing.assert_array_equal(np.asarray(cx.k), np.asarray(ck.k))
