@@ -49,14 +49,18 @@ class EngineLinear(NamedTuple):
 
 
 class EngineLayer(NamedTuple):
+    """One stacked engine layer.
+
+    q/k/v and gate/up are fused along the output dim into single GEMMs —
+    they share the same INT8 input and input scale, so concatenating the
+    packed weights/scales/alphas is exact and cuts kernel launches from 7 to
+    4 per block (q|k|v split at [Nq, Nq+Nkv, Nq+2*Nkv]; gate|up at [F])."""
+
     ln1_weight: jax.Array  # (D,) f32, pre-divided by attn_input_scale
     ln2_weight: jax.Array  # (D,) f32, pre-divided by mlp_input_scale
-    q_proj: EngineLinear
-    k_proj: EngineLinear
-    v_proj: EngineLinear
+    qkv_proj: EngineLinear  # N = Nq + 2*Nkv
     o_proj: EngineLinear
-    gate_proj: EngineLinear
-    up_proj: EngineLinear
+    gate_up_proj: EngineLinear  # N = 2*F
     down_proj: EngineLinear
     q_scale: jax.Array  # () f32 static post-RoPE scales
     k_scale: jax.Array
@@ -111,6 +115,27 @@ def _engine_linear(pl: PackedLinear, input_scale: jax.Array) -> EngineLinear:
     )
 
 
+def _fuse_linears(lins: list) -> EngineLinear:
+    """Concatenate same-input EngineLinears along the output (N) axis —
+    exact, because the packed layout keeps N on the last axis of every
+    buffer and alpha/bias are per-output-channel."""
+    biases = [l.bias for l in lins]
+    if any(b is not None for b in biases):
+        bias = jnp.concatenate(
+            [b if b is not None else jnp.zeros((l.alpha.shape[0],), jnp.float32)
+             for l, b in zip(lins, biases)]
+        )
+    else:
+        bias = None
+    return EngineLinear(
+        qweight=jnp.concatenate([l.qweight for l in lins], axis=1),
+        wscales=jnp.concatenate([l.wscales for l in lins], axis=1),
+        wzeros=jnp.concatenate([l.wzeros for l in lins], axis=1),
+        alpha=jnp.concatenate([l.alpha for l in lins]),
+        bias=bias,
+    )
+
+
 def from_ptq(params, kv_scales, cfg: LlamaConfig) -> EngineParams:
     """Convert a PTQ result (params with PackedLinear leaves + kv scales)
     into stacked engine params (reference: loadutils.py:57-70 +
@@ -130,12 +155,20 @@ def from_ptq(params, kv_scales, cfg: LlamaConfig) -> EngineParams:
                 / attn_input_scale,
                 ln2_weight=layer["post_attention_layernorm"]["weight"].astype(jnp.float32)
                 / mlp_input_scale,
-                q_proj=_engine_linear(at["q_proj"], attn_input_scale),
-                k_proj=_engine_linear(at["k_proj"], attn_input_scale),
-                v_proj=_engine_linear(at["v_proj"], attn_input_scale),
+                qkv_proj=_fuse_linears(
+                    [
+                        _engine_linear(at["q_proj"], attn_input_scale),
+                        _engine_linear(at["k_proj"], attn_input_scale),
+                        _engine_linear(at["v_proj"], attn_input_scale),
+                    ]
+                ),
                 o_proj=_engine_linear(at["o_proj"], out_input_scale),
-                gate_proj=_engine_linear(ml["gate_proj"], mlp_input_scale),
-                up_proj=_engine_linear(ml["up_proj"], mlp_input_scale),
+                gate_up_proj=_fuse_linears(
+                    [
+                        _engine_linear(ml["gate_proj"], mlp_input_scale),
+                        _engine_linear(ml["up_proj"], mlp_input_scale),
+                    ]
+                ),
                 down_proj=_engine_linear(ml["down_proj"], down_input_scale),
                 q_scale=kv.q_scale.astype(jnp.float32),
                 k_scale=kv.k_scale.astype(jnp.float32),
@@ -246,14 +279,15 @@ def _block(ecfg: EngineConfig, layer: EngineLayer, x: jax.Array,
 
     # ---- attention ----
     x_s8 = _rms_norm_q(x, layer.ln1_weight, cfg.rms_norm_eps)
-    q = _linear_s8(layer.q_proj, x_s8, use_kernel=ecfg.use_kernel, bm=bm, interpret=ecfg.interpret)
-    k = _linear_s8(layer.k_proj, x_s8, use_kernel=ecfg.use_kernel, bm=bm, interpret=ecfg.interpret)
-    v = _linear_s8(layer.v_proj, x_s8, use_kernel=ecfg.use_kernel, bm=bm, interpret=ecfg.interpret)
+    qkv = _linear_s8(layer.qkv_proj, x_s8, use_kernel=ecfg.use_kernel, bm=bm, interpret=ecfg.interpret)
 
     # head counts inferred from (possibly tensor-sharded) projection widths,
-    # so the same block body runs unsharded and under shard_map TP
-    h = q.shape[-1] // dh
-    hk = k.shape[-1] // dh
+    # so the same block body runs unsharded and under shard_map TP:
+    # N_total = (rep + 2) * hk_local * dh with rep = H // Hkv (static)
+    rep_g = cfg.num_attention_heads // cfg.num_key_value_heads
+    hk = qkv.shape[-1] // dh // (rep_g + 2)
+    h = rep_g * hk
+    q, k, v = jnp.split(qkv, [h * dh, (h + hk) * dh], axis=-1)
 
     q = q.reshape(b, s, h, dh).transpose(0, 2, 1, 3)
     k = k.reshape(b, s, hk, dh).transpose(0, 2, 1, 3)
@@ -327,8 +361,8 @@ def _block(ecfg: EngineConfig, layer: EngineLayer, x: jax.Array,
 
     # ---- mlp ----
     x_s8 = _rms_norm_q(x, layer.ln2_weight, cfg.rms_norm_eps)
-    gate = _linear_s8(layer.gate_proj, x_s8, use_kernel=ecfg.use_kernel, bm=bm, interpret=ecfg.interpret)
-    up = _linear_s8(layer.up_proj, x_s8, use_kernel=ecfg.use_kernel, bm=bm, interpret=ecfg.interpret)
+    gate_up = _linear_s8(layer.gate_up_proj, x_s8, use_kernel=ecfg.use_kernel, bm=bm, interpret=ecfg.interpret)
+    gate, up = jnp.split(gate_up, 2, axis=-1)
     hidden = jax.nn.silu(gate) * up
     h_s8 = _requant(hidden, layer.down_input_scale)
     mlp_out = _linear_s8(layer.down_proj, h_s8, use_kernel=ecfg.use_kernel, bm=bm, interpret=ecfg.interpret)

@@ -40,7 +40,7 @@ from dgq_tpu.models.engine import (
 # leading axis of every stacked layer leaf is L (layers) -> always None
 
 
-_COL_LINEARS = ("q_proj", "k_proj", "v_proj", "gate_proj", "up_proj")
+_COL_LINEARS = ("qkv_proj", "gate_up_proj")
 _ROW_LINEARS = ("o_proj", "down_proj")
 
 
@@ -93,8 +93,60 @@ def _spec_tree(params_like, spec_like):
     )
 
 
+def _rank_block_perm(sizes, tp: int):
+    """Permutation taking a fused output axis [c0 | c1 | ...] to rank-major
+    order [c0_r0 c1_r0 ... | c0_r1 c1_r1 ...], so a plain contiguous N-shard
+    hands every rank its own slice of each fused component."""
+    import numpy as np
+
+    offs = np.concatenate([[0], np.cumsum(sizes)])
+    idx = []
+    for r in range(tp):
+        for c, sz in enumerate(sizes):
+            csz = sz // tp
+            start = offs[c] + r * csz
+            idx.extend(range(start, start + csz))
+    return np.asarray(idx)
+
+
+def _permute_fused(lin: EngineLinear, sizes, tp: int) -> EngineLinear:
+    if tp <= 1:
+        return lin
+    perm = _rank_block_perm(sizes, tp)
+    return EngineLinear(
+        qweight=lin.qweight[..., perm],
+        wscales=lin.wscales[..., perm],
+        wzeros=lin.wzeros[..., perm],
+        alpha=lin.alpha[..., perm],
+        bias=None if lin.bias is None else lin.bias[..., perm],
+    )
+
+
 def shard_engine_params(params: EngineParams, mesh: Mesh) -> EngineParams:
-    """Place engine params onto the mesh with TP shardings."""
+    """Place engine params onto the mesh with TP shardings.
+
+    Fused qkv / gate_up axes are first permuted to rank-major order so each
+    tp shard holds its own contiguous (q_r | k_r | v_r) / (gate_r | up_r)
+    slices — the per-shard layout matches the unsharded one, so the block
+    body's static splits work unchanged.  Row-parallel o/down keep the
+    natural K order, which lines up with the rank-contiguous head / ffn
+    chunks the column-parallel side produces.
+    """
+    tp = mesh.shape.get("tp", 1)
+    if tp > 1:
+        layers = params.layers
+        nq_kv = layers.qkv_proj.alpha.shape[-1]
+        # component sizes from config-free arithmetic: alpha_N = (rep+2)*hk*dh
+        # is not recoverable alone, so derive from o_proj K (= H*dh = Nq)
+        n_q = layers.o_proj.qweight.shape[1] * 2  # K//2 * 2 = Nq
+        n_kv = (nq_kv - n_q) // 2
+        f2 = layers.gate_up_proj.alpha.shape[-1]
+        layers = layers._replace(
+            qkv_proj=_permute_fused(layers.qkv_proj, [n_q, n_kv, n_kv], tp),
+            gate_up_proj=_permute_fused(layers.gate_up_proj, [f2 // 2, f2 // 2], tp),
+        )
+        params = dataclasses.replace(params, layers=layers)
+
     specs = engine_param_specs(params)
 
     def place(p, s):

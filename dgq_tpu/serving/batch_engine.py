@@ -112,13 +112,11 @@ def _decode_block_batched(ecfg: EngineConfig, layer, x, k_cache, v_cache, length
     dh = cfg.head_dim
 
     x_s8 = _rms_norm_q(x, layer.ln1_weight, cfg.rms_norm_eps)
-    q = _linear_s8(layer.q_proj, x_s8, use_kernel=ecfg.use_kernel, bm=ecfg.bm_decode, interpret=ecfg.interpret)
-    k = _linear_s8(layer.k_proj, x_s8, use_kernel=ecfg.use_kernel, bm=ecfg.bm_decode, interpret=ecfg.interpret)
-    v = _linear_s8(layer.v_proj, x_s8, use_kernel=ecfg.use_kernel, bm=ecfg.bm_decode, interpret=ecfg.interpret)
-
-    h = q.shape[-1] // dh
-    hk = k.shape[-1] // dh
-    rep = h // hk
+    qkv = _linear_s8(layer.qkv_proj, x_s8, use_kernel=ecfg.use_kernel, bm=ecfg.bm_decode, interpret=ecfg.interpret)
+    rep = cfg.num_attention_heads // cfg.num_key_value_heads
+    hk = qkv.shape[-1] // dh // (rep + 2)
+    h = rep * hk
+    q, k, v = jnp.split(qkv, [h * dh, (h + hk) * dh], axis=-1)
 
     q = q.reshape(b, 1, h, dh).transpose(0, 2, 1, 3)  # (B, H, 1, Dh)
     k = k.reshape(b, 1, hk, dh).transpose(0, 2, 1, 3)
@@ -167,8 +165,8 @@ def _decode_block_batched(ecfg: EngineConfig, layer, x, k_cache, v_cache, length
     x = x + attn_out.astype(x.dtype)
 
     x_s8 = _rms_norm_q(x, layer.ln2_weight, cfg.rms_norm_eps)
-    gate = _linear_s8(layer.gate_proj, x_s8, use_kernel=ecfg.use_kernel, bm=ecfg.bm_decode, interpret=ecfg.interpret)
-    up = _linear_s8(layer.up_proj, x_s8, use_kernel=ecfg.use_kernel, bm=ecfg.bm_decode, interpret=ecfg.interpret)
+    gate_up = _linear_s8(layer.gate_up_proj, x_s8, use_kernel=ecfg.use_kernel, bm=ecfg.bm_decode, interpret=ecfg.interpret)
+    gate, up = jnp.split(gate_up, 2, axis=-1)
     hidden = jax.nn.silu(gate) * up
     h_s8 = _requant(hidden, layer.down_input_scale)
     mlp_out = _linear_s8(layer.down_proj, h_s8, use_kernel=ecfg.use_kernel, bm=ecfg.bm_decode, interpret=ecfg.interpret)

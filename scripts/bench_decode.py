@@ -50,12 +50,9 @@ def build_7b_engine(cfg: LlamaConfig, seed=0) -> EngineParams:
             EngineLayer(
                 ln1_weight=jnp.ones((d,), jnp.float32) * 10.0,
                 ln2_weight=jnp.ones((d,), jnp.float32) * 10.0,
-                q_proj=random_engine_linear(keys[ki + 0], nq, d),
-                k_proj=random_engine_linear(keys[ki + 1], nkv, d),
-                v_proj=random_engine_linear(keys[ki + 2], nkv, d),
+                qkv_proj=random_engine_linear(keys[ki + 0], nq + 2 * nkv, d),
                 o_proj=random_engine_linear(keys[ki + 3], d, nq),
-                gate_proj=random_engine_linear(keys[ki + 4], f, d),
-                up_proj=random_engine_linear(keys[ki + 5], f, d),
+                gate_up_proj=random_engine_linear(keys[ki + 4], 2 * f, d),
                 down_proj=random_engine_linear(keys[ki + 6], d, f),
                 q_scale=jnp.float32(0.05),
                 k_scale=jnp.float32(0.05),

@@ -80,11 +80,11 @@ def test_param_placement_is_sharded(sharded_setup):
     cfg, eng = sharded_setup
     mesh = make_mesh(dp=2, tp=2)
     eng_sh = shard_engine_params(eng, mesh)
-    # column-parallel q_proj qweight shards its N axis over 4 devices
-    shard_shape = eng_sh.layers.q_proj.qweight.sharding.shard_shape(
-        eng_sh.layers.q_proj.qweight.shape
+    # column-parallel fused qkv shards its N axis over tp devices
+    shard_shape = eng_sh.layers.qkv_proj.qweight.sharding.shard_shape(
+        eng_sh.layers.qkv_proj.qweight.shape
     )
-    assert shard_shape[2] == eng_sh.layers.q_proj.qweight.shape[2] // 2
+    assert shard_shape[2] == eng_sh.layers.qkv_proj.qweight.shape[2] // 2
     # row-parallel down_proj shards K//2
     shard_shape = eng_sh.layers.down_proj.qweight.sharding.shard_shape(
         eng_sh.layers.down_proj.qweight.shape
