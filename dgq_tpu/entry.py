@@ -127,10 +127,19 @@ def prepare_model(model: str, seed: int = 0):
     if model_type == "llama":
         from dgq_tpu.models.hf_loader import load_llama_config, load_llama_params
 
-        cfg = load_llama_config(model)
-        params = load_llama_params(model)
-        return params, cfg, "llama", model
-    raise NotImplementedError(f"HF ingestion for {model_type} not wired yet")
+        return load_llama_params(model), load_llama_config(model), "llama", model
+    if model_type == "opt":
+        from dgq_tpu.models.hf_loader import load_opt_config, load_opt_params
+
+        return load_opt_params(model), load_opt_config(model), "opt", model
+    if model_type == "bloom":
+        from dgq_tpu.models.hf_loader import load_bloom_config, load_bloom_params
+
+        return load_bloom_params(model), load_bloom_config(model), "bloom", model
+    raise NotImplementedError(
+        f"HF ingestion for {model_type} not wired (the reference's MPT/Falcon "
+        "support is partial block-list plumbing only, SURVEY §1)"
+    )
 
 
 def apply_fn_for(arch: str, cfg):

@@ -259,10 +259,15 @@ class EngineConfig:
     bm_prefill: int = 256
     bm_decode: int = 128
     tp_axis: Optional[str] = None  # set under shard_map: psum o_proj/down_proj
+    # flash prefill kernel: big memory win at long S (no SxS scores in HBM)
+    # but Mosaic compile through the remote tunnel is currently very slow at
+    # 7B scale — opt-in until profiled
+    flash_prefill: bool = False
 
     def __hash__(self):
         return hash(
-            (self.cfg, self.use_kernel, self.interpret, self.bm_prefill, self.bm_decode, self.tp_axis)
+            (self.cfg, self.use_kernel, self.interpret, self.bm_prefill,
+             self.bm_decode, self.tp_axis, self.flash_prefill)
         )
 
 
@@ -325,7 +330,7 @@ def _block(ecfg: EngineConfig, layer: EngineLayer, x: jax.Array,
             interpret=ecfg.interpret,
         )  # (B, H, Dh) f32
         ctx = ctx.reshape(b, 1, h * dh)
-    elif ecfg.use_kernel and s % 128 == 0 and k_cache.shape[-1] % 128 == 0:
+    elif ecfg.use_kernel and ecfg.flash_prefill and s % 128 == 0 and k_cache.shape[-1] % 128 == 0:
         # flash prefill: blockwise online softmax, scores never hit HBM
         from dgq_tpu.ops.attention import int8_prefill_attention
 

@@ -54,6 +54,114 @@ def _open_shards(model_dir: str):
                 yield name, f.get_tensor(name)
 
 
+def load_opt_config(model_dir: str):
+    from dgq_tpu.models.opt import OPTConfig
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        hf = json.load(f)
+    return OPTConfig(
+        vocab_size=hf["vocab_size"],
+        hidden_size=hf["hidden_size"],
+        ffn_dim=hf["ffn_dim"],
+        num_hidden_layers=hf["num_hidden_layers"],
+        num_attention_heads=hf["num_attention_heads"],
+        max_position_embeddings=hf.get("max_position_embeddings", 2048),
+        do_layer_norm_before=hf.get("do_layer_norm_before", True),
+        pad_token_id=hf.get("pad_token_id", 1),
+    )
+
+
+def load_opt_params(model_dir: str, dtype=jnp.bfloat16) -> Dict:
+    """HF OPT -> dgq_tpu params pytree.  Assumes word_embed_proj_dim ==
+    hidden_size (true for all standard OPT sizes except 350m)."""
+    cfg = load_opt_config(model_dir)
+    layers: list = [
+        {
+            "self_attn_layer_norm": {},
+            "self_attn": {"q_proj": {}, "k_proj": {}, "v_proj": {}, "out_proj": {}},
+            "final_layer_norm": {},
+            "fc1": {},
+            "fc2": {},
+        }
+        for _ in range(cfg.num_hidden_layers)
+    ]
+    params: Dict = {"layers": layers}
+    for name, arr in _open_shards(model_dir):
+        a = jnp.asarray(arr).astype(dtype)
+        name = name.replace("model.decoder.", "").replace("decoder.", "")
+        if name == "embed_tokens.weight":
+            params["embed_tokens"] = a
+        elif name == "embed_positions.weight":
+            params["embed_positions"] = a
+        elif name.startswith("final_layer_norm."):
+            params.setdefault("final_layer_norm", {})[name.split(".")[-1]] = a
+        elif name == "lm_head.weight":
+            params["lm_head"] = {"weight": a}
+        elif name.startswith("layers."):
+            parts = name.split(".")
+            li = int(parts[1])
+            sub = parts[2]
+            if sub in ("self_attn_layer_norm", "final_layer_norm"):
+                layers[li][sub][parts[3]] = a
+            elif sub == "self_attn":
+                layers[li][sub][parts[3]][parts[4]] = a
+            elif sub in ("fc1", "fc2"):
+                layers[li][sub][parts[3]] = a
+    if "lm_head" not in params:
+        params["lm_head"] = {"weight": params["embed_tokens"]}  # OPT ties weights
+    return params
+
+
+def load_bloom_config(model_dir: str):
+    from dgq_tpu.models.bloom import BloomConfig
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        hf = json.load(f)
+    return BloomConfig(
+        vocab_size=hf["vocab_size"],
+        hidden_size=hf.get("hidden_size", hf.get("n_embed")),
+        num_hidden_layers=hf.get("num_hidden_layers", hf.get("n_layer")),
+        num_attention_heads=hf.get("num_attention_heads", hf.get("n_head")),
+        layer_norm_eps=hf.get("layer_norm_epsilon", 1e-5),
+    )
+
+
+def load_bloom_params(model_dir: str, dtype=jnp.bfloat16) -> Dict:
+    cfg = load_bloom_config(model_dir)
+    layers: list = [
+        {
+            "input_layernorm": {},
+            "self_attention": {"query_key_value": {}, "dense": {}},
+            "post_attention_layernorm": {},
+            "mlp": {"dense_h_to_4h": {}, "dense_4h_to_h": {}},
+        }
+        for _ in range(cfg.num_hidden_layers)
+    ]
+    params: Dict = {"layers": layers}
+    for name, arr in _open_shards(model_dir):
+        a = jnp.asarray(arr).astype(dtype)
+        name = name.replace("transformer.", "")
+        if name == "word_embeddings.weight":
+            params["embed_tokens"] = a
+        elif name.startswith("word_embeddings_layernorm."):
+            params.setdefault("word_embeddings_layernorm", {})[name.split(".")[-1]] = a
+        elif name.startswith("ln_f."):
+            params.setdefault("ln_f", {})[name.split(".")[-1]] = a
+        elif name == "lm_head.weight":
+            params["lm_head"] = {"weight": a}
+        elif name.startswith("h."):
+            parts = name.split(".")
+            li = int(parts[1])
+            sub = parts[2]
+            if sub in ("input_layernorm", "post_attention_layernorm"):
+                layers[li][sub][parts[3]] = a
+            elif sub in ("self_attention", "mlp"):
+                layers[li][sub][parts[3]][parts[4]] = a
+    if "lm_head" not in params:
+        params["lm_head"] = {"weight": params["embed_tokens"]}  # BLOOM ties weights
+    return params
+
+
 def load_llama_params(model_dir: str, dtype=jnp.bfloat16) -> Dict:
     """Read HF LLaMA weights into the dgq_tpu params pytree."""
     cfg = load_llama_config(model_dir)

@@ -120,7 +120,8 @@ def test_engine_flash_prefill_matches_xla_path(engine_setup):
     cache = init_kv_cache(cfg, 1, 256)
     lx, cx = engine_forward(EngineConfig(cfg=cfg, use_kernel=False), eng, ids, cache)
     lk, ck = engine_forward(
-        EngineConfig(cfg=cfg, use_kernel=True, interpret=True, bm_prefill=128, bm_decode=128),
+        EngineConfig(cfg=cfg, use_kernel=True, interpret=True, bm_prefill=128,
+                     bm_decode=128, flash_prefill=True),
         eng, ids, cache,
     )
     np.testing.assert_allclose(np.asarray(lx), np.asarray(lk), rtol=3e-4, atol=3e-4)

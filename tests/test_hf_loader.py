@@ -1,0 +1,88 @@
+"""HF checkpoint ingestion round-trips: save a tiny HF model to disk,
+ingest, compare logits."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+
+def test_llama_hf_dir_roundtrip(tmp_path):
+    import torch
+    from transformers import LlamaConfig as HFConfig
+    from transformers.models.llama.modeling_llama import LlamaForCausalLM
+
+    from dgq_tpu.models.hf_loader import load_llama_config, load_llama_params
+    from dgq_tpu.models.llama import llama_apply
+
+    hf_cfg = HFConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=256, attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    model = LlamaForCausalLM(hf_cfg).eval()
+    model.save_pretrained(tmp_path, safe_serialization=True)
+
+    cfg = load_llama_config(str(tmp_path))
+    params = load_llama_params(str(tmp_path), dtype=jnp.float32)
+    assert cfg.hidden_size == 64 and cfg.num_hidden_layers == 2
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 128, size=(1, 12)).astype(np.int32)
+    with torch.no_grad():
+        want = model(torch.tensor(ids.astype(np.int64))).logits.numpy()
+    got = np.asarray(llama_apply(params, jnp.asarray(ids), cfg))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_opt_hf_dir_roundtrip(tmp_path):
+    import torch
+    from transformers import OPTConfig as HFConfig
+    from transformers.models.opt.modeling_opt import OPTForCausalLM
+
+    from dgq_tpu.models.hf_loader import load_opt_config, load_opt_params
+    from dgq_tpu.models.opt import opt_apply
+
+    hf_cfg = HFConfig(
+        vocab_size=128, hidden_size=64, ffn_dim=128, num_hidden_layers=2,
+        num_attention_heads=4, max_position_embeddings=256,
+        word_embed_proj_dim=64, dropout=0.0, attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    model = OPTForCausalLM(hf_cfg).eval()
+    model.save_pretrained(tmp_path, safe_serialization=True)
+
+    cfg = load_opt_config(str(tmp_path))
+    params = load_opt_params(str(tmp_path), dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    ids = rng.integers(0, 128, size=(1, 10)).astype(np.int32)
+    with torch.no_grad():
+        want = model(torch.tensor(ids.astype(np.int64))).logits.numpy()
+    got = np.asarray(opt_apply(params, jnp.asarray(ids), cfg))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_bloom_hf_dir_roundtrip(tmp_path):
+    import torch
+    from transformers import BloomConfig as HFConfig
+    from transformers.models.bloom.modeling_bloom import BloomForCausalLM
+
+    from dgq_tpu.models.hf_loader import load_bloom_config, load_bloom_params
+    from dgq_tpu.models.bloom import bloom_apply
+
+    hf_cfg = HFConfig(
+        vocab_size=128, hidden_size=64, n_layer=2, n_head=4,
+        hidden_dropout=0.0, attention_dropout=0.0, attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    model = BloomForCausalLM(hf_cfg).eval()
+    model.save_pretrained(tmp_path, safe_serialization=True)
+
+    cfg = load_bloom_config(str(tmp_path))
+    params = load_bloom_params(str(tmp_path), dtype=jnp.float32)
+    rng = np.random.default_rng(2)
+    ids = rng.integers(0, 128, size=(1, 9)).astype(np.int32)
+    with torch.no_grad():
+        want = model(torch.tensor(ids.astype(np.int64))).logits.numpy()
+    got = np.asarray(bloom_apply(params, jnp.asarray(ids), cfg))
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
