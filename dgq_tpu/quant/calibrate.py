@@ -177,14 +177,41 @@ def ptq(
     arch: str = "llama",
     verbose: bool = True,
     report=None,  # Optional[dgq_tpu.utils.metrics.QuantReport]
+    offload: bool = False,
 ) -> PTQResult:
-    """Quantize a params pytree layer-sequentially (any supported arch)."""
+    """Quantize a params pytree layer-sequentially (any supported arch).
+
+    With ``offload=True``, params may live in host memory (numpy leaves);
+    each layer is device_put for its three passes and the packed result is
+    fetched back to host — the TPU-side counterpart of the reference's
+    layer-wise CPU<->GPU swapping (reference: quant_sequence.py:53-57,110),
+    letting a single chip calibrate models larger than HBM.
+    """
     adapter = get_adapter(arch, cfg)
     nsamples, seqlen = calib_ids.shape
-    dtype = params["embed_tokens"].dtype
-    aux = adapter.make_aux(seqlen, dtype)
 
-    inps = adapter.embed(params, calib_ids)  # (nsamples, S, D)
+    def to_dev(tree):
+        return jax.tree_util.tree_map(jnp.asarray, tree)
+
+    def to_host(tree):
+        import numpy as _np
+
+        return jax.tree_util.tree_map(
+            lambda x: _np.asarray(x) if hasattr(x, "shape") else x, tree
+        )
+
+    if offload:
+        # embed on device only long enough to produce block-0 inputs
+        embed_params = {
+            k: to_dev(v) for k, v in params.items() if k != "layers"
+        }
+        inps = adapter.embed({**embed_params, "layers": []}, calib_ids)
+        del embed_params
+    else:
+        inps = adapter.embed(params, calib_ids)  # (nsamples, S, D)
+
+    dtype = inps.dtype
+    aux = adapter.make_aux(seqlen, dtype)
 
     fp_qs = QuantState(actq=False, wtq=False, kv=False)
     kv_on_qs = QuantState(actq=False, wtq=False, kv=True)
@@ -206,6 +233,8 @@ def ptq(
     for li, layer in enumerate(adapter.layers(params)):
         if verbose:
             print(f"[ptq:{arch}] layer {li}")
+        if offload:
+            layer = to_dev(layer)
         # ---- pass 1: stats ----
         st: Optional[_Pass1State] = None
         for j in range(nsamples):
@@ -272,7 +301,7 @@ def ptq(
             outs.append(out[0])
         inps = jnp.stack(outs)
 
-        new_layers.append(layer)
+        new_layers.append(to_host(layer) if offload else layer)
 
     return PTQResult(params=adapter.rebuild(params, new_layers), kv_scales=kv_scales_all)
 

@@ -89,3 +89,71 @@ def mmlu_accuracy(
         scores.append(score)
     results["accuracy"] = float(np.mean(scores)) if scores else 0.0
     return results
+
+
+def ppl_eval_layerwise(
+    params,
+    cfg,
+    token_stream: np.ndarray,
+    seqlen: int = 2048,
+    *,
+    arch: str = "llama",
+    qs=None,
+    kv_scales=None,
+    max_samples: Optional[int] = None,
+    verbose: bool = False,
+) -> float:
+    """Layer-by-layer offload perplexity — the reference's model_eval
+    (reference: dgq/utils/evalutils.py:10-74): all eval windows' activations
+    stay on device while exactly one layer's weights are resident, so a
+    single chip evaluates models larger than HBM.  Params may have numpy
+    (host) leaves.
+    """
+    from dgq_tpu.models.llama import QuantState
+    from dgq_tpu.quant.arch import get_adapter
+
+    adapter = get_adapter(arch, cfg)
+    qs = qs or QuantState()
+    tokens = np.asarray(token_stream).reshape(-1)
+    nsamples = len(tokens) // seqlen
+    if max_samples is not None:
+        nsamples = min(nsamples, max_samples)
+    ids = jnp.asarray(
+        tokens[: nsamples * seqlen].reshape(nsamples, seqlen), jnp.int32
+    )
+
+    def to_dev(tree):
+        return jax.tree_util.tree_map(jnp.asarray, tree)
+
+    # embedding pass (embed weights resident only here)
+    embed_params = {k: to_dev(v) for k, v in params.items() if k != "layers"}
+    inps = adapter.embed({**embed_params, "layers": []}, ids)
+    head_params = embed_params  # reused for the head below
+    aux = adapter.make_aux(seqlen, inps.dtype)
+
+    block_fn = jax.jit(
+        lambda layer, x, q, kv: adapter.block(layer, x, aux, q, kv),
+        static_argnames=("q",),
+    )
+
+    for li, layer in enumerate(adapter.layers(params)):
+        layer_dev = to_dev(layer)
+        kv = None if kv_scales is None else kv_scales[li]
+        outs = []
+        for j in range(inps.shape[0]):
+            outs.append(block_fn(layer_dev, inps[j][None], qs, kv)[0])
+        inps = jnp.stack(outs)
+        if verbose:
+            print(f"[ppl-layerwise] layer {li} done")
+        del layer_dev
+
+    nlls = []
+    head_fn = jax.jit(lambda p, x: adapter.head(p, x))
+    for j in range(nsamples):
+        logits = head_fn(head_params, inps[j][None])
+        shift = logits[:, :-1].astype(jnp.float32)
+        labels = ids[j][None, 1:]
+        logp = jax.nn.log_softmax(shift, axis=-1)
+        nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)
+        nlls.append(float(jnp.mean(nll)) * seqlen)
+    return float(np.exp(np.sum(nlls) / (nsamples * seqlen)))

@@ -1,0 +1,63 @@
+"""Host-offload calibration + layerwise eval parity with the resident path."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dgq_tpu.config import ActQuantConfig, QuantConfig, WtQuantConfig
+from dgq_tpu.models.llama import QuantState, init_llama_params, llama_apply, tiny_llama_config
+from dgq_tpu.quant.calibrate import ptq
+from dgq_tpu.utils.datautils import synthetic_stream
+from dgq_tpu.utils.evalutils import ppl_eval, ppl_eval_layerwise
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def test_offload_ptq_matches_resident():
+    cfg = tiny_llama_config(hidden_size=64, intermediate_size=128, num_hidden_layers=2)
+    params = init_llama_params(cfg, jax.random.PRNGKey(0))
+    calib = jnp.asarray(synthetic_stream(cfg.vocab_size, 2 * 32).reshape(2, 32))
+    qcfg = QuantConfig(act_quant=ActQuantConfig(), wt_quant=WtQuantConfig(groupsize=32))
+
+    res_resident = ptq(params, cfg, calib, qcfg, verbose=False)
+    host_params = {**params, "layers": [_to_host(l) for l in params["layers"]]}
+    res_offload = ptq(host_params, cfg, calib, qcfg, verbose=False, offload=True)
+
+    # packed layers land on host as numpy leaves with identical values
+    lin_h = res_offload.params["layers"][0]["self_attn"]["q_proj"]
+    lin_d = res_resident.params["layers"][0]["self_attn"]["q_proj"]
+    assert isinstance(lin_h.qweight, np.ndarray)
+    np.testing.assert_array_equal(np.asarray(lin_h.qweight), np.asarray(lin_d.qweight))
+    np.testing.assert_allclose(
+        np.asarray(lin_h.wscales8), np.asarray(lin_d.wscales8), rtol=1e-6
+    )
+
+
+def test_layerwise_ppl_matches_whole_model():
+    cfg = tiny_llama_config(hidden_size=64, intermediate_size=128, num_hidden_layers=2)
+    params = init_llama_params(cfg, jax.random.PRNGKey(1))
+    stream = synthetic_stream(cfg.vocab_size, 3 * 32 + 1, seed=4)
+
+    def logits_fn(ps_kv, batch):
+        return llama_apply(ps_kv[0], batch, cfg)
+
+    ppl_whole = ppl_eval(logits_fn, (params, None), stream, seqlen=32, max_samples=3)
+    host_params = {**params, "layers": [_to_host(l) for l in params["layers"]]}
+    ppl_lw = ppl_eval_layerwise(host_params, cfg, stream, seqlen=32, max_samples=3)
+    np.testing.assert_allclose(ppl_lw, ppl_whole, rtol=1e-4)
+
+
+def test_layerwise_ppl_quantized():
+    cfg = tiny_llama_config(hidden_size=64, intermediate_size=128, num_hidden_layers=2)
+    params = init_llama_params(cfg, jax.random.PRNGKey(2))
+    calib = jnp.asarray(synthetic_stream(cfg.vocab_size, 2 * 32).reshape(2, 32))
+    qcfg = QuantConfig(act_quant=ActQuantConfig(), wt_quant=WtQuantConfig(groupsize=32))
+    res = ptq(params, cfg, calib, qcfg, verbose=False)
+    stream = synthetic_stream(cfg.vocab_size, 2 * 32 + 1, seed=5)
+    qs = QuantState(actq=True, wtq=True, kv=True)
+    ppl = ppl_eval_layerwise(
+        res.params, cfg, stream, seqlen=32, qs=qs, kv_scales=res.kv_scales, max_samples=2
+    )
+    assert np.isfinite(ppl) and ppl > 1
