@@ -157,3 +157,47 @@ def ppl_eval_layerwise(
         nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)
         nlls.append(float(jnp.mean(nll)) * seqlen)
     return float(np.exp(np.sum(nlls) / (nsamples * seqlen)))
+
+
+def ppl_eval_engine(
+    ecfg,
+    params,
+    token_stream: np.ndarray,
+    seqlen: int = 2048,
+    *,
+    mesh=None,
+    max_samples: Optional[int] = None,
+    verbose: bool = False,
+) -> float:
+    """Perplexity through the real-quant INT8 engine (prefill logits), the
+    path the reference exercises after inference_model conversion
+    (reference: entry.py:95-116).  With ``mesh`` given, runs the tensor/data
+    -parallel sharded engine (BASELINE config 4: sharded ppl)."""
+    from dgq_tpu.models.engine import engine_forward, init_kv_cache
+
+    tokens = np.asarray(token_stream).reshape(-1)
+    nsamples = len(tokens) // seqlen
+    if max_samples is not None:
+        nsamples = min(nsamples, max_samples)
+
+    if mesh is not None:
+        from dgq_tpu.parallel.sharded_engine import shard_kv_cache, sharded_engine_forward
+
+    nlls = []
+    for i in range(nsamples):
+        batch = jnp.asarray(tokens[i * seqlen : (i + 1) * seqlen][None, :], jnp.int32)
+        cache = init_kv_cache(ecfg.cfg, 1, seqlen)
+        if mesh is not None:
+            cache = shard_kv_cache(cache, mesh)
+            logits, _ = sharded_engine_forward(ecfg, params, batch, cache, mesh)
+        else:
+            logits, _ = engine_forward(ecfg, params, batch, cache)
+        shift = logits[:, :-1].astype(jnp.float32)
+        labels = batch[:, 1:]
+        logp = jax.nn.log_softmax(shift, axis=-1)
+        nll = -jnp.take_along_axis(logp, labels[..., None], axis=-1)
+        nlls.append(float(jnp.mean(nll)) * seqlen)
+        if verbose:
+            print(f"[ppl-engine] window {i+1}/{nsamples}: "
+                  f"{np.exp(np.sum(nlls)/((i+1)*seqlen)):.4f}")
+    return float(np.exp(np.sum(nlls) / (nsamples * seqlen)))

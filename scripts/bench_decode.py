@@ -81,6 +81,8 @@ def main():
     p.add_argument("--layers", type=int, default=32)
     p.add_argument("--no-kernel", action="store_true")
     p.add_argument("--bm-decode", type=int, default=128)
+    p.add_argument("--fused-loop", action="store_true",
+                   help="run all decode steps in one on-device lax.scan")
     args = p.parse_args()
 
     cfg = LlamaConfig(num_hidden_layers=args.layers)
@@ -103,12 +105,30 @@ def main():
     tok = jnp.argmax(logits[:, -1:, :], axis=-1).astype(jnp.int32)
     jax.device_get(tok)
 
-    t0 = time.perf_counter()
-    for _ in range(args.steps):
-        logits, cache = engine_forward(ecfg, eng, tok, cache)
-        tok = jnp.argmax(logits[:, -1:, :], axis=-1).astype(jnp.int32)
-    jax.device_get(tok)
-    dt = (time.perf_counter() - t0) / args.steps
+    if args.fused_loop:
+        @jax.jit
+        def multi_step(tok0, cache0):
+            def body(carry, _):
+                tok, c = carry
+                lg, c = engine_forward(ecfg, eng, tok, c)
+                nt = jnp.argmax(lg[:, -1:, :], axis=-1).astype(jnp.int32)
+                return (nt, c), None
+            (tok_f, cache_f), _ = jax.lax.scan(body, (tok0, cache0), None, length=args.steps)
+            return tok_f, cache_f
+
+        tok_f, _ = multi_step(tok, cache)  # compile
+        jax.device_get(tok_f)
+        t0 = time.perf_counter()
+        tok_f, _ = multi_step(tok, cache)
+        jax.device_get(tok_f)
+        dt = (time.perf_counter() - t0) / args.steps
+    else:
+        t0 = time.perf_counter()
+        for _ in range(args.steps):
+            logits, cache = engine_forward(ecfg, eng, tok, cache)
+            tok = jnp.argmax(logits[:, -1:, :], axis=-1).astype(jnp.int32)
+        jax.device_get(tok)
+        dt = (time.perf_counter() - t0) / args.steps
     print(
         f"decode: {dt*1e3:.2f} ms/step, {args.batch/dt:.1f} tok/s total "
         f"({1/dt:.1f} steps/s, batch={args.batch}, kernel={ecfg.use_kernel})",

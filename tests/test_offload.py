@@ -61,3 +61,26 @@ def test_layerwise_ppl_quantized():
         res.params, cfg, stream, seqlen=32, qs=qs, kv_scales=res.kv_scales, max_samples=2
     )
     assert np.isfinite(ppl) and ppl > 1
+
+
+def test_engine_ppl_single_and_sharded_match():
+    from dgq_tpu.models.engine import EngineConfig, from_ptq
+    from dgq_tpu.parallel.mesh import make_mesh
+    from dgq_tpu.parallel.sharded_engine import shard_engine_params
+    from dgq_tpu.utils.evalutils import ppl_eval_engine
+
+    cfg = tiny_llama_config(hidden_size=512, intermediate_size=1024, num_hidden_layers=2,
+                            num_attention_heads=4, num_key_value_heads=4)
+    params = init_llama_params(cfg, jax.random.PRNGKey(3))
+    calib = jnp.asarray(synthetic_stream(cfg.vocab_size, 2 * 32).reshape(2, 32))
+    qcfg = QuantConfig(act_quant=ActQuantConfig(), wt_quant=WtQuantConfig(groupsize=128))
+    res = ptq(params, cfg, calib, qcfg, verbose=False)
+    eng = from_ptq(res.params, res.kv_scales, cfg)
+    ecfg = EngineConfig(cfg=cfg, use_kernel=False)
+    stream = synthetic_stream(cfg.vocab_size, 2 * 32 + 1, seed=6)
+
+    ppl1 = ppl_eval_engine(ecfg, eng, stream, seqlen=32, max_samples=2)
+    mesh = make_mesh(dp=1, tp=2)
+    eng_sh = shard_engine_params(eng, mesh)
+    ppl2 = ppl_eval_engine(ecfg, eng_sh, stream, seqlen=32, max_samples=2, mesh=mesh)
+    np.testing.assert_allclose(ppl1, ppl2, rtol=1e-3)
