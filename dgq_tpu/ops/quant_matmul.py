@@ -44,16 +44,18 @@ def _cdiv(a: int, b: int) -> int:
 
 
 def _kernel(
-    x_ref,  # (bm, bk) int8
-    qw_ref,  # (bk//2, bn) int8 packed (one span)
-    scales_ref,  # (16, bn) int8: rows 0-7 = group 2k (replicated), 8-15 = group 2k+1
-    zeros_ref,  # (16, bn) int8
+    x_ref,  # (bm, bk) int8, bk = n_spans * span
+    qw_ref,  # (bk//2, bn) int8 packed (n_spans consecutive spans)
+    scales_ref,  # (16*n_spans, bn) int8: per span, rows 0-7 = even group, 8-15 = odd
+    zeros_ref,  # (16*n_spans, bn) int8
     alpha_ref,  # (1, bn) f32 per-channel epilogue scale
     beta_ref,  # (1, bn) f32 per-channel epilogue bias (pre-rounding for int8 out)
     out_ref,  # (bm, bn) out_dtype
     acc_ref,  # (bm, bn) int32 scratch
     *,
     nk: int,
+    n_spans: int,
+    span: int,
     out_dtype,
 ):
     k = pl.program_id(2)
@@ -62,24 +64,28 @@ def _kernel(
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    byte = qw_ref[:].astype(jnp.int32) & 0xFF
-    hi = byte >> 4  # plane 0: group 2k codes
-    lo = byte & 0xF  # plane 1: group 2k+1 codes
-
-    # group params arrive 8x-replicated on sublanes so the BlockSpec stays
+    half = span // 2
+    # group params arrive 8x-replicated on sublanes so BlockSpecs stay
     # 8-aligned (Mosaic rejects 2-row sublane blocks / unaligned slices)
-    s = scales_ref[:].astype(jnp.int32)
-    z = zeros_ref[:].astype(jnp.int32)
-    w_hi = (hi - z[0:1, :]) * s[0:1, :]
-    w_lo = (lo - z[8:9, :]) * s[8:9, :]
-    w_s8 = jnp.concatenate([w_hi, w_lo], axis=0).astype(jnp.int8)  # (bk, bn)
+    s_all = scales_ref[:].astype(jnp.int32)
+    z_all = zeros_ref[:].astype(jnp.int32)
 
-    acc_ref[:] += jax.lax.dot_general(
-        x_ref[:],
-        w_s8,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
+    acc = acc_ref[:]
+    for t in range(n_spans):  # static unroll: one dequant+dot per span
+        byte = qw_ref[t * half : (t + 1) * half, :].astype(jnp.int32) & 0xFF
+        hi = byte >> 4  # even group of span t
+        lo = byte & 0xF  # odd group
+        r = 16 * t
+        w_hi = (hi - z_all[r : r + 1, :]) * s_all[r : r + 1, :]
+        w_lo = (lo - z_all[r + 8 : r + 9, :]) * s_all[r + 8 : r + 9, :]
+        w_s8 = jnp.concatenate([w_hi, w_lo], axis=0).astype(jnp.int8)  # (span, bn)
+        acc += jax.lax.dot_general(
+            x_ref[:, t * span : (t + 1) * span],
+            w_s8,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+    acc_ref[:] = acc
 
     @pl.when(k == nk - 1)
     def _():
@@ -93,7 +99,7 @@ def _kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("groupsize", "span", "bm", "bn", "out_dtype", "interpret"),
+    static_argnames=("groupsize", "span", "bm", "bn", "bk", "out_dtype", "interpret"),
 )
 def w4a8_matmul_packed(
     x_s8: jax.Array,  # (M, K) int8
@@ -107,20 +113,22 @@ def w4a8_matmul_packed(
     span: int = 256,
     bm: int = 256,
     bn: int = 256,
+    bk: Optional[int] = None,  # K block; multiple of span (default: one span)
     out_dtype=jnp.float32,
     interpret: bool = False,
 ) -> jax.Array:
     """Raw fused kernel entry: y[m, n] = (sum_k x[m,k] * w_s8[k,n]) * alpha[n].
 
-    Requires span == 2*groupsize, K % span == 0, N % bn == 0.  M is padded
-    here to a multiple of bm.
+    Requires span == 2*groupsize, K % bk == 0, bk % span == 0, N % bn == 0.
+    M is padded here to a multiple of bm.
     """
     m, k = x_s8.shape
     k2, n = qweight.shape
     assert 2 * k2 == k, (x_s8.shape, qweight.shape)
-    assert span == 2 * groupsize, "kernel K-block must be one packed span"
-    assert k % span == 0, (k, span)
-    bk = span
+    assert span == 2 * groupsize, "kernel dequant assumes span = 2*groupsize"
+    bk = bk or span
+    assert bk % span == 0 and k % bk == 0, (k, bk, span)
+    n_spans = bk // span
     nk = k // bk
     if n % bn != 0:
         bn = n if n < bn else 128
@@ -139,13 +147,15 @@ def w4a8_matmul_packed(
 
     grid = (m_pad // bm, n // bn, nk)
     out = pl.pallas_call(
-        functools.partial(_kernel, nk=nk, out_dtype=out_dtype),
+        functools.partial(
+            _kernel, nk=nk, n_spans=n_spans, span=span, out_dtype=out_dtype
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
             pl.BlockSpec((bk // 2, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16 * n_spans, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16 * n_spans, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bn), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bn), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
         ],
