@@ -26,7 +26,7 @@ from typing import Any, Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from dgq_tpu.models.llama import KVQuantState, QuantState, linear_apply, _kv_fake_quant
+from dgq_tpu.models.llama import QuantState, linear_apply, _kv_fake_quant
 from dgq_tpu.models.opt import layer_norm
 from dgq_tpu.quant import smooth as smooth_mod
 from dgq_tpu.quant.smooth import mean_ln_fcs

@@ -29,13 +29,13 @@ from __future__ import annotations
 import dataclasses
 import math
 from functools import partial
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from dgq_tpu.models.llama import LlamaConfig, rms_norm, rope_cos_sin, rotate_half
-from dgq_tpu.quant.packing import PackedLinear, dequantize_to_int8
+from dgq_tpu.quant.packing import PackedLinear
 
 
 class EngineLinear(NamedTuple):

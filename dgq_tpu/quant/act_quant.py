@@ -7,7 +7,6 @@ array; the static variant takes the calibrated absmax.  All run under jit.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional
 
 import jax

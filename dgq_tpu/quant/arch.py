@@ -22,7 +22,7 @@ driver (dgq_tpu/quant/calibrate.py):
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, List, Optional, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -238,5 +238,145 @@ class BloomAdapter:
         )
 
 
+class MPTAdapter:
+    """MPT (fused Wqkv, ALiBi) — the reference lists MPT only in its block
+    dispatch (modelutils.py:39-52); full support here."""
+
+    name = "mpt"
+
+    linears = {
+        "Wqkv": (("attn", "Wqkv"), "qkv_inp"),
+        "out_proj": (("attn", "out_proj"), "out_proj_inp"),
+        "up_proj": (("ffn", "up_proj"), "fc1_inp"),
+        "down_proj": (("ffn", "down_proj"), "fc2_inp"),
+    }
+    max_absmax_keys = ("attn_ln_out", "ffn_ln_out", "out_proj_inp", "fc2_inp")
+    kv_keys = ("q_states", "k_states", "v_states")
+    minmax_keys = ("attn_ln_out", "ffn_ln_out")
+    hessian_fams = ("qkv_inp", "out_proj_inp", "fc1_inp", "fc2_inp")
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+
+    def layers(self, params):
+        return params["layers"]
+
+    def rebuild(self, params, new_layers):
+        out = dict(params)
+        out["layers"] = new_layers
+        return out
+
+    def embed(self, params, input_ids):
+        from dgq_tpu.models.mpt import mpt_embed
+
+        return mpt_embed(params, input_ids, self.cfg)
+
+    def make_aux(self, seqlen, dtype):
+        from dgq_tpu.models.mpt import mpt_aux
+
+        return mpt_aux(self.cfg, seqlen, dtype)
+
+    def block(self, layer, x, aux, qs: QuantState, kv_scales, collect_stats=False):
+        from dgq_tpu.models.mpt import mpt_block
+
+        return mpt_block(layer, x, aux, self.cfg, qs, kv_scales, collect_stats)
+
+    def smooth(self, layer, stats):
+        from dgq_tpu.models.mpt import smooth_mpt_layer
+
+        return smooth_mpt_layer(layer, stats)
+
+    def meanact(self, layer, stats_max, stats_min):
+        from dgq_tpu.models.mpt import meanact_mpt_layer
+
+        return meanact_mpt_layer(layer, stats_max, stats_min)
+
+    def head(self, params, x):
+        from dgq_tpu.models.mpt import mpt_head
+
+        return mpt_head(params, x, self.cfg)
+
+    def kv_state(self, stats_min) -> KVQuantState:
+        maxq = 255.0
+        return KVQuantState(
+            q_scale=2.0 * jnp.max(stats_min["q_states"]) / maxq,
+            k_scale=2.0 * jnp.max(stats_min["k_states"]) / maxq,
+            v_scale=2.0 * jnp.max(stats_min["v_states"]) / maxq,
+        )
+
+
+class FalconAdapter:
+    """Falcon (parallel attention+MLP, MQA, rotary) — reference has block
+    dispatch only; full support here."""
+
+    name = "falcon"
+
+    linears = {
+        "query_key_value": (("self_attention", "query_key_value"), "qkv_inp"),
+        "dense": (("self_attention", "dense"), "dense_inp"),
+        "dense_h_to_4h": (("mlp", "dense_h_to_4h"), "fc1_inp"),
+        "dense_4h_to_h": (("mlp", "dense_4h_to_h"), "fc2_inp"),
+    }
+    max_absmax_keys = ("attn_ln_out", "dense_inp", "fc2_inp")
+    kv_keys = ("q_states", "k_states", "v_states")
+    minmax_keys = ("attn_ln_out",)
+    hessian_fams = ("qkv_inp", "dense_inp", "fc1_inp", "fc2_inp")
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+
+    def layers(self, params):
+        return params["layers"]
+
+    def rebuild(self, params, new_layers):
+        out = dict(params)
+        out["layers"] = new_layers
+        return out
+
+    def embed(self, params, input_ids):
+        from dgq_tpu.models.falcon import falcon_embed
+
+        return falcon_embed(params, input_ids, self.cfg)
+
+    def make_aux(self, seqlen, dtype):
+        from dgq_tpu.models.falcon import falcon_aux
+
+        return falcon_aux(self.cfg, seqlen, dtype)
+
+    def block(self, layer, x, aux, qs: QuantState, kv_scales, collect_stats=False):
+        from dgq_tpu.models.falcon import falcon_block
+
+        return falcon_block(layer, x, aux, self.cfg, qs, kv_scales, collect_stats)
+
+    def smooth(self, layer, stats):
+        from dgq_tpu.models.falcon import smooth_falcon_layer
+
+        return smooth_falcon_layer(layer, stats)
+
+    def meanact(self, layer, stats_max, stats_min):
+        from dgq_tpu.models.falcon import meanact_falcon_layer
+
+        return meanact_falcon_layer(layer, stats_max, stats_min)
+
+    def head(self, params, x):
+        from dgq_tpu.models.falcon import falcon_head
+
+        return falcon_head(params, x, self.cfg)
+
+    def kv_state(self, stats_min) -> KVQuantState:
+        maxq = 255.0
+        return KVQuantState(
+            q_scale=2.0 * jnp.max(stats_min["q_states"]) / maxq,
+            k_scale=2.0 * jnp.max(stats_min["k_states"]) / maxq,
+            v_scale=2.0 * jnp.max(stats_min["v_states"]) / maxq,
+        )
+
+
 def get_adapter(arch: str, cfg):
-    return {"llama": LlamaAdapter, "opt": OPTAdapter, "bloom": BloomAdapter}[arch](cfg)
+    return {
+        "llama": LlamaAdapter,
+        "opt": OPTAdapter,
+        "bloom": BloomAdapter,
+        "mpt": MPTAdapter,
+        "falcon": FalconAdapter,
+    }[arch](cfg)

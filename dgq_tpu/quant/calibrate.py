@@ -28,7 +28,6 @@ dgq_tpu/quant/arch.py adapters.
 from __future__ import annotations
 
 import time
-from functools import partial
 from typing import Any, Dict, List, NamedTuple, Optional
 
 import jax

@@ -13,7 +13,7 @@ zero-range handling (xmin==xmax==0 -> [-1, 1]), symmetric mirroring, the
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,6 @@ from __future__ import annotations
 import contextlib
 import dataclasses
 import time
-from typing import Optional
 
 V5E_PEAK_INT8 = 394.7e12
 V5E_PEAK_BF16 = 197.4e12
