@@ -116,6 +116,16 @@ def prepare_model(model: str, seed: int = 0):
 
             cfg = tiny_bloom_config(hidden_size=256)
             return init_bloom_params(cfg, key), cfg, arch, None
+        if arch == "mpt":
+            from dgq_tpu.models.mpt import init_mpt_params, tiny_mpt_config
+
+            cfg = tiny_mpt_config(d_model=256)
+            return init_mpt_params(cfg, key), cfg, arch, None
+        if arch == "falcon":
+            from dgq_tpu.models.falcon import init_falcon_params, tiny_falcon_config
+
+            cfg = tiny_falcon_config(hidden_size=256)
+            return init_falcon_params(cfg, key), cfg, arch, None
         raise ValueError(arch)
 
     import os
@@ -136,12 +146,20 @@ def prepare_model(model: str, seed: int = 0):
 
         return load_bloom_params(model), load_bloom_config(model), "bloom", model
     raise NotImplementedError(
-        f"HF ingestion for {model_type} not wired (the reference's MPT/Falcon "
-        "support is partial block-list plumbing only, SURVEY §1)"
+        f"HF ingestion for {model_type} not wired; supported: llama/opt/bloom "
+        "(mpt/falcon calibrate via the library API with hand-built params)"
     )
 
 
 def apply_fn_for(arch: str, cfg):
+    if arch == "mpt":
+        from dgq_tpu.models.mpt import mpt_apply
+
+        return lambda ps, ids, qs=None, kv=None: mpt_apply(ps, ids, cfg, qs or _fp_qs(), kv)
+    if arch == "falcon":
+        from dgq_tpu.models.falcon import falcon_apply
+
+        return lambda ps, ids, qs=None, kv=None: falcon_apply(ps, ids, cfg, qs or _fp_qs(), kv)
     if arch == "llama":
         from dgq_tpu.models.llama import llama_apply
 
