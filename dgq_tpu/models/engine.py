@@ -106,10 +106,12 @@ def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int, num_layers: Option
 
 def _engine_linear(pl: PackedLinear, input_scale: jax.Array) -> EngineLinear:
     assert pl.w4w8 and pl.span == 2 * pl.groupsize, "engine requires span-packed w4w8"
+    # scales pre-replicated 8x on sublanes: the kernel's aligned-BlockSpec
+    # layout, computed once at conversion instead of per call
     return EngineLinear(
         qweight=pl.qweight,
-        wscales=pl.wscales,
-        wzeros=pl.wzeros,
+        wscales=jnp.repeat(pl.wscales, 8, axis=0),
+        wzeros=jnp.repeat(pl.wzeros, 8, axis=0),
         alpha=pl.wscales8.astype(jnp.float32) * input_scale.astype(jnp.float32),
         bias=pl.bias,
     )
@@ -210,6 +212,7 @@ def _linear_s8(lin: EngineLinear, x_s8: jax.Array, *, use_kernel: bool, groupsiz
         y = w4a8_matmul_packed(
             x2, lin.qweight, lin.wscales, lin.wzeros, lin.alpha, lin.bias,
             groupsize=groupsize, span=2 * groupsize, bm=bm, interpret=interpret,
+            scales_replicated=True,
         )
         if lin.bias is not None:
             y = y.reshape(*x_s8.shape[:-1], -1)
@@ -220,8 +223,9 @@ def _linear_s8(lin: EngineLinear, x_s8: jax.Array, *, use_kernel: bool, groupsiz
 
         codes = unpack_nibbles(lin.qweight, 2 * groupsize).astype(jnp.int32)
         k = codes.shape[0]
-        scales_k = jnp.repeat(lin.wscales.astype(jnp.int32), groupsize, axis=0)
-        zeros_k = jnp.repeat(lin.wzeros.astype(jnp.int32), groupsize, axis=0)
+        # scales arrive 8x-replicated: each group occupies 8 rows
+        scales_k = jnp.repeat(lin.wscales[::8].astype(jnp.int32), groupsize, axis=0)
+        zeros_k = jnp.repeat(lin.wzeros[::8].astype(jnp.int32), groupsize, axis=0)
         w_s8 = ((codes - zeros_k) * scales_k).astype(jnp.int8)
         y = jax.lax.dot_general(
             x2, w_s8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32

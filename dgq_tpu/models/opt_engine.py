@@ -89,7 +89,9 @@ def _int8_out_linear(pl_: PackedLinear, input_scale, output_scale, extra_w8_scal
     if pl_.bias is not None:
         bias = pl_.bias.astype(jnp.float32) * extra_w8_scale / output_scale
     return EngineLinear(
-        qweight=pl_.qweight, wscales=pl_.wscales, wzeros=pl_.wzeros,
+        qweight=pl_.qweight,
+        wscales=jnp.repeat(pl_.wscales, 8, axis=0),
+        wzeros=jnp.repeat(pl_.wzeros, 8, axis=0),
         alpha=alpha, bias=bias,
     )
 
@@ -97,7 +99,9 @@ def _int8_out_linear(pl_: PackedLinear, input_scale, output_scale, extra_w8_scal
 def _f32_out_linear(pl_: PackedLinear, input_scale) -> EngineLinear:
     assert pl_.w4w8 and pl_.span == 2 * pl_.groupsize
     return EngineLinear(
-        qweight=pl_.qweight, wscales=pl_.wscales, wzeros=pl_.wzeros,
+        qweight=pl_.qweight,
+        wscales=jnp.repeat(pl_.wscales, 8, axis=0),
+        wzeros=jnp.repeat(pl_.wzeros, 8, axis=0),
         alpha=pl_.wscales8.astype(jnp.float32) * input_scale.astype(jnp.float32),
         bias=None if pl_.bias is None else pl_.bias.astype(jnp.float32),
     )
@@ -238,14 +242,14 @@ def _linear_s8_int8out(lin: EngineLinear, x_s8, *, use_kernel, bm, interpret, gr
         y = w4a8_matmul_packed(
             x2, lin.qweight, lin.wscales, lin.wzeros, lin.alpha, lin.bias,
             groupsize=groupsize, span=2 * groupsize, bm=bm,
-            out_dtype=jnp.int8, interpret=interpret,
+            out_dtype=jnp.int8, interpret=interpret, scales_replicated=True,
         )
     else:
         from dgq_tpu.quant.packing import unpack_nibbles
 
         codes = unpack_nibbles(lin.qweight, 2 * groupsize).astype(jnp.int32)
-        scales_k = jnp.repeat(lin.wscales.astype(jnp.int32), groupsize, axis=0)
-        zeros_k = jnp.repeat(lin.wzeros.astype(jnp.int32), groupsize, axis=0)
+        scales_k = jnp.repeat(lin.wscales[::8].astype(jnp.int32), groupsize, axis=0)
+        zeros_k = jnp.repeat(lin.wzeros[::8].astype(jnp.int32), groupsize, axis=0)
         w_s8 = ((codes - zeros_k) * scales_k).astype(jnp.int8)
         acc = jax.lax.dot_general(
             x2, w_s8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32

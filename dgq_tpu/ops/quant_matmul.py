@@ -99,7 +99,7 @@ def _kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("groupsize", "span", "bm", "bn", "bk", "out_dtype", "interpret"),
+    static_argnames=("groupsize", "span", "bm", "bn", "bk", "out_dtype", "interpret", "scales_replicated"),
 )
 def w4a8_matmul_packed(
     x_s8: jax.Array,  # (M, K) int8
@@ -116,6 +116,7 @@ def w4a8_matmul_packed(
     bk: Optional[int] = None,  # K block; multiple of span (default: one span)
     out_dtype=jnp.float32,
     interpret: bool = False,
+    scales_replicated: bool = False,  # wscales/wzeros already (8G, N)
 ) -> jax.Array:
     """Raw fused kernel entry: y[m, n] = (sum_k x[m,k] * w_s8[k,n]) * alpha[n].
 
@@ -140,8 +141,12 @@ def w4a8_matmul_packed(
 
     # 8x sublane replication so each K step reads an aligned (16, bn) block:
     # rows [16k, 16k+8) = group 2k, rows [16k+8, 16k+16) = group 2k+1
-    scales_x = jnp.repeat(wscales, 8, axis=0)
-    zeros_x = jnp.repeat(wzeros, 8, axis=0)
+    # (engine params pre-replicate at conversion time to skip this per call)
+    if scales_replicated:
+        scales_x, zeros_x = wscales, wzeros
+    else:
+        scales_x = jnp.repeat(wscales, 8, axis=0)
+        zeros_x = jnp.repeat(wzeros, 8, axis=0)
     if beta is None:
         beta = jnp.zeros((n,), jnp.float32)
 
