@@ -29,10 +29,11 @@ from dgq_tpu.models.llama import LlamaConfig
 
 def random_engine_linear(key, n_out, n_in, g=128):
     k1, k2, k3 = jax.random.split(key, 3)
+    # scales pre-replicated 8x (the engine's kernel-aligned layout)
     return EngineLinear(
         qweight=jax.random.randint(k1, (n_in // 2, n_out), -128, 128, jnp.int8),
-        wscales=jax.random.randint(k2, (n_in // g, n_out), 1, 4, jnp.int8),
-        wzeros=jax.random.randint(k3, (n_in // g, n_out), 4, 12, jnp.int8),
+        wscales=jnp.repeat(jax.random.randint(k2, (n_in // g, n_out), 1, 4, jnp.int8), 8, axis=0),
+        wzeros=jnp.repeat(jax.random.randint(k3, (n_in // g, n_out), 4, 12, jnp.int8), 8, axis=0),
         alpha=jnp.full((n_out,), 1e-4, jnp.float32),
         bias=None,
     )
