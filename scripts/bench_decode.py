@@ -84,6 +84,8 @@ def main():
     p.add_argument("--bm-decode", type=int, default=128)
     p.add_argument("--fused-loop", action="store_true",
                    help="run all decode steps in one on-device lax.scan")
+    p.add_argument("--unroll", type=int, default=0,
+                   help="unroll N decode steps per dispatch (isolates dispatch overhead)")
     args = p.parse_args()
 
     cfg = LlamaConfig(num_hidden_layers=args.layers)
@@ -95,17 +97,47 @@ def main():
     cache = init_kv_cache(cfg, args.batch, args.max_len)
     ids = jnp.zeros((args.batch, args.prefill), jnp.int32)
 
-    t0 = time.perf_counter()
-    logits, cache = engine_forward(ecfg, eng, ids, cache)
-    tok = jnp.argmax(logits[:, -1:, :], axis=-1).astype(jnp.int32)
-    jax.device_get(tok)
-    print(f"prefill({args.prefill}) + compile: {time.perf_counter() - t0:.1f}s", flush=True)
+    if args.unroll:
+        # skip prefill entirely: decode timing from an empty cache is
+        # equivalent for dispatch-overhead isolation and halves compiles
+        tok = jnp.zeros((args.batch, 1), jnp.int32)
+    else:
+        t0 = time.perf_counter()
+        logits, cache = engine_forward(ecfg, eng, ids, cache)
+        tok = jnp.argmax(logits[:, -1:, :], axis=-1).astype(jnp.int32)
+        jax.device_get(tok)
+        print(f"prefill({args.prefill}) + compile: {time.perf_counter() - t0:.1f}s", flush=True)
 
     # warm decode compile
-    logits, cache = engine_forward(ecfg, eng, tok, cache)
-    tok = jnp.argmax(logits[:, -1:, :], axis=-1).astype(jnp.int32)
-    jax.device_get(tok)
+    if not args.unroll:
+        logits, cache = engine_forward(ecfg, eng, tok, cache)
+        tok = jnp.argmax(logits[:, -1:, :], axis=-1).astype(jnp.int32)
+        jax.device_get(tok)
 
+    if args.unroll:
+        U = args.unroll
+
+        @jax.jit
+        def multi(tok0, cache0):
+            tok, c = tok0, cache0
+            for _ in range(U):
+                lg, c = engine_forward(ecfg, eng, tok, c)
+                tok = jnp.argmax(lg[:, -1:, :], axis=-1).astype(jnp.int32)
+            return tok, c
+
+        t0 = time.perf_counter()
+        tok_f, cache_f = multi(tok, cache)
+        jax.device_get(tok_f)
+        print(f"unroll{U} compile+run: {time.perf_counter()-t0:.1f}s", flush=True)
+        n_calls = max(args.steps // U, 2)
+        t0 = time.perf_counter()
+        for _ in range(n_calls):
+            tok, cache = multi(tok, cache)
+        jax.device_get(tok)
+        dt = (time.perf_counter() - t0) / (n_calls * U)
+        print(f"decode(unroll{U}): {dt*1e3:.2f} ms/step, {args.batch/dt:.1f} tok/s "
+              f"(batch={args.batch}, kernel={ecfg.use_kernel})", flush=True)
+        return
     if args.fused_loop:
         @jax.jit
         def multi_step(tok0, cache0):
