@@ -40,6 +40,12 @@ class WtQuantConfig:
     method: str = "search"
     groupsize: int = 128  # -1 => one group per full input row
     w4w8: bool = True  # dual-grained: int8 group scale x fp per-channel scale
+    # w4w8 fallback (BASELINE config 3): when the dual-grained int8-scale
+    # constraint degrades a linear's layer-output error by more than this
+    # factor over the plain fp-group-scale quantization, that linear is
+    # packed with fp scales instead (served by the fp-group-scale GEMM).
+    # None disables the check (all layers dual-grained).
+    w4w8_fallback_ratio: Optional[float] = None
     # GPTQ-only knobs (properly wired here, unlike the reference):
     percdamp: float = 0.01
     act_order: bool = False

@@ -252,3 +252,125 @@ def w4a8_matmul_xla(
     if lin.bias is not None:
         y = y + lin.bias
     return y.astype(out_dtype).reshape(*x.shape[:-1], lin.out_features)
+
+
+def _fpscale_kernel(
+    x_ref,  # (bm, bk) int8, bk = n_spans * span
+    qw_ref,  # (bk//2, bn) int8 span-packed raw codes
+    scales_ref,  # (16*n_spans, bn) f32 group scales, 8x-replicated rows
+    zeros_ref,  # (16*n_spans, bn) f32
+    alpha_ref,  # (1, bn) f32
+    beta_ref,  # (1, bn) f32
+    out_ref,  # (bm, bn) f32
+    acc_ref,  # (bm, bn) f32 scratch
+    *,
+    nk: int,
+    n_spans: int,
+    span: int,
+):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    half = span // 2
+    s_all = scales_ref[:]
+    z_all = zeros_ref[:]
+
+    acc = acc_ref[:]
+    for t in range(n_spans):
+        byte = qw_ref[t * half : (t + 1) * half, :].astype(jnp.int32) & 0xFF
+        hi = (byte >> 4).astype(jnp.int8)
+        lo = (byte & 0xF).astype(jnp.int8)
+        x_hi = x_ref[:, t * span : t * span + half]
+        x_lo = x_ref[:, t * span + half : (t + 1) * span]
+        d_hi = jax.lax.dot_general(
+            x_hi, hi, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        d_lo = jax.lax.dot_general(
+            x_lo, lo, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        cs_hi = jnp.sum(x_hi.astype(jnp.int32), axis=1, keepdims=True).astype(jnp.float32)
+        cs_lo = jnp.sum(x_lo.astype(jnp.int32), axis=1, keepdims=True).astype(jnp.float32)
+        r = 16 * t
+        s_h, z_h = s_all[r : r + 1, :], z_all[r : r + 1, :]
+        s_l, z_l = s_all[r + 8 : r + 9, :], z_all[r + 8 : r + 9, :]
+        acc = acc + s_h * (d_hi.astype(jnp.float32) - z_h * cs_hi)
+        acc = acc + s_l * (d_lo.astype(jnp.float32) - z_l * cs_lo)
+    acc_ref[:] = acc
+
+    @pl.when(k == nk - 1)
+    def _():
+        out_ref[:] = acc_ref[:] * alpha_ref[:] + beta_ref[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("groupsize", "span", "bm", "bn", "bk", "interpret"),
+)
+def w4a8_fpscale_matmul_packed(
+    x_s8: jax.Array,  # (M, K) int8
+    qweight: jax.Array,  # (K//2, N) int8, span layout
+    wscales: jax.Array,  # (G, N) f32 per-group FP scales
+    wzeros: jax.Array,  # (G, N) f32
+    alpha: jax.Array,  # (N,) f32 (typically input_scale per channel)
+    beta: Optional[jax.Array] = None,
+    *,
+    groupsize: int = 128,
+    span: int = 256,
+    bm: int = 256,
+    bn: int = 256,
+    bk: Optional[int] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused W4A8 GEMM for *fp-group-scale* weights — the engine path for
+    w4w8 fallback layers (BASELINE config 3).
+
+    Since fp scales cannot ride the INT8 MXU mainloop, the dot is decomposed
+    per group:  y = sum_g s_g * (x_g . q_g  -  z_g * sum_k x_g)
+    — MXU dots on the raw 4-bit codes, fp scaling applied to the (bm, bn)
+    partial outputs, zero correction via a column-sum outer product.  Exact
+    (no fp inside the integer contraction)."""
+    m, k = x_s8.shape
+    k2, n = qweight.shape
+    assert 2 * k2 == k and span == 2 * groupsize
+    bk = bk or span
+    assert bk % span == 0 and k % bk == 0
+    n_spans = bk // span
+    nk = k // bk
+    if n % bn != 0:
+        bn = n if n < bn else 128
+    assert n % bn == 0
+
+    m_pad = _cdiv(m, bm) * bm
+    if m_pad != m:
+        x_s8 = jnp.pad(x_s8, ((0, m_pad - m), (0, 0)))
+
+    scales_x = jnp.repeat(wscales.astype(jnp.float32), 8, axis=0)
+    zeros_x = jnp.repeat(wzeros.astype(jnp.float32), 8, axis=0)
+    if beta is None:
+        beta = jnp.zeros((n,), jnp.float32)
+
+    out = pl.pallas_call(
+        functools.partial(_fpscale_kernel, nk=nk, n_spans=n_spans, span=span),
+        grid=(m_pad // bm, n // bn, nk),
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kk: (i, kk), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // 2, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16 * n_spans, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16 * n_spans, bn), lambda i, j, kk: (kk, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x_s8, qweight, scales_x, zeros_x, alpha.reshape(1, n), beta.reshape(1, n))
+    if m_pad != m:
+        out = out[:m]
+    return out

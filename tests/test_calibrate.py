@@ -92,3 +92,29 @@ def test_ptq_quantized_outputs_feed_next_layer(tiny_setup):
     fp_logits = llama_apply(params, calib[:1], cfg)
     q_logits = llama_apply(res.params, calib[:1], cfg, qs, res.kv_scales)
     assert not np.allclose(np.asarray(fp_logits), np.asarray(q_logits))
+
+
+def test_w4w8_fallback_selection(tiny_setup):
+    """With a tight fallback ratio every linear falls back to fp group
+    scales; with a huge ratio everything stays dual-grained."""
+    cfg, params, calib = tiny_setup
+    tight = _qcfg()
+    tight = QuantConfig(
+        act_quant=tight.act_quant,
+        wt_quant=WtQuantConfig(bits=4, method="search", groupsize=32, w4w8=True,
+                               w4w8_fallback_ratio=0.0),
+        smoothquant=False, kvquant=False,
+    )
+    res = ptq_llama(params, cfg, calib, tight, verbose=False)
+    # ratio 0.0: any nonzero w4w8 error triggers fallback -> all plain
+    assert not res.params["layers"][0]["self_attn"]["q_proj"].w4w8
+    assert not res.params["layers"][0]["mlp"]["down_proj"].w4w8
+
+    loose = QuantConfig(
+        act_quant=tight.act_quant,
+        wt_quant=WtQuantConfig(bits=4, method="search", groupsize=32, w4w8=True,
+                               w4w8_fallback_ratio=1e9),
+        smoothquant=False, kvquant=False,
+    )
+    res2 = ptq_llama(params, cfg, calib, loose, verbose=False)
+    assert res2.params["layers"][0]["self_attn"]["q_proj"].w4w8

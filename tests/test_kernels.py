@@ -107,3 +107,34 @@ def test_kernel_batched_input_shape():
     assert got.shape == (2, 9, 256)
     want = np.asarray(w4a8_matmul_xla(x, lin))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_fpscale_kernel_matches_dequant_golden():
+    """w4w8-fallback GEMM (fp group scales, decomposed dot) vs the exact
+    dequantized matmul."""
+    from dgq_tpu.ops.quant_matmul import w4a8_fpscale_matmul_packed
+    from dgq_tpu.quant.packing import pack_linear
+
+    rng = np.random.default_rng(10)
+    n, k, g = 256, 512, 128
+    w = rng.normal(size=(n, k)).astype(np.float32)
+    wg = w.reshape(-1, g)
+    xmin = np.minimum(wg.min(1), 0)
+    xmax = np.maximum(wg.max(1), 0)
+    scale = (xmax - xmin) / 15
+    zero = np.round(-xmin / scale)
+    pl_ = pack_linear(jnp.asarray(w), jnp.asarray(scale), jnp.asarray(zero), g,
+                      amax=jnp.asarray(3.0))
+    assert not pl_.w4w8 and pl_.span == 2 * g
+
+    x_s8 = jnp.asarray(rng.integers(-127, 128, (64, k)), jnp.int8)
+    input_scale = 3.0 / 127.0
+    alpha = jnp.full((n,), input_scale, jnp.float32)
+
+    got = np.asarray(w4a8_fpscale_matmul_packed(
+        x_s8, pl_.qweight, pl_.wscales, pl_.wzeros, alpha,
+        bm=128, bn=128, interpret=True,
+    ))
+    w_fp = np.asarray(dequantize_linear(pl_))  # (K, N)
+    want = (np.asarray(x_s8, np.float32) @ w_fp) * input_scale
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
