@@ -218,13 +218,24 @@ def main(argv=None):
             print(f"[dgq_tpu] saved {out_path}")
 
     engine_state = None
-    if args.inference_mod and arch == "llama":
-        from dgq_tpu.models.engine import EngineConfig, from_ptq
-
-        eng = from_ptq(params, kv_scales, cfg)
+    if args.inference_mod:
         on_tpu = jax.default_backend() not in ("cpu",)
-        engine_state = (EngineConfig(cfg=cfg, use_kernel=on_tpu), eng)
-        print("[dgq_tpu] converted to INT8 engine")
+        if arch == "llama":
+            from dgq_tpu.models.engine import EngineConfig, from_ptq
+
+            engine_state = (EngineConfig(cfg=cfg, use_kernel=on_tpu), from_ptq(params, kv_scales, cfg))
+        elif arch == "opt":
+            from dgq_tpu.models.opt_engine import OPTEngineConfig, from_ptq_opt
+
+            engine_state = (OPTEngineConfig(cfg=cfg, use_kernel=on_tpu), from_ptq_opt(params, kv_scales, cfg))
+        elif arch == "bloom":
+            from dgq_tpu.models.bloom_engine import BloomEngineConfig, from_ptq_bloom
+
+            engine_state = (BloomEngineConfig(cfg=cfg, use_kernel=on_tpu), from_ptq_bloom(params, kv_scales, cfg))
+        else:
+            print(f"[dgq_tpu] no INT8 engine for {arch} (fake-quant only)")
+        if engine_state is not None:
+            print("[dgq_tpu] converted to INT8 engine")
 
     if args.eval:
         apply_fn = apply_fn_for(arch, cfg)
