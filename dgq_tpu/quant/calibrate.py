@@ -194,6 +194,7 @@ def ptq(
     verbose: bool = True,
     report=None,  # Optional[dgq_tpu.utils.metrics.QuantReport]
     offload: bool = False,
+    resume_dir: Optional[str] = None,
 ) -> PTQResult:
     """Quantize a params pytree layer-sequentially (any supported arch).
 
@@ -202,6 +203,11 @@ def ptq(
     fetched back to host — the TPU-side counterpart of the reference's
     layer-wise CPU<->GPU swapping (reference: quant_sequence.py:53-57,110),
     letting a single chip calibrate models larger than HBM.
+
+    With ``resume_dir``, per-layer state (packed layer + kv scales + the
+    running activations) is checkpointed after each block and a crashed run
+    resumes from the last completed layer — capability the reference lacks
+    (SURVEY §5: "No mid-calibration resume").
     """
     adapter = get_adapter(arch, cfg)
     nsamples, seqlen = calib_ids.shape
@@ -246,7 +252,19 @@ def ptq(
     new_layers = []
     kv_scales_all: List[Optional[KVQuantState]] = []
 
+    start_layer = 0
+    if resume_dir is not None:
+        from dgq_tpu.quant.resume import load_ptq_state
+
+        state = load_ptq_state(resume_dir)
+        if state is not None:
+            start_layer, new_layers, kv_scales_all, inps = state
+            if verbose:
+                print(f"[ptq:{arch}] resuming from layer {start_layer}")
+
     for li, layer in enumerate(adapter.layers(params)):
+        if li < start_layer:
+            continue
         if verbose:
             print(f"[ptq:{arch}] layer {li}")
         if offload:
@@ -318,6 +336,11 @@ def ptq(
         inps = jnp.stack(outs)
 
         new_layers.append(to_host(layer) if offload else layer)
+
+        if resume_dir is not None:
+            from dgq_tpu.quant.resume import save_ptq_state
+
+            save_ptq_state(resume_dir, li + 1, new_layers, kv_scales_all, inps)
 
     return PTQResult(params=adapter.rebuild(params, new_layers), kv_scales=kv_scales_all)
 

@@ -84,3 +84,32 @@ def test_engine_ppl_single_and_sharded_match():
     eng_sh = shard_engine_params(eng, mesh)
     ppl2 = ppl_eval_engine(ecfg, eng_sh, stream, seqlen=32, max_samples=2, mesh=mesh)
     np.testing.assert_allclose(ppl1, ppl2, rtol=1e-3)
+
+
+def test_ptq_resume_midway(tmp_path):
+    """Interrupt after layer 0, resume, and match the uninterrupted result."""
+    cfg = tiny_llama_config(hidden_size=64, intermediate_size=128, num_hidden_layers=2)
+    params = init_llama_params(cfg, jax.random.PRNGKey(5))
+    calib = jnp.asarray(synthetic_stream(cfg.vocab_size, 2 * 32).reshape(2, 32))
+    qcfg = QuantConfig(act_quant=ActQuantConfig(), wt_quant=WtQuantConfig(groupsize=32))
+
+    want = ptq(params, cfg, calib, qcfg, verbose=False)
+
+    # simulate a crash after layer 0: run with a sabotaged second layer via
+    # a truncated param tree, catching the failure
+    rd = str(tmp_path / "resume")
+    crashed = {**params, "layers": params["layers"][:1]}
+    ptq(crashed, cfg, calib, qcfg, verbose=False, resume_dir=rd)
+
+    # resume with the full tree: layer 0 must be loaded, only layer 1 runs
+    got = ptq(params, cfg, calib, qcfg, verbose=False, resume_dir=rd)
+
+    for li in range(2):
+        a = want.params["layers"][li]["self_attn"]["q_proj"]
+        b = got.params["layers"][li]["self_attn"]["q_proj"]
+        np.testing.assert_array_equal(np.asarray(a.qweight), np.asarray(b.qweight))
+    for kv_a, kv_b in zip(want.kv_scales, got.kv_scales):
+        if kv_a is None:
+            assert kv_b is None
+        else:
+            np.testing.assert_allclose(np.asarray(kv_a.k_scale), np.asarray(kv_b.k_scale))
