@@ -145,9 +145,17 @@ def prepare_model(model: str, seed: int = 0):
         from dgq_tpu.models.hf_loader import load_bloom_config, load_bloom_params
 
         return load_bloom_params(model), load_bloom_config(model), "bloom", model
+    if model_type == "mpt":
+        from dgq_tpu.models.hf_loader import load_mpt_config, load_mpt_params
+
+        return load_mpt_params(model), load_mpt_config(model), "mpt", model
+    if model_type in ("falcon", "RefinedWeb", "RefinedWebModel"):
+        from dgq_tpu.models.hf_loader import load_falcon_config, load_falcon_params
+
+        return load_falcon_params(model), load_falcon_config(model), "falcon", model
     raise NotImplementedError(
-        f"HF ingestion for {model_type} not wired; supported: llama/opt/bloom "
-        "(mpt/falcon calibrate via the library API with hand-built params)"
+        f"HF ingestion for {model_type} not wired; supported: "
+        "llama/opt/bloom/mpt/falcon"
     )
 
 

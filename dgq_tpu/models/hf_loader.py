@@ -197,3 +197,103 @@ def load_llama_params(model_dir: str, dtype=jnp.bfloat16) -> Dict:
     if "lm_head" not in params and cfg.tie_word_embeddings:
         params["lm_head"] = {"weight": params["embed_tokens"]}
     return params
+
+
+def load_mpt_config(model_dir: str):
+    from dgq_tpu.models.mpt import MPTConfig
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        hf = json.load(f)
+    return MPTConfig(
+        vocab_size=hf["vocab_size"],
+        d_model=hf["d_model"],
+        n_heads=hf["n_heads"],
+        n_layers=hf["n_layers"],
+        expansion_ratio=hf.get("expansion_ratio", 4),
+        max_seq_len=hf.get("max_seq_len", 2048),
+        no_bias=hf.get("no_bias", True),
+    )
+
+
+def load_mpt_params(model_dir: str, dtype=jnp.bfloat16) -> Dict:
+    cfg = load_mpt_config(model_dir)
+    layers: list = [
+        {
+            "norm_1": {},
+            "attn": {"Wqkv": {}, "out_proj": {}},
+            "norm_2": {},
+            "ffn": {"up_proj": {}, "down_proj": {}},
+        }
+        for _ in range(cfg.n_layers)
+    ]
+    params: Dict = {"layers": layers}
+    for name, arr in _open_shards(model_dir):
+        a = jnp.asarray(arr).astype(dtype)
+        name = name.replace("transformer.", "")
+        if name == "wte.weight":
+            params["embed_tokens"] = a
+        elif name.startswith("norm_f."):
+            params.setdefault("norm_f", {})[name.split(".")[-1]] = a
+        elif name == "lm_head.weight":
+            params["lm_head"] = {"weight": a}
+        elif name.startswith("blocks."):
+            parts = name.split(".")
+            li = int(parts[1])
+            sub = parts[2]
+            if sub in ("norm_1", "norm_2"):
+                layers[li][sub][parts[3]] = a
+            elif sub in ("attn", "ffn"):
+                layers[li][sub][parts[3]][parts[4]] = a
+    if "lm_head" not in params:
+        params["lm_head"] = {"weight": params["embed_tokens"]}  # MPT ties weights
+    return params
+
+
+def load_falcon_config(model_dir: str):
+    from dgq_tpu.models.falcon import FalconConfig
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        hf = json.load(f)
+    n_head = hf.get("num_attention_heads", hf.get("n_head"))
+    return FalconConfig(
+        vocab_size=hf["vocab_size"],
+        hidden_size=hf["hidden_size"],
+        num_hidden_layers=hf.get("num_hidden_layers", hf.get("n_layer")),
+        num_attention_heads=n_head,
+        num_kv_heads=1 if hf.get("multi_query", True) else n_head,
+        rope_theta=hf.get("rope_theta", 10000.0),
+        parallel_attn=hf.get("parallel_attn", True),
+    )
+
+
+def load_falcon_params(model_dir: str, dtype=jnp.bfloat16) -> Dict:
+    cfg = load_falcon_config(model_dir)
+    layers: list = [
+        {
+            "input_layernorm": {},
+            "self_attention": {"query_key_value": {}, "dense": {}},
+            "mlp": {"dense_h_to_4h": {}, "dense_4h_to_h": {}},
+        }
+        for _ in range(cfg.num_hidden_layers)
+    ]
+    params: Dict = {"layers": layers}
+    for name, arr in _open_shards(model_dir):
+        a = jnp.asarray(arr).astype(dtype)
+        name = name.replace("transformer.", "")
+        if name == "word_embeddings.weight":
+            params["embed_tokens"] = a
+        elif name.startswith("ln_f."):
+            params.setdefault("ln_f", {})[name.split(".")[-1]] = a
+        elif name == "lm_head.weight":
+            params["lm_head"] = {"weight": a}
+        elif name.startswith("h."):
+            parts = name.split(".")
+            li = int(parts[1])
+            sub = parts[2]
+            if sub == "input_layernorm":
+                layers[li][sub][parts[3]] = a
+            elif sub in ("self_attention", "mlp"):
+                layers[li][sub][parts[3]][parts[4]] = a
+    if "lm_head" not in params:
+        params["lm_head"] = {"weight": params["embed_tokens"]}
+    return params

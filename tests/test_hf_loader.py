@@ -86,3 +86,54 @@ def test_bloom_hf_dir_roundtrip(tmp_path):
         want = model(torch.tensor(ids.astype(np.int64))).logits.numpy()
     got = np.asarray(bloom_apply(params, jnp.asarray(ids), cfg))
     np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
+
+
+def test_mpt_hf_dir_roundtrip(tmp_path):
+    import torch
+    from transformers import MptConfig as HFConfig
+    from transformers.models.mpt.modeling_mpt import MptForCausalLM
+
+    from dgq_tpu.models.hf_loader import load_mpt_config, load_mpt_params
+    from dgq_tpu.models.mpt import mpt_apply
+
+    hf_cfg = HFConfig(vocab_size=128, d_model=64, n_heads=4, n_layers=2,
+                      expansion_ratio=4, max_seq_len=256, attn_implementation="eager")
+    torch.manual_seed(0)
+    model = MptForCausalLM(hf_cfg).eval()
+    model.save_pretrained(tmp_path, safe_serialization=True)
+
+    cfg = load_mpt_config(str(tmp_path))
+    params = load_mpt_params(str(tmp_path), dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    ids = rng.integers(0, 128, size=(1, 11)).astype(np.int32)
+    import torch as _t
+    with _t.no_grad():
+        want = model(_t.tensor(ids.astype(np.int64))).logits.numpy()
+    got = np.asarray(mpt_apply(params, jnp.asarray(ids), cfg))
+    np.testing.assert_allclose(got, want, rtol=3e-3, atol=3e-3)
+
+
+def test_falcon_hf_dir_roundtrip(tmp_path):
+    import torch
+    from transformers import FalconConfig as HFConfig
+    from transformers.models.falcon.modeling_falcon import FalconForCausalLM
+
+    from dgq_tpu.models.hf_loader import load_falcon_config, load_falcon_params
+    from dgq_tpu.models.falcon import falcon_apply
+
+    hf_cfg = HFConfig(vocab_size=128, hidden_size=64, num_hidden_layers=2,
+                      num_attention_heads=4, new_decoder_architecture=False,
+                      multi_query=True, parallel_attn=True, bias=False,
+                      alibi=False, attn_implementation="eager")
+    torch.manual_seed(0)
+    model = FalconForCausalLM(hf_cfg).eval()
+    model.save_pretrained(tmp_path, safe_serialization=True)
+
+    cfg = load_falcon_config(str(tmp_path))
+    params = load_falcon_params(str(tmp_path), dtype=jnp.float32)
+    rng = np.random.default_rng(4)
+    ids = rng.integers(0, 128, size=(1, 13)).astype(np.int32)
+    with torch.no_grad():
+        want = model(torch.tensor(ids.astype(np.int64))).logits.numpy()
+    got = np.asarray(falcon_apply(params, jnp.asarray(ids), cfg))
+    np.testing.assert_allclose(got, want, rtol=3e-3, atol=3e-3)
