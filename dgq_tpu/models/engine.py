@@ -201,6 +201,20 @@ def _rms_norm_q(x: jax.Array, weight_q: jax.Array, eps: float) -> jax.Array:
     return jnp.clip(jnp.round(y), -128, 127).astype(jnp.int8)
 
 
+def _decode_blocks(n: int, k: int, span: int):
+    """Large (bn, bk) for skinny-M GEMVs: decode is HBM/overhead-bound, so
+    fewer, fatter grid steps win (a 7B step otherwise runs ~100k tiny grid
+    iterations).  Constraints: bn | N, bk | K with bk a span multiple, and
+    the in-kernel int32 unpack temporary (bk x bn) bounded to ~2 MB."""
+    bn = next((c for c in (2048, 1024, 512, 256, 128) if n % c == 0), n)
+    bk = next(
+        (c for c in (2048, 1024, 512, 256)
+         if c % span == 0 and k % c == 0 and c * bn * 4 <= (1 << 23)),
+        span,
+    )
+    return bn, bk
+
+
 def _linear_s8(lin: EngineLinear, x_s8: jax.Array, *, use_kernel: bool, groupsize: int = 128,
                bm: int = 256, interpret: bool = False) -> jax.Array:
     """int8 activations -> fp32 output via the fused dequant GEMM."""
@@ -209,10 +223,16 @@ def _linear_s8(lin: EngineLinear, x_s8: jax.Array, *, use_kernel: bool, groupsiz
     if use_kernel:
         from dgq_tpu.ops.quant_matmul import w4a8_matmul_packed
 
+        span = 2 * groupsize
+        n_out = lin.alpha.shape[-1]
+        if m <= 32:  # decode-shaped GEMV: fat blocks
+            bn, bk = _decode_blocks(n_out, x2.shape[-1], span)
+        else:
+            bn, bk = 256, span
         y = w4a8_matmul_packed(
             x2, lin.qweight, lin.wscales, lin.wzeros, lin.alpha, lin.bias,
-            groupsize=groupsize, span=2 * groupsize, bm=bm, interpret=interpret,
-            scales_replicated=True,
+            groupsize=groupsize, span=span, bm=bm, bn=bn, bk=bk,
+            interpret=interpret, scales_replicated=True,
         )
         if lin.bias is not None:
             y = y.reshape(*x_s8.shape[:-1], -1)
