@@ -228,7 +228,13 @@ def _linear_s8(lin: EngineLinear, x_s8: jax.Array, *, use_kernel: bool, groupsiz
         if m <= 32:  # decode-shaped GEMV: fat blocks
             bn, bk = _decode_blocks(n_out, x2.shape[-1], span)
         else:
-            bn, bk = 256, span
+            # prefill: moderate fat blocks (VMEM-bounded at larger bm)
+            bn = next((c for c in (512, 256, 128) if n_out % c == 0), n_out)
+            bk = next(
+                (c for c in (512, 256)
+                 if c % span == 0 and x2.shape[-1] % c == 0 and c * bn * 4 <= (1 << 22)),
+                span,
+            )
         y = w4a8_matmul_packed(
             x2, lin.qweight, lin.wscales, lin.wzeros, lin.alpha, lin.bias,
             groupsize=groupsize, span=span, bm=bm, bn=bn, bk=bk,
