@@ -134,15 +134,17 @@ def _prefill_kernel(
 
     q = q_ref[0, 0]  # (bq, Dh) int8
     nkv = smax // bkv
-    # only blocks that intersect the causal window [0, q0+bq) matter
-    nkv_live = jax.lax.min((q0 + bq + bkv - 1) // bkv, jnp.int32(nkv))
-
     neg = jnp.finfo(jnp.float32).min
 
-    def body(jk, carry):
-        m, l, acc = carry
+    # STATIC unroll with static slices: the fori_loop + dynamic-slice form
+    # compiles ~5x slower through Mosaic (473s vs 99s at 7B shapes); the
+    # masked extra work on non-causal blocks is a few percent of the layer.
+    m = jnp.full((bq, 1), neg, jnp.float32)
+    l = jnp.zeros((bq, 1), jnp.float32)
+    acc = jnp.zeros((bq, dh), jnp.float32)
+    for jk in range(nkv):
         k0 = jk * bkv
-        kt = kt_ref[0, 0, :, pl.ds(k0, bkv)]  # (Dh, bkv) int8
+        kt = kt_ref[0, 0, :, k0 : k0 + bkv]  # (Dh, bkv) int8, static slice
         s32 = jax.lax.dot_general(
             q, kt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
         )
@@ -154,17 +156,12 @@ def _prefill_kernel(
         m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
         alpha = jnp.exp(m - m_new)
         p = jnp.exp(s - m_new)
-        l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
-        vf = v_ref[0, 0, pl.ds(k0, bkv), :].astype(jnp.float32) * v_scale
-        acc_new = acc * alpha + jax.lax.dot_general(
+        l = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        vf = v_ref[0, 0, k0 : k0 + bkv, :].astype(jnp.float32) * v_scale
+        acc = acc * alpha + jax.lax.dot_general(
             p, vf, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
-        return m_new, l_new, acc_new
-
-    m0 = jnp.full((bq, 1), neg, jnp.float32)
-    l0 = jnp.zeros((bq, 1), jnp.float32)
-    a0 = jnp.zeros((bq, dh), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, nkv_live, body, (m0, l0, a0))
+        m = m_new
     out_ref[0, 0] = acc / jnp.maximum(l, 1e-20)
 
 
