@@ -117,6 +117,40 @@ def _engine_linear(pl: PackedLinear, input_scale: jax.Array) -> EngineLinear:
     )
 
 
+def _pad_linear_n(lin: EngineLinear, mult: int) -> EngineLinear:
+    """Pad the output dim to a multiple of ``mult`` with zero-alpha channels
+    (their outputs are exactly 0) — unlocks fatter bn tiles for dims like
+    F=11008 that only divide by 256."""
+    n = lin.alpha.shape[-1]
+    pad = (-n) % mult
+    if pad == 0 or n < mult or pad > n // 8:
+        return lin  # skip tiny dims / disproportionate padding
+    return EngineLinear(
+        qweight=jnp.pad(lin.qweight, ((0, 0), (0, pad))),
+        wscales=jnp.pad(lin.wscales, ((0, 0), (0, pad)), constant_values=1),
+        wzeros=jnp.pad(lin.wzeros, ((0, 0), (0, pad))),
+        alpha=jnp.pad(lin.alpha, (0, pad)),  # zero alpha -> zero output
+        bias=None if lin.bias is None else jnp.pad(lin.bias, (0, pad)),
+    )
+
+
+def _pad_linear_k(lin: EngineLinear, mult: int) -> EngineLinear:
+    """Pad the input dim to a multiple of ``mult``; callers feed zeros in the
+    padded activation channels, so the (garbage) padded weights contribute
+    exactly 0."""
+    k = lin.qweight.shape[0] * 2
+    pad = (-k) % mult
+    if pad == 0 or k < mult or pad > k // 8:
+        return lin
+    return EngineLinear(
+        qweight=jnp.pad(lin.qweight, ((0, pad // 2), (0, 0))),
+        wscales=jnp.pad(lin.wscales, ((0, 8 * pad // 128), (0, 0)), constant_values=1),
+        wzeros=jnp.pad(lin.wzeros, ((0, 8 * pad // 128), (0, 0))),
+        alpha=lin.alpha,
+        bias=lin.bias,
+    )
+
+
 def _fuse_linears(lins: list) -> EngineLinear:
     """Concatenate same-input EngineLinears along the output (N) axis —
     exact, because the packed layout keeps N on the last axis of every
@@ -138,10 +172,15 @@ def _fuse_linears(lins: list) -> EngineLinear:
     )
 
 
-def from_ptq(params, kv_scales, cfg: LlamaConfig) -> EngineParams:
+def from_ptq(params, kv_scales, cfg: LlamaConfig, *, pad_to: int = 2048) -> EngineParams:
     """Convert a PTQ result (params with PackedLinear leaves + kv scales)
     into stacked engine params (reference: loadutils.py:57-70 +
-    A8W4LlamaForCausalLM.from_float)."""
+    A8W4LlamaForCausalLM.from_float).
+
+    ``pad_to`` pads the MLP's intermediate dim (gate/up outputs, down
+    inputs) to a tile-friendly multiple — exact, via zero-alpha output
+    channels and zero activation inputs — so decode GEMVs use fat blocks
+    (e.g. F=11008 -> 11264 halves the grid-iteration count)."""
     per_layer = []
     for li, layer in enumerate(params["layers"]):
         at = layer["self_attn"]
@@ -167,11 +206,13 @@ def from_ptq(params, kv_scales, cfg: LlamaConfig) -> EngineParams:
                 o_proj=_engine_linear(at["o_proj"], out_input_scale),
                 gate_up_proj=_fuse_linears(
                     [
-                        _engine_linear(ml["gate_proj"], mlp_input_scale),
-                        _engine_linear(ml["up_proj"], mlp_input_scale),
+                        _pad_linear_n(_engine_linear(ml["gate_proj"], mlp_input_scale), pad_to // 2),
+                        _pad_linear_n(_engine_linear(ml["up_proj"], mlp_input_scale), pad_to // 2),
                     ]
                 ),
-                down_proj=_engine_linear(ml["down_proj"], down_input_scale),
+                down_proj=_pad_linear_k(
+                    _engine_linear(ml["down_proj"], down_input_scale), pad_to // 2
+                ),
                 q_scale=kv.q_scale.astype(jnp.float32),
                 k_scale=kv.k_scale.astype(jnp.float32),
                 v_scale=kv.v_scale.astype(jnp.float32),
