@@ -41,6 +41,7 @@ def random_engine_linear(key, n_out, n_in, g=128):
 
 def build_7b_engine(cfg: LlamaConfig, seed=0) -> EngineParams:
     d, f = cfg.hidden_size, cfg.intermediate_size
+    f = -(-f // 1024) * 1024  # engine-conversion padding (from_ptq pad_to)
     nq = cfg.num_attention_heads * cfg.head_dim
     nkv = cfg.num_key_value_heads * cfg.head_dim
     keys = jax.random.split(jax.random.PRNGKey(seed), cfg.num_hidden_layers * 7 + 2)
