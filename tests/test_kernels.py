@@ -138,3 +138,20 @@ def test_fpscale_kernel_matches_dequant_golden():
     w_fp = np.asarray(dequantize_linear(pl_))  # (K, N)
     want = (np.asarray(x_s8, np.float32) @ w_fp) * input_scale
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
+def test_bmm_s8_api():
+    """Reference BMM_S8T_S8N_F32T contract: alpha * (a @ b^T)."""
+    from dgq_tpu.ops.bmm import BMM_S8T_S8N_F32T, bmm_s8t_s8n_f32t
+
+    rng = np.random.default_rng(11)
+    a = jnp.asarray(rng.integers(-127, 128, (2, 4, 16, 32)), jnp.int8)
+    b = jnp.asarray(rng.integers(-127, 128, (2, 4, 24, 32)), jnp.int8)
+    got = np.asarray(bmm_s8t_s8n_f32t(a, b, 0.5))
+    want = 0.5 * np.einsum(
+        "bhmk,bhnk->bhmn", np.asarray(a, np.int64), np.asarray(b, np.int64)
+    ).astype(np.float32)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    mod = BMM_S8T_S8N_F32T.from_scale(0.25, 2.0)
+    np.testing.assert_allclose(np.asarray(mod(a, b)), want, rtol=1e-6)
