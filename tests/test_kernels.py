@@ -155,3 +155,60 @@ def test_bmm_s8_api():
 
     mod = BMM_S8T_S8N_F32T.from_scale(0.25, 2.0)
     np.testing.assert_allclose(np.asarray(mod(a, b)), want, rtol=1e-6)
+
+
+def test_multi_span_bk_matches_single_span():
+    """bk = n*span static unroll must be exact vs one span per step."""
+    lin = _make_packed(n=256, k=1024, g=128)
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.normal(size=(32, 1024)).astype(np.float32))
+    base = np.asarray(w4a8_matmul(x, lin, interpret=True, bm=128, bn=128))
+    from dgq_tpu.ops.quant_matmul import quantize_static_int8, w4a8_matmul_packed
+
+    x_s8 = quantize_static_int8(x, lin.amax)
+    alpha = lin.wscales8 * (lin.amax / 127.0)
+    for bk in (512, 1024):
+        got = np.asarray(w4a8_matmul_packed(
+            x_s8, lin.qweight, lin.wscales, lin.wzeros, alpha,
+            bm=128, bn=128, bk=bk, interpret=True,
+        ))
+        np.testing.assert_allclose(got, base, rtol=1e-5, atol=1e-5)
+
+
+def test_int8_out_with_fused_beta():
+    """The OPT B8O8 path: int8 output with bias folded pre-rounding."""
+    from dgq_tpu.ops.quant_matmul import w4a8_matmul_packed
+
+    lin = _make_packed(n=256, k=512)
+    rng = np.random.default_rng(13)
+    x_s8 = jnp.asarray(rng.integers(-127, 128, (16, 512)), jnp.int8)
+    alpha = jnp.asarray(rng.random(256).astype(np.float32)) * 1e-3
+    beta = jnp.asarray(rng.normal(size=256).astype(np.float32))
+
+    got = np.asarray(w4a8_matmul_packed(
+        x_s8, lin.qweight, lin.wscales, lin.wzeros, alpha, beta,
+        bm=128, bn=128, out_dtype=jnp.int8, interpret=True,
+    ))
+    from dgq_tpu.quant.packing import dequantize_to_int8
+
+    w_s8 = np.asarray(dequantize_to_int8(lin))
+    acc = np.asarray(x_s8, np.int64) @ w_s8.astype(np.int64)
+    want = np.clip(np.round(acc * np.asarray(alpha) + np.asarray(beta)), -128, 127)
+    assert (np.abs(got.astype(np.int64) - want.astype(np.int64)) <= 1).all()
+    assert got.dtype == np.int8
+
+
+def test_decode_attention_high_gqa_ratio():
+    """rep=8 (llama-70B-style GQA) through the decode kernel."""
+    from dgq_tpu.ops.attention import int8_decode_attention, int8_decode_attention_xla
+
+    rng = np.random.default_rng(14)
+    b, h, hk, dh, smax = 1, 16, 2, 128, 256
+    q = jnp.asarray(rng.integers(-127, 128, (b, h, dh)), jnp.int8)
+    kt = jnp.asarray(rng.integers(-127, 128, (b, hk, dh, smax)), jnp.int8)
+    v = jnp.asarray(rng.integers(-127, 128, (b, hk, smax, dh)), jnp.int8)
+    args = (q, kt, v, jnp.asarray(100, jnp.int32),
+            jnp.float32(0.02), jnp.float32(0.03), jnp.float32(0.05))
+    want = np.asarray(int8_decode_attention_xla(*args))
+    got = np.asarray(int8_decode_attention(*args, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
