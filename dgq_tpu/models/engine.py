@@ -104,6 +104,25 @@ def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int, num_layers: Option
 # ---------------------------------------------------------------------------
 
 
+def _engine_linear_fp(pl: PackedLinear, input_scale: jax.Array) -> EngineLinear:
+    """fp-group-scale engine representation: exact for BOTH dual-grained
+    (scale = int8_scale * scale8) and plain fallback (fp scale) linears —
+    the uniform layout the fp-scale decomposed-dot GEMM consumes."""
+    assert pl.span == 2 * pl.groupsize, "engine requires span-packed weights"
+    if pl.w4w8:
+        fp_s = pl.wscales.astype(jnp.float32) * pl.wscales8.astype(jnp.float32)[None, :]
+    else:
+        fp_s = pl.wscales.astype(jnp.float32)
+    n = fp_s.shape[-1]
+    return EngineLinear(
+        qweight=pl.qweight,
+        wscales=jnp.repeat(fp_s, 8, axis=0),
+        wzeros=jnp.repeat(pl.wzeros.astype(jnp.float32), 8, axis=0),
+        alpha=jnp.full((n,), 1.0, jnp.float32) * input_scale.astype(jnp.float32),
+        bias=pl.bias,
+    )
+
+
 def _engine_linear(pl: PackedLinear, input_scale: jax.Array) -> EngineLinear:
     assert pl.w4w8 and pl.span == 2 * pl.groupsize, "engine requires span-packed w4w8"
     # scales pre-replicated 8x on sublanes: the kernel's aligned-BlockSpec
@@ -180,7 +199,22 @@ def from_ptq(params, kv_scales, cfg: LlamaConfig, *, pad_to: int = 2048) -> Engi
     ``pad_to`` pads the MLP's intermediate dim (gate/up outputs, down
     inputs) to a tile-friendly multiple — exact, via zero-alpha output
     channels and zero activation inputs — so decode GEMVs use fat blocks
-    (e.g. F=11008 -> 11264 halves the grid-iteration count)."""
+    (e.g. F=11008 -> 11264 halves the grid-iteration count).
+
+    Models containing w4w8-fallback layers (mixed dual-grained / plain
+    fp-group-scale) convert to the uniform fp-scale representation; run them
+    with EngineConfig(fp_scales=True) (use from_ptq_auto for the pair)."""
+    # mixed dual-grained / fallback models use the uniform fp-scale layout
+    all_linears = [
+        layer[sub][nm]
+        for layer in params["layers"]
+        for sub, names in (("self_attn", ("q_proj", "k_proj", "v_proj", "o_proj")),
+                           ("mlp", ("gate_proj", "up_proj", "down_proj")))
+        for nm in names
+    ]
+    mixed = not all(pl.w4w8 for pl in all_linears)
+    make_lin = _engine_linear_fp if mixed else _engine_linear
+
     per_layer = []
     for li, layer in enumerate(params["layers"]):
         at = layer["self_attn"]
@@ -198,20 +232,20 @@ def from_ptq(params, kv_scales, cfg: LlamaConfig, *, pad_to: int = 2048) -> Engi
                 / mlp_input_scale,
                 qkv_proj=_fuse_linears(
                     [
-                        _engine_linear(at["q_proj"], attn_input_scale),
-                        _engine_linear(at["k_proj"], attn_input_scale),
-                        _engine_linear(at["v_proj"], attn_input_scale),
+                        make_lin(at["q_proj"], attn_input_scale),
+                        make_lin(at["k_proj"], attn_input_scale),
+                        make_lin(at["v_proj"], attn_input_scale),
                     ]
                 ),
-                o_proj=_engine_linear(at["o_proj"], out_input_scale),
+                o_proj=make_lin(at["o_proj"], out_input_scale),
                 gate_up_proj=_fuse_linears(
                     [
-                        _pad_linear_n(_engine_linear(ml["gate_proj"], mlp_input_scale), pad_to // 2),
-                        _pad_linear_n(_engine_linear(ml["up_proj"], mlp_input_scale), pad_to // 2),
+                        _pad_linear_n(make_lin(ml["gate_proj"], mlp_input_scale), pad_to // 2),
+                        _pad_linear_n(make_lin(ml["up_proj"], mlp_input_scale), pad_to // 2),
                     ]
                 ),
                 down_proj=_pad_linear_k(
-                    _engine_linear(ml["down_proj"], down_input_scale), pad_to // 2
+                    make_lin(ml["down_proj"], down_input_scale), pad_to // 2
                 ),
                 q_scale=kv.q_scale.astype(jnp.float32),
                 k_scale=kv.k_scale.astype(jnp.float32),
@@ -257,7 +291,7 @@ def _decode_blocks(n: int, k: int, span: int):
 
 
 def _linear_s8(lin: EngineLinear, x_s8: jax.Array, *, use_kernel: bool, groupsize: int = 128,
-               bm: int = 256, interpret: bool = False) -> jax.Array:
+               bm: int = 256, interpret: bool = False, fp_scales: bool = False) -> jax.Array:
     """int8 activations -> fp32 output via the fused dequant GEMM."""
     m = x_s8.shape[0] * x_s8.shape[1] if x_s8.ndim == 3 else x_s8.shape[0]
     x2 = x_s8.reshape(-1, x_s8.shape[-1])
@@ -276,11 +310,20 @@ def _linear_s8(lin: EngineLinear, x_s8: jax.Array, *, use_kernel: bool, groupsiz
                  if c % span == 0 and x2.shape[-1] % c == 0 and c * bn * 4 <= (1 << 22)),
                 span,
             )
-        y = w4a8_matmul_packed(
-            x2, lin.qweight, lin.wscales, lin.wzeros, lin.alpha, lin.bias,
-            groupsize=groupsize, span=span, bm=bm, bn=bn, bk=bk,
-            interpret=interpret, scales_replicated=True,
-        )
+        if fp_scales:
+            from dgq_tpu.ops.quant_matmul import w4a8_fpscale_matmul_packed
+
+            y = w4a8_fpscale_matmul_packed(
+                x2, lin.qweight, lin.wscales[::8], lin.wzeros[::8], lin.alpha, lin.bias,
+                groupsize=groupsize, span=span, bm=bm, bn=bn, bk=span,
+                interpret=interpret,
+            )
+        else:
+            y = w4a8_matmul_packed(
+                x2, lin.qweight, lin.wscales, lin.wzeros, lin.alpha, lin.bias,
+                groupsize=groupsize, span=span, bm=bm, bn=bn, bk=bk,
+                interpret=interpret, scales_replicated=True,
+            )
         if lin.bias is not None:
             y = y.reshape(*x_s8.shape[:-1], -1)
             return y  # bias fused in the kernel epilogue
@@ -291,12 +334,18 @@ def _linear_s8(lin: EngineLinear, x_s8: jax.Array, *, use_kernel: bool, groupsiz
         codes = unpack_nibbles(lin.qweight, 2 * groupsize).astype(jnp.int32)
         k = codes.shape[0]
         # scales arrive 8x-replicated: each group occupies 8 rows
-        scales_k = jnp.repeat(lin.wscales[::8].astype(jnp.int32), groupsize, axis=0)
-        zeros_k = jnp.repeat(lin.wzeros[::8].astype(jnp.int32), groupsize, axis=0)
-        w_s8 = ((codes - zeros_k) * scales_k).astype(jnp.int8)
-        y = jax.lax.dot_general(
-            x2, w_s8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
-        ).astype(jnp.float32) * lin.alpha[None, :]
+        if fp_scales:
+            scales_k = jnp.repeat(lin.wscales[::8].astype(jnp.float32), groupsize, axis=0)
+            zeros_k = jnp.repeat(lin.wzeros[::8].astype(jnp.float32), groupsize, axis=0)
+            w_fp = (codes.astype(jnp.float32) - zeros_k) * scales_k
+            y = (x2.astype(jnp.float32) @ w_fp) * lin.alpha[None, :]
+        else:
+            scales_k = jnp.repeat(lin.wscales[::8].astype(jnp.int32), groupsize, axis=0)
+            zeros_k = jnp.repeat(lin.wzeros[::8].astype(jnp.int32), groupsize, axis=0)
+            w_s8 = ((codes - zeros_k) * scales_k).astype(jnp.int8)
+            y = jax.lax.dot_general(
+                x2, w_s8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+            ).astype(jnp.float32) * lin.alpha[None, :]
     if lin.bias is not None:
         y = y + lin.bias
     return y.reshape(*x_s8.shape[:-1], -1)
@@ -320,6 +369,20 @@ def _attention_scores(q_s8, kt_s8, q_scale, k_scale, head_dim):
     return s32.astype(jnp.float32) * (q_scale * k_scale / math.sqrt(head_dim))
 
 
+def from_ptq_auto(params, kv_scales, cfg: LlamaConfig, *, pad_to: int = 2048, **ecfg_kw):
+    """(EngineConfig, EngineParams) with fp_scales selected automatically
+    for mixed w4w8/fallback models (BASELINE config 3)."""
+    mixed = not all(
+        layer[sub][nm].w4w8
+        for layer in params["layers"]
+        for sub, names in (("self_attn", ("q_proj", "k_proj", "v_proj", "o_proj")),
+                           ("mlp", ("gate_proj", "up_proj", "down_proj")))
+        for nm in names
+    )
+    eng = from_ptq(params, kv_scales, cfg, pad_to=pad_to)
+    return EngineConfig(cfg=cfg, fp_scales=mixed, **ecfg_kw), eng
+
+
 @dataclasses.dataclass(frozen=True)
 class EngineConfig:
     """Static knobs for the engine forward."""
@@ -334,11 +397,15 @@ class EngineConfig:
     # but Mosaic compile through the remote tunnel is currently very slow at
     # 7B scale — opt-in until profiled
     flash_prefill: bool = False
+    # fp-scale engine mode (w4w8 fallback layers, BASELINE config 3): group
+    # scales are fp32 and every linear runs through the decomposed-dot
+    # fp-scale GEMM. from_ptq selects this automatically for mixed models.
+    fp_scales: bool = False
 
     def __hash__(self):
         return hash(
             (self.cfg, self.use_kernel, self.interpret, self.bm_prefill,
-             self.bm_decode, self.tp_axis, self.flash_prefill)
+             self.bm_decode, self.tp_axis, self.flash_prefill, self.fp_scales)
         )
 
 
@@ -355,7 +422,9 @@ def _block(ecfg: EngineConfig, layer: EngineLayer, x: jax.Array,
 
     # ---- attention ----
     x_s8 = _rms_norm_q(x, layer.ln1_weight, cfg.rms_norm_eps)
-    qkv = _linear_s8(layer.qkv_proj, x_s8, use_kernel=ecfg.use_kernel, bm=bm, interpret=ecfg.interpret)
+    kwl = dict(use_kernel=ecfg.use_kernel, bm=bm, interpret=ecfg.interpret,
+               fp_scales=ecfg.fp_scales)
+    qkv = _linear_s8(layer.qkv_proj, x_s8, **kwl)
 
     # head counts inferred from (possibly tensor-sharded) projection widths,
     # so the same block body runs unsharded and under shard_map TP:
@@ -427,7 +496,7 @@ def _block(ecfg: EngineConfig, layer: EngineLayer, x: jax.Array,
         ctx = ctx.transpose(0, 3, 1, 2, 4).reshape(b, s, h * dh)
 
     ctx_s8 = _requant(ctx, layer.out_input_scale, qmin=-127.0)  # llama_a8w4.py:158 clamps -127
-    attn_out = _linear_s8(layer.o_proj, ctx_s8, use_kernel=ecfg.use_kernel, bm=bm, interpret=ecfg.interpret)
+    attn_out = _linear_s8(layer.o_proj, ctx_s8, **kwl)
     if ecfg.tp_axis is not None:
         # row-parallel o_proj: all-reduce the fp32 partial sums *after* the
         # per-channel epilogue (int32 psum would overflow the alpha-scaling
@@ -437,11 +506,11 @@ def _block(ecfg: EngineConfig, layer: EngineLayer, x: jax.Array,
 
     # ---- mlp ----
     x_s8 = _rms_norm_q(x, layer.ln2_weight, cfg.rms_norm_eps)
-    gate_up = _linear_s8(layer.gate_up_proj, x_s8, use_kernel=ecfg.use_kernel, bm=bm, interpret=ecfg.interpret)
+    gate_up = _linear_s8(layer.gate_up_proj, x_s8, **kwl)
     gate, up = jnp.split(gate_up, 2, axis=-1)
     hidden = jax.nn.silu(gate) * up
     h_s8 = _requant(hidden, layer.down_input_scale)
-    mlp_out = _linear_s8(layer.down_proj, h_s8, use_kernel=ecfg.use_kernel, bm=bm, interpret=ecfg.interpret)
+    mlp_out = _linear_s8(layer.down_proj, h_s8, **kwl)
     if ecfg.tp_axis is not None:
         mlp_out = jax.lax.psum(mlp_out, ecfg.tp_axis)
     x = x + mlp_out.astype(x.dtype)

@@ -112,7 +112,9 @@ def _decode_block_batched(ecfg: EngineConfig, layer, x, k_cache, v_cache, length
     dh = cfg.head_dim
 
     x_s8 = _rms_norm_q(x, layer.ln1_weight, cfg.rms_norm_eps)
-    qkv = _linear_s8(layer.qkv_proj, x_s8, use_kernel=ecfg.use_kernel, bm=ecfg.bm_decode, interpret=ecfg.interpret)
+    kwl = dict(use_kernel=ecfg.use_kernel, bm=ecfg.bm_decode, interpret=ecfg.interpret,
+               fp_scales=ecfg.fp_scales)
+    qkv = _linear_s8(layer.qkv_proj, x_s8, **kwl)
     rep = cfg.num_attention_heads // cfg.num_key_value_heads
     hk = qkv.shape[-1] // dh // (rep + 2)
     h = rep * hk
@@ -159,17 +161,17 @@ def _decode_block_batched(ecfg: EngineConfig, layer, x, k_cache, v_cache, length
         ).reshape(b, 1, h * dh)
 
     ctx_s8 = _requant(ctx, layer.out_input_scale, qmin=-127.0)
-    attn_out = _linear_s8(layer.o_proj, ctx_s8, use_kernel=ecfg.use_kernel, bm=ecfg.bm_decode, interpret=ecfg.interpret)
+    attn_out = _linear_s8(layer.o_proj, ctx_s8, **kwl)
     if ecfg.tp_axis is not None:
         attn_out = jax.lax.psum(attn_out, ecfg.tp_axis)
     x = x + attn_out.astype(x.dtype)
 
     x_s8 = _rms_norm_q(x, layer.ln2_weight, cfg.rms_norm_eps)
-    gate_up = _linear_s8(layer.gate_up_proj, x_s8, use_kernel=ecfg.use_kernel, bm=ecfg.bm_decode, interpret=ecfg.interpret)
+    gate_up = _linear_s8(layer.gate_up_proj, x_s8, **kwl)
     gate, up = jnp.split(gate_up, 2, axis=-1)
     hidden = jax.nn.silu(gate) * up
     h_s8 = _requant(hidden, layer.down_input_scale)
-    mlp_out = _linear_s8(layer.down_proj, h_s8, use_kernel=ecfg.use_kernel, bm=ecfg.bm_decode, interpret=ecfg.interpret)
+    mlp_out = _linear_s8(layer.down_proj, h_s8, **kwl)
     if ecfg.tp_axis is not None:
         mlp_out = jax.lax.psum(mlp_out, ecfg.tp_axis)
     x = x + mlp_out.astype(x.dtype)

@@ -126,3 +126,41 @@ def test_engine_flash_prefill_matches_xla_path(engine_setup):
     )
     np.testing.assert_allclose(np.asarray(lx), np.asarray(lk), rtol=3e-4, atol=3e-4)
     np.testing.assert_array_equal(np.asarray(cx.k), np.asarray(ck.k))
+
+
+def test_mixed_fallback_engine(engine_setup):
+    """Mixed w4w8/fallback models run through the fp-scale engine mode and
+    track the fake-quant path (BASELINE config 3)."""
+    cfg, params, res, eng = engine_setup
+    from dgq_tpu.config import ActQuantConfig, QuantConfig, WtQuantConfig
+    from dgq_tpu.models.engine import from_ptq_auto
+    from dgq_tpu.quant.calibrate import ptq_llama
+    from dgq_tpu.quant.packing import PackedLinear
+
+    calib = jnp.asarray(synthetic_stream(cfg.vocab_size, 2 * 64).reshape(2, 64))
+    qcfg = QuantConfig(
+        act_quant=ActQuantConfig(),
+        wt_quant=WtQuantConfig(groupsize=128, w4w8=True, w4w8_fallback_ratio=0.0),
+        smoothquant=True, kvquant=True,
+    )
+    res2 = ptq_llama(params, cfg, calib, qcfg, verbose=False)
+    # all layers fell back to fp scales at ratio 0.0
+    assert not res2.params["layers"][0]["self_attn"]["q_proj"].w4w8
+
+    ecfg2, eng2 = from_ptq_auto(res2.params, res2.kv_scales, cfg, use_kernel=False)
+    assert ecfg2.fp_scales
+    ids = jnp.asarray(synthetic_stream(cfg.vocab_size, 16, seed=31).reshape(1, 16))
+    cache = init_kv_cache(cfg, 1, 32)
+    logits, _ = engine_forward(ecfg2, eng2, ids, cache)
+    assert bool(jnp.isfinite(logits).all())
+
+    qs = QuantState(actq=True, wtq=True, kv=True)
+    fq = llama_apply(res2.params, ids, cfg, qs, res2.kv_scales)
+    agree = (np.asarray(jnp.argmax(logits[0], -1)) == np.asarray(jnp.argmax(fq[0], -1))).mean()
+    assert agree > 0.8, f"fp-scale engine agreement too low: {agree}"
+
+    # the kernel path matches the XLA path in interpret mode
+    ecfg3 = EngineConfig(cfg=cfg, use_kernel=True, interpret=True, fp_scales=True,
+                         bm_prefill=128, bm_decode=128)
+    lk, _ = engine_forward(ecfg3, eng2, ids, cache)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(lk), rtol=5e-3, atol=5e-3)
