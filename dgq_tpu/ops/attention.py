@@ -268,3 +268,115 @@ def int8_decode_attention_xla(
     vf = v_cache.astype(jnp.float32) * v_scale
     out = jnp.einsum("bgrs,bgsd->bgrd", p, vf)
     return out.reshape(b, h, dh)
+
+
+def _decode_chunk_kernel(
+    len_ref,  # SMEM (B,)
+    scale_ref,  # SMEM (3,)
+    q_ref,  # (1, 1, rep, Dh) int8
+    kt_ref,  # (1, 1, Dh, CH) int8 — one cache chunk
+    v_ref,  # (1, 1, CH, Dh) int8
+    acc_ref,  # (1, 1, rep, Dh) f32 partial numerator
+    m_ref,  # (1, 1, rep, 128) f32 partial max (col 0)
+    l_ref,  # (1, 1, rep, 128) f32 partial sum (col 0)
+):
+    rep, dh = q_ref.shape[2], q_ref.shape[3]
+    ch = kt_ref.shape[3]
+    b_idx = pl.program_id(0)
+    c_idx = pl.program_id(2)
+    length = len_ref[b_idx]
+    qk_scale = scale_ref[0]
+    v_scale = scale_ref[1]
+    neg = jnp.finfo(jnp.float32).min
+
+    q = q_ref[0, 0]
+    kt = kt_ref[0, 0]
+    s32 = jax.lax.dot_general(
+        q, kt, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    s = s32.astype(jnp.float32) * qk_scale
+    pos = c_idx * ch + jax.lax.broadcasted_iota(jnp.int32, (rep, ch), 1)
+    s = jnp.where(pos < length, s, neg)
+
+    m = jnp.max(s, axis=1, keepdims=True)  # (rep, 1)
+    # all-masked chunks: exp(neg - neg) would be 1; pin m to 0 so p = exp(neg) = 0
+    m_safe = jnp.where(m <= neg / 2, 0.0, m)
+    p = jnp.exp(s - m_safe)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    vf = v_ref[0, 0].astype(jnp.float32) * v_scale
+    acc = jax.lax.dot_general(
+        p, vf, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    acc_ref[0, 0] = acc
+    m_ref[0, 0] = jnp.broadcast_to(m_safe, (rep, 128))
+    l_ref[0, 0] = jnp.broadcast_to(l, (rep, 128))
+
+
+@functools.partial(jax.jit, static_argnames=("chunk", "apply_sqrt_dh", "interpret"))
+def int8_decode_attention_chunked(
+    q_s8: jax.Array,  # (B, H, Dh) int8
+    kt_cache: jax.Array,  # (B, Hkv, Dh, Smax) int8
+    v_cache: jax.Array,  # (B, Hkv, Smax, Dh) int8
+    length: jax.Array,
+    q_scale: jax.Array,
+    k_scale: jax.Array,
+    v_scale: jax.Array,
+    *,
+    chunk: int = 2048,
+    apply_sqrt_dh: bool = True,
+    interpret: bool = False,
+) -> jax.Array:
+    """Long-context decode attention: the cache is processed in
+    VMEM-bounded chunks (grid over chunks), each emitting flash partials
+    (numerator, row max, row sum) that combine exactly outside the kernel
+    via logsumexp merging.  Extends the INT8 decode path beyond
+    VMEM-resident context lengths (SURVEY §5 long-context row)."""
+    b, h, dh = q_s8.shape
+    _, hk, _, smax = kt_cache.shape
+    rep = h // hk
+    assert smax % chunk == 0, (smax, chunk)
+    nc = smax // chunk
+    qg = q_s8.reshape(b, hk, rep, dh)
+    lengths = jnp.broadcast_to(jnp.asarray(length, jnp.int32), (b,))
+
+    qk = (q_scale * k_scale).astype(jnp.float32)
+    if apply_sqrt_dh:
+        qk = qk / math.sqrt(dh)
+    scales = jnp.stack([qk, v_scale.astype(jnp.float32), jnp.float32(0)])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, hk, nc),
+        in_specs=[
+            pl.BlockSpec((1, 1, rep, dh), lambda i, j, c, *_: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, dh, chunk), lambda i, j, c, *_: (i, j, 0, c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, chunk, dh), lambda i, j, c, *_: (i, j, c, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, rep, dh), lambda i, j, c, *_: (i * nc + c, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rep, 128), lambda i, j, c, *_: (i * nc + c, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rep, 128), lambda i, j, c, *_: (i * nc + c, j, 0, 0), memory_space=pltpu.VMEM),
+        ),
+    )
+
+    acc, m, l = pl.pallas_call(
+        _decode_chunk_kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((b * nc, hk, rep, dh), jnp.float32),
+            jax.ShapeDtypeStruct((b * nc, hk, rep, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b * nc, hk, rep, 128), jnp.float32),
+        ),
+        interpret=interpret,
+    )(lengths, scales, qg, kt_cache, v_cache)
+
+    acc = acc.reshape(b, nc, hk, rep, dh)
+    m = m.reshape(b, nc, hk, rep, 128)[..., :1]
+    l = l.reshape(b, nc, hk, rep, 128)[..., :1]
+
+    m_glob = jnp.max(m, axis=1, keepdims=True)  # (B, 1, Hkv, rep, 1)
+    w = jnp.exp(m - m_glob)  # per-chunk weight
+    num = jnp.sum(acc * w, axis=1)  # (B, Hkv, rep, Dh)
+    den = jnp.sum(l * w, axis=1)  # (B, Hkv, rep, 1)
+    out = num / jnp.maximum(den, 1e-20)
+    return out.reshape(b, h, dh)

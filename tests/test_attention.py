@@ -79,3 +79,32 @@ def test_prefill_attention_respects_prompt_len():
                                             bq=128, bkv=128, interpret=True))
     # rows < 70 are fully determined; compare those
     np.testing.assert_allclose(got[:, :, :70], want[:, :, :70], rtol=2e-4, atol=2e-4)
+
+
+def test_chunked_decode_matches_monolithic():
+    from dgq_tpu.ops.attention import (
+        int8_decode_attention_chunked,
+        int8_decode_attention_xla,
+    )
+
+    q, kt, v, ln = _setup(b=2, h=8, hk=4, dh=128, smax=512, length=300)
+    args = (q, kt, v, ln, jnp.float32(0.02), jnp.float32(0.03), jnp.float32(0.05))
+    want = np.asarray(int8_decode_attention_xla(*args))
+    got = np.asarray(int8_decode_attention_chunked(*args, chunk=128, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_chunked_decode_fully_masked_chunks():
+    """Chunks entirely beyond `length` must contribute nothing."""
+    from dgq_tpu.ops.attention import (
+        int8_decode_attention_chunked,
+        int8_decode_attention_xla,
+    )
+
+    q, kt, v, _ = _setup(b=1, h=4, hk=4, dh=128, smax=512)
+    scales = (jnp.float32(0.02), jnp.float32(0.03), jnp.float32(0.05))
+    short = jnp.asarray(100, jnp.int32)  # chunks 1..3 fully masked at chunk=128
+    want = np.asarray(int8_decode_attention_xla(q, kt, v, short, *scales))
+    got = np.asarray(int8_decode_attention_chunked(q, kt, v, short, *scales,
+                                                   chunk=128, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
