@@ -401,11 +401,16 @@ class EngineConfig:
     # scales are fp32 and every linear runs through the decomposed-dot
     # fp-scale GEMM. from_ptq selects this automatically for mixed models.
     fp_scales: bool = False
+    # long-context decode: >0 processes the KV cache in chunks of this many
+    # tokens (VMEM-bounded flash partials + exact logsumexp combine); 0 keeps
+    # the whole per-head cache slice in VMEM (fine to ~8k context)
+    decode_attn_chunk: int = 0
 
     def __hash__(self):
         return hash(
             (self.cfg, self.use_kernel, self.interpret, self.bm_prefill,
-             self.bm_decode, self.tp_axis, self.flash_prefill, self.fp_scales)
+             self.bm_decode, self.tp_axis, self.flash_prefill, self.fp_scales,
+             self.decode_attn_chunk)
         )
 
 
@@ -457,18 +462,27 @@ def _block(ecfg: EngineConfig, layer: EngineLayer, x: jax.Array,
 
     rep = h // hk
     if s == 1 and ecfg.use_kernel:
-        from dgq_tpu.ops.attention import int8_decode_attention
+        if ecfg.decode_attn_chunk and k_cache.shape[-1] > ecfg.decode_attn_chunk:
+            from dgq_tpu.ops.attention import int8_decode_attention_chunked
 
-        ctx = int8_decode_attention(
-            q_s8[:, :, 0, :],  # (B, H, Dh)
-            k_cache,
-            v_cache,
-            cache_len + 1,
-            layer.q_scale,
-            layer.k_scale,
-            layer.v_scale,
-            interpret=ecfg.interpret,
-        )  # (B, H, Dh) f32
+            ctx = int8_decode_attention_chunked(
+                q_s8[:, :, 0, :], k_cache, v_cache, cache_len + 1,
+                layer.q_scale, layer.k_scale, layer.v_scale,
+                chunk=ecfg.decode_attn_chunk, interpret=ecfg.interpret,
+            )
+        else:
+            from dgq_tpu.ops.attention import int8_decode_attention
+
+            ctx = int8_decode_attention(
+                q_s8[:, :, 0, :],  # (B, H, Dh)
+                k_cache,
+                v_cache,
+                cache_len + 1,
+                layer.q_scale,
+                layer.k_scale,
+                layer.v_scale,
+                interpret=ecfg.interpret,
+            )  # (B, H, Dh) f32
         ctx = ctx.reshape(b, 1, h * dh)
     elif ecfg.use_kernel and ecfg.flash_prefill and s % 128 == 0 and k_cache.shape[-1] % 128 == 0:
         # flash prefill: blockwise online softmax, scores never hit HBM

@@ -164,3 +164,24 @@ def test_mixed_fallback_engine(engine_setup):
                          bm_prefill=128, bm_decode=128)
     lk, _ = engine_forward(ecfg3, eng2, ids, cache)
     np.testing.assert_allclose(np.asarray(logits), np.asarray(lk), rtol=5e-3, atol=5e-3)
+
+
+def test_engine_chunked_decode_attention(engine_setup):
+    """decode_attn_chunk engages the chunked kernel and matches the
+    monolithic path."""
+    cfg, params, res, eng = engine_setup
+    ids = jnp.asarray(synthetic_stream(cfg.vocab_size, 8, seed=41).reshape(1, 8))
+    base = EngineConfig(cfg=cfg, use_kernel=True, interpret=True,
+                        bm_prefill=128, bm_decode=128)
+    chunked = EngineConfig(cfg=cfg, use_kernel=True, interpret=True,
+                           bm_prefill=128, bm_decode=128, decode_attn_chunk=16)
+    c1 = init_kv_cache(cfg, 1, 64)
+    l1, c1 = engine_forward(base, eng, ids, c1)
+    t1 = jnp.argmax(l1[:, -1:, :], axis=-1).astype(jnp.int32)
+    d1, _ = engine_forward(base, eng, t1, c1)
+
+    c2 = init_kv_cache(cfg, 1, 64)
+    l2, c2 = engine_forward(chunked, eng, ids, c2)
+    t2 = jnp.argmax(l2[:, -1:, :], axis=-1).astype(jnp.int32)
+    d2, _ = engine_forward(chunked, eng, t2, c2)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=2e-4, atol=2e-4)
