@@ -576,15 +576,32 @@ def generate(
     prompt_ids: jax.Array,  # (B, S)
     max_new_tokens: int,
     max_len: int,
+    sampling=None,  # Optional[dgq_tpu.serving.sampling.SamplingParams]
+    rng_key: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Greedy decode loop (prefill + N decode steps)."""
+    """Decode loop (prefill + N steps); greedy by default, or sampled with
+    SamplingParams (temperature / top-k / top-p)."""
+    from dgq_tpu.serving.sampling import SamplingParams, sample_logits
+
+    sampling = sampling or SamplingParams()
+    if not sampling.greedy and rng_key is None:
+        rng_key = jax.random.PRNGKey(0)
+
+    def pick(lg, key):
+        return sample_logits(lg[:, -1, :], sampling, key)
+
     b, s = prompt_ids.shape
     cache = init_kv_cache(ecfg.cfg, b, max_len)
     logits, cache = engine_forward(ecfg, params, prompt_ids, cache)
-    next_tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+    key = None
+    if not sampling.greedy:
+        rng_key, key = jax.random.split(rng_key)
+    next_tok = pick(logits, key)
     toks = [next_tok]
     for _ in range(max_new_tokens - 1):
         logits, cache = engine_forward(ecfg, params, next_tok[:, None], cache)
-        next_tok = jnp.argmax(logits[:, -1, :], axis=-1).astype(jnp.int32)
+        if not sampling.greedy:
+            rng_key, key = jax.random.split(rng_key)
+        next_tok = pick(logits, key)
         toks.append(next_tok)
     return jnp.stack(toks, axis=1)

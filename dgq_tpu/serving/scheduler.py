@@ -35,6 +35,7 @@ class Request:
     prompt_ids: np.ndarray  # (S,)
     max_new_tokens: int
     eos_token_id: Optional[int] = None
+    sampling: Optional[object] = None  # SamplingParams; None => greedy
     # filled in by the scheduler:
     output_ids: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
@@ -60,6 +61,7 @@ class ContinuousBatcher:
         self.slots: List[Optional[Request]] = [None] * num_slots
         self.next_tokens = np.zeros((num_slots,), np.int32)
         self.finished: List[Request] = []
+        self._seed = 0
 
     # -- public API ---------------------------------------------------------
 
@@ -104,7 +106,7 @@ class ContinuousBatcher:
                 jnp.asarray(len(req.prompt_ids), jnp.int32),
                 self.cache,
             )
-            tok = int(jnp.argmax(logits))
+            tok = self._pick_token(req, logits[None, :])
             req.output_ids.append(tok)
             self.slots[slot] = req
             self.next_tokens[slot] = tok
@@ -119,14 +121,29 @@ class ContinuousBatcher:
             self.cache,
             jnp.asarray(active),
         )
-        toks = np.asarray(jnp.argmax(logits, axis=-1), np.int32)
+        greedy_toks = np.asarray(jnp.argmax(logits, axis=-1), np.int32)
         for slot, req in enumerate(self.slots):
             if req is None:
                 continue
-            tok = int(toks[slot])
+            if req.sampling is None or req.sampling.greedy:
+                tok = int(greedy_toks[slot])
+            else:
+                tok = self._pick_token(req, logits[slot][None, :])
             req.output_ids.append(tok)
             self.next_tokens[slot] = tok
             self._maybe_finish(slot)
+
+    def _pick_token(self, req, logits_row) -> int:
+        """Per-request sampling (greedy when unspecified)."""
+        from dgq_tpu.serving.sampling import SamplingParams, sample_logits
+
+        sp = req.sampling or SamplingParams()
+        if sp.greedy:
+            return int(jnp.argmax(logits_row))
+        if not hasattr(self, "_key"):
+            self._key = jax.random.PRNGKey(self._seed)
+        self._key, sub = jax.random.split(self._key)
+        return int(sample_logits(jnp.asarray(logits_row), sp, sub)[0])
 
     def _maybe_finish(self, slot: int):
         req = self.slots[slot]

@@ -105,3 +105,51 @@ def test_batcher_outputs_match_sequential_engine(serving_setup):
     finished = sorted(batcher.run(), key=lambda r: r.uid)
     for r, want in zip(finished, seq_outputs):
         assert r.output_ids == want, (r.uid, r.output_ids, want)
+
+
+def test_sampling_params():
+    from dgq_tpu.serving.sampling import SamplingParams, sample_logits
+
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(rng.normal(size=(2, 64)).astype(np.float32))
+    # greedy == argmax
+    got = sample_logits(logits, SamplingParams())
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(jnp.argmax(logits, -1)))
+    # top-k=1 sampling is deterministic argmax regardless of temperature
+    got = sample_logits(logits, SamplingParams(temperature=5.0, top_k=1), jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(jnp.argmax(logits, -1)))
+    # top-p tiny keeps only the argmax
+    got = sample_logits(logits, SamplingParams(temperature=1.0, top_p=1e-6), jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(jnp.argmax(logits, -1)))
+    # high temperature: samples vary with the key and stay in range
+    a = sample_logits(logits, SamplingParams(temperature=2.0), jax.random.PRNGKey(2))
+    b = sample_logits(logits, SamplingParams(temperature=2.0), jax.random.PRNGKey(3))
+    assert ((np.asarray(a) >= 0) & (np.asarray(a) < 64)).all()
+
+
+def test_generate_with_sampling(serving_setup):
+    from dgq_tpu.models.engine import generate
+    from dgq_tpu.serving.sampling import SamplingParams
+
+    cfg, eng, ecfg = serving_setup
+    prompt = jnp.asarray(synthetic_stream(cfg.vocab_size, 6, seed=17).reshape(1, 6))
+    toks = generate(ecfg, eng, prompt, max_new_tokens=3, max_len=16,
+                    sampling=SamplingParams(temperature=1.0, top_k=10),
+                    rng_key=jax.random.PRNGKey(7))
+    assert toks.shape == (1, 3)
+    assert bool((toks >= 0).all()) and bool((toks < cfg.vocab_size).all())
+
+
+def test_batcher_with_sampled_request(serving_setup):
+    from dgq_tpu.serving.sampling import SamplingParams
+
+    cfg, eng, ecfg = serving_setup
+    batcher = ContinuousBatcher(ecfg, eng, num_slots=2, max_len=32, prefill_pad=8)
+    rng = np.random.default_rng(5)
+    batcher.add_request(Request(uid=0, prompt_ids=rng.integers(0, cfg.vocab_size, 5).astype(np.int32),
+                                max_new_tokens=3))
+    batcher.add_request(Request(uid=1, prompt_ids=rng.integers(0, cfg.vocab_size, 5).astype(np.int32),
+                                max_new_tokens=3,
+                                sampling=SamplingParams(temperature=1.0, top_k=20)))
+    finished = batcher.run()
+    assert len(finished) == 2 and all(len(r.output_ids) == 3 for r in finished)
