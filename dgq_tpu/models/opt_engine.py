@@ -235,13 +235,23 @@ def _opt_block(ecfg: OPTEngineConfig, layer: OPTEngineLayer, x, k_cache, v_cache
 
 def _linear_s8_int8out(lin: EngineLinear, x_s8, *, use_kernel, bm, interpret, groupsize=128):
     """int8 activations -> int8 output (requantized in the epilogue)."""
+    from dgq_tpu.models.engine import _decode_blocks
+
+    m = x_s8.reshape(-1, x_s8.shape[-1]).shape[0]
     x2 = x_s8.reshape(-1, x_s8.shape[-1])
     if use_kernel:
         from dgq_tpu.ops.quant_matmul import w4a8_matmul_packed
 
+        span = 2 * groupsize
+        n_out = lin.alpha.shape[-1]
+        if m <= 32:
+            bn, bk = _decode_blocks(n_out, x2.shape[-1], span)
+        else:
+            bn = next((c for c in (512, 256, 128) if n_out % c == 0), n_out)
+            bk = span
         y = w4a8_matmul_packed(
             x2, lin.qweight, lin.wscales, lin.wzeros, lin.alpha, lin.bias,
-            groupsize=groupsize, span=2 * groupsize, bm=bm,
+            groupsize=groupsize, span=span, bm=bm, bn=bn, bk=bk,
             out_dtype=jnp.int8, interpret=interpret, scales_replicated=True,
         )
     else:
