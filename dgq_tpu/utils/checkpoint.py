@@ -194,3 +194,73 @@ def _listify(tree):
             return [_listify(tree[str(i)]) for i in range(len(keys))]
         return {k: _listify(v) for k, v in tree.items()}
     return tree
+
+
+def save_engine(path: str, eng, cfg: LlamaConfig):
+    """Serialize converted EngineParams directly (fused/padded/pre-replicated
+    buffers), so serving startup skips the PTQ-result -> engine conversion."""
+    import dataclasses as _dc
+
+    from safetensors.flax import save_file
+
+    tensors: Dict[str, Any] = {}
+    leaves, treedef = __import__("jax").tree_util.tree_flatten_with_path(eng)
+    for path_keys, leaf in leaves:
+        key = "/".join(str(getattr(k, "name", getattr(k, "key", getattr(k, "idx", k)))) for k in path_keys)
+        tensors[key] = leaf
+    save_file(tensors, path)
+    with open(path + ".json", "w") as f:
+        json.dump(
+            {
+                "format_version": 1,
+                "kind": "engine",
+                "model_config": _dc.asdict(cfg),
+                "rms_eps": eng.rms_eps,
+            },
+            f,
+        )
+
+
+def load_engine(path: str):
+    """(EngineParams, LlamaConfig) from a save_engine checkpoint."""
+    import jax as _jax
+
+    from safetensors.flax import load_file
+
+    from dgq_tpu.models.engine import EngineLayer, EngineLinear, EngineParams
+
+    tensors = load_file(path)
+    with open(path + ".json") as f:
+        manifest = json.load(f)
+    cfg = LlamaConfig(**manifest["model_config"])
+
+    def lin(prefix: str) -> EngineLinear:
+        return EngineLinear(
+            qweight=tensors[f"{prefix}/qweight"],
+            wscales=tensors[f"{prefix}/wscales"],
+            wzeros=tensors[f"{prefix}/wzeros"],
+            alpha=tensors[f"{prefix}/alpha"],
+            bias=tensors.get(f"{prefix}/bias"),
+        )
+
+    layers = EngineLayer(
+        ln1_weight=tensors["layers/ln1_weight"],
+        ln2_weight=tensors["layers/ln2_weight"],
+        qkv_proj=lin("layers/qkv_proj"),
+        o_proj=lin("layers/o_proj"),
+        gate_up_proj=lin("layers/gate_up_proj"),
+        down_proj=lin("layers/down_proj"),
+        q_scale=tensors["layers/q_scale"],
+        k_scale=tensors["layers/k_scale"],
+        v_scale=tensors["layers/v_scale"],
+        out_input_scale=tensors["layers/out_input_scale"],
+        down_input_scale=tensors["layers/down_input_scale"],
+    )
+    eng = EngineParams(
+        embed_tokens=tensors["embed_tokens"],
+        layers=layers,
+        norm_weight=tensors["norm_weight"],
+        lm_head=tensors["lm_head"],
+        rms_eps=manifest["rms_eps"],
+    )
+    return eng, cfg

@@ -38,3 +38,29 @@ def test_quantized_checkpoint_roundtrip(tmp_path):
     l1 = np.asarray(llama_apply(res.params, ids, cfg, qs, res.kv_scales))
     l2 = np.asarray(llama_apply(params2, ids, cfg2, qs, kv2))
     np.testing.assert_allclose(l1, l2, rtol=1e-5, atol=1e-5)
+
+
+def test_engine_checkpoint_roundtrip(tmp_path):
+    from dgq_tpu.models.engine import EngineConfig, engine_forward, from_ptq, init_kv_cache
+    from dgq_tpu.utils.checkpoint import load_engine, save_engine
+    from dgq_tpu.utils.datautils import synthetic_stream
+
+    cfg = tiny_llama_config(hidden_size=256, intermediate_size=512, num_hidden_layers=2,
+                            num_attention_heads=4, num_key_value_heads=4)
+    params = init_llama_params(cfg, jax.random.PRNGKey(0))
+    calib = jnp.asarray(synthetic_stream(cfg.vocab_size, 2 * 32).reshape(2, 32))
+    qcfg = QuantConfig(act_quant=ActQuantConfig(), wt_quant=WtQuantConfig(groupsize=128))
+    res = ptq_llama(params, cfg, calib, qcfg, verbose=False)
+    eng = from_ptq(res.params, res.kv_scales, cfg)
+
+    path = str(tmp_path / "engine.safetensors")
+    save_engine(path, eng, cfg)
+    eng2, cfg2 = load_engine(path)
+    assert cfg2 == cfg
+
+    ecfg = EngineConfig(cfg=cfg, use_kernel=False)
+    ids = jnp.asarray(synthetic_stream(cfg.vocab_size, 8, seed=2).reshape(1, 8))
+    cache = init_kv_cache(cfg, 1, 16)
+    l1, _ = engine_forward(ecfg, eng, ids, cache)
+    l2, _ = engine_forward(ecfg, eng2, ids, cache)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
