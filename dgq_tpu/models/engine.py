@@ -57,7 +57,9 @@ class EngineLayer(NamedTuple):
     4 per block (q|k|v split at [Nq, Nq+Nkv, Nq+2*Nkv]; gate|up at [F])."""
 
     ln1_weight: jax.Array  # (D,) f32, pre-divided by attn_input_scale
+    ln1_bias: Optional[jax.Array]  # meanact fold (None otherwise)
     ln2_weight: jax.Array  # (D,) f32, pre-divided by mlp_input_scale
+    ln2_bias: Optional[jax.Array]
     qkv_proj: EngineLinear  # N = Nq + 2*Nkv
     o_proj: EngineLinear
     gate_up_proj: EngineLinear  # N = 2*F
@@ -228,8 +230,18 @@ def from_ptq(params, kv_scales, cfg: LlamaConfig, *, pad_to: int = 2048) -> Engi
             EngineLayer(
                 ln1_weight=layer["input_layernorm"]["weight"].astype(jnp.float32)
                 / attn_input_scale,
+                ln1_bias=(
+                    None
+                    if layer["input_layernorm"].get("bias") is None
+                    else layer["input_layernorm"]["bias"].astype(jnp.float32) / attn_input_scale
+                ),
                 ln2_weight=layer["post_attention_layernorm"]["weight"].astype(jnp.float32)
                 / mlp_input_scale,
+                ln2_bias=(
+                    None
+                    if layer["post_attention_layernorm"].get("bias") is None
+                    else layer["post_attention_layernorm"]["bias"].astype(jnp.float32) / mlp_input_scale
+                ),
                 qkv_proj=_fuse_linears(
                     [
                         make_lin(at["q_proj"], attn_input_scale),
@@ -269,10 +281,12 @@ def from_ptq(params, kv_scales, cfg: LlamaConfig, *, pad_to: int = 2048) -> Engi
 # ---------------------------------------------------------------------------
 
 
-def _rms_norm_q(x: jax.Array, weight_q: jax.Array, eps: float) -> jax.Array:
-    """RMSNormQ: fp norm with pre-scaled weight, round -> int8
-    (reference: fused.py:34-37)."""
+def _rms_norm_q(x: jax.Array, weight_q: jax.Array, eps: float, bias_q=None) -> jax.Array:
+    """RMSNormQ: fp norm with pre-scaled weight (+ optional meanact bias),
+    round -> int8 (reference: fused.py:34-37)."""
     y = rms_norm(x.astype(jnp.float32), weight_q, eps)
+    if bias_q is not None:
+        y = y + bias_q
     return jnp.clip(jnp.round(y), -128, 127).astype(jnp.int8)
 
 
@@ -426,7 +440,7 @@ def _block(ecfg: EngineConfig, layer: EngineLayer, x: jax.Array,
     dh = cfg.head_dim
 
     # ---- attention ----
-    x_s8 = _rms_norm_q(x, layer.ln1_weight, cfg.rms_norm_eps)
+    x_s8 = _rms_norm_q(x, layer.ln1_weight, cfg.rms_norm_eps, layer.ln1_bias)
     kwl = dict(use_kernel=ecfg.use_kernel, bm=bm, interpret=ecfg.interpret,
                fp_scales=ecfg.fp_scales)
     qkv = _linear_s8(layer.qkv_proj, x_s8, **kwl)
@@ -519,7 +533,7 @@ def _block(ecfg: EngineConfig, layer: EngineLayer, x: jax.Array,
     x = x + attn_out.astype(x.dtype)
 
     # ---- mlp ----
-    x_s8 = _rms_norm_q(x, layer.ln2_weight, cfg.rms_norm_eps)
+    x_s8 = _rms_norm_q(x, layer.ln2_weight, cfg.rms_norm_eps, layer.ln2_bias)
     gate_up = _linear_s8(layer.gate_up_proj, x_s8, **kwl)
     gate, up = jnp.split(gate_up, 2, axis=-1)
     hidden = jax.nn.silu(gate) * up

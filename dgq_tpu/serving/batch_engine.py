@@ -111,7 +111,7 @@ def _decode_block_batched(ecfg: EngineConfig, layer, x, k_cache, v_cache, length
     b = x.shape[0]
     dh = cfg.head_dim
 
-    x_s8 = _rms_norm_q(x, layer.ln1_weight, cfg.rms_norm_eps)
+    x_s8 = _rms_norm_q(x, layer.ln1_weight, cfg.rms_norm_eps, layer.ln1_bias)
     kwl = dict(use_kernel=ecfg.use_kernel, bm=ecfg.bm_decode, interpret=ecfg.interpret,
                fp_scales=ecfg.fp_scales)
     qkv = _linear_s8(layer.qkv_proj, x_s8, **kwl)
@@ -166,7 +166,7 @@ def _decode_block_batched(ecfg: EngineConfig, layer, x, k_cache, v_cache, length
         attn_out = jax.lax.psum(attn_out, ecfg.tp_axis)
     x = x + attn_out.astype(x.dtype)
 
-    x_s8 = _rms_norm_q(x, layer.ln2_weight, cfg.rms_norm_eps)
+    x_s8 = _rms_norm_q(x, layer.ln2_weight, cfg.rms_norm_eps, layer.ln2_bias)
     gate_up = _linear_s8(layer.gate_up_proj, x_s8, **kwl)
     gate, up = jnp.split(gate_up, 2, axis=-1)
     hidden = jax.nn.silu(gate) * up

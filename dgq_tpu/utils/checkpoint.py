@@ -245,7 +245,9 @@ def load_engine(path: str):
 
     layers = EngineLayer(
         ln1_weight=tensors["layers/ln1_weight"],
+        ln1_bias=tensors.get("layers/ln1_bias"),
         ln2_weight=tensors["layers/ln2_weight"],
+        ln2_bias=tensors.get("layers/ln2_bias"),
         qkv_proj=lin("layers/qkv_proj"),
         o_proj=lin("layers/o_proj"),
         gate_up_proj=lin("layers/gate_up_proj"),

@@ -51,7 +51,9 @@ def build_7b_engine(cfg: LlamaConfig, seed=0) -> EngineParams:
         per_layer.append(
             EngineLayer(
                 ln1_weight=jnp.ones((d,), jnp.float32) * 10.0,
+                ln1_bias=None,
                 ln2_weight=jnp.ones((d,), jnp.float32) * 10.0,
+                ln2_bias=None,
                 qkv_proj=random_engine_linear(keys[ki + 0], nq + 2 * nkv, d),
                 o_proj=random_engine_linear(keys[ki + 3], d, nq),
                 gate_up_proj=random_engine_linear(keys[ki + 4], 2 * f, d),

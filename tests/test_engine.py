@@ -185,3 +185,33 @@ def test_engine_chunked_decode_attention(engine_setup):
     t2 = jnp.argmax(l2[:, -1:, :], axis=-1).astype(jnp.int32)
     d2, _ = engine_forward(chunked, eng, t2, c2)
     np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=2e-4, atol=2e-4)
+
+
+def test_meanact_engine_conversion(engine_setup):
+    """meanact-calibrated models carry an LN bias through engine conversion
+    (previously silently dropped)."""
+    cfg, params, res, eng = engine_setup
+    from dgq_tpu.config import ActQuantConfig, QuantConfig, WtQuantConfig
+    from dgq_tpu.models.engine import from_ptq
+    from dgq_tpu.quant.calibrate import ptq_llama
+
+    calib = jnp.asarray(synthetic_stream(cfg.vocab_size, 2 * 32).reshape(2, 32))
+    qcfg = QuantConfig(
+        act_quant=ActQuantConfig(), wt_quant=WtQuantConfig(groupsize=128),
+        smoothquant=True, meanact=True, kvquant=True,
+    )
+    res2 = ptq_llama(params, cfg, calib, qcfg, verbose=False)
+    assert res2.params["layers"][0]["input_layernorm"].get("bias") is not None
+    eng2 = from_ptq(res2.params, res2.kv_scales, cfg)
+    assert eng2.layers.ln1_bias is not None
+
+    ecfg = EngineConfig(cfg=cfg, use_kernel=False)
+    ids = jnp.asarray(synthetic_stream(cfg.vocab_size, 16, seed=51).reshape(1, 16))
+    cache = init_kv_cache(cfg, 1, 32)
+    logits, _ = engine_forward(ecfg, eng2, ids, cache)
+    assert bool(jnp.isfinite(logits).all())
+
+    qs = QuantState(actq=True, wtq=True, kv=True)
+    fq = llama_apply(res2.params, ids, cfg, qs, res2.kv_scales)
+    agree = (np.asarray(jnp.argmax(logits[0], -1)) == np.asarray(jnp.argmax(fq[0], -1))).mean()
+    assert agree > 0.75, f"meanact engine agreement too low: {agree}"
