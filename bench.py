@@ -54,7 +54,7 @@ def main():
 
     bm, bn = (1024, 1024) if on_tpu else (128, 128)
     kw = (
-        dict(iters=128, base_iters=32, repeats=5)
+        dict(iters=96, base_iters=24, repeats=2)
         if on_tpu
         else dict(iters=3, base_iters=1, repeats=1)
     )
