@@ -168,12 +168,25 @@ def ppl_eval_engine(
     mesh=None,
     max_samples: Optional[int] = None,
     verbose: bool = False,
+    forward_fn=None,
+    init_cache_fn=None,
 ) -> float:
     """Perplexity through the real-quant INT8 engine (prefill logits), the
     path the reference exercises after inference_model conversion
     (reference: entry.py:95-116).  With ``mesh`` given, runs the tensor/data
-    -parallel sharded engine (BASELINE config 4: sharded ppl)."""
+    -parallel sharded engine (BASELINE config 4: sharded ppl).
+
+    Defaults to the LLaMA engine; pass ``forward_fn(ecfg, params, ids, cache)``
+    and ``init_cache_fn(cfg, batch, max_len)`` to evaluate another engine
+    family (e.g. ``opt_engine_forward``/``init_opt_kv_cache`` or the BLOOM
+    pair) — the reference runs the same ppl loop over every architecture's
+    inference model (reference: entry.py:95-116)."""
     from dgq_tpu.models.engine import engine_forward, init_kv_cache
+
+    if forward_fn is None:
+        forward_fn = engine_forward
+    if init_cache_fn is None:
+        init_cache_fn = init_kv_cache
 
     tokens = np.asarray(token_stream).reshape(-1)
     nsamples = len(tokens) // seqlen
@@ -186,12 +199,12 @@ def ppl_eval_engine(
     nlls = []
     for i in range(nsamples):
         batch = jnp.asarray(tokens[i * seqlen : (i + 1) * seqlen][None, :], jnp.int32)
-        cache = init_kv_cache(ecfg.cfg, 1, seqlen)
+        cache = init_cache_fn(ecfg.cfg, 1, seqlen)
         if mesh is not None:
             cache = shard_kv_cache(cache, mesh)
             logits, _ = sharded_engine_forward(ecfg, params, batch, cache, mesh)
         else:
-            logits, _ = engine_forward(ecfg, params, batch, cache)
+            logits, _ = forward_fn(ecfg, params, batch, cache)
         shift = logits[:, :-1].astype(jnp.float32)
         labels = batch[:, 1:]
         logp = jax.nn.log_softmax(shift, axis=-1)

@@ -69,6 +69,27 @@ def test_opt_engine_decode_matches_prefill(opt_engine_setup):
     )
 
 
+def test_ppl_eval_engine_opt(opt_engine_setup):
+    """ppl_eval_engine generalizes across engine families via forward/cache fns."""
+    from dgq_tpu.utils.evalutils import ppl_eval, ppl_eval_engine
+
+    cfg, params, res, eng = opt_engine_setup
+    ecfg = OPTEngineConfig(cfg=cfg, use_kernel=False)
+    stream = synthetic_stream(cfg.vocab_size, 2 * 32, seed=11)
+    ppl_engine = ppl_eval_engine(
+        ecfg, eng, stream, seqlen=32, max_samples=2,
+        forward_fn=opt_engine_forward, init_cache_fn=init_opt_kv_cache,
+    )
+    assert np.isfinite(ppl_engine) and ppl_engine > 1.0
+    # must be in the same ballpark as the fake-quant ppl on the same stream
+    qs = QuantState(actq=True, wtq=True, kv=True)
+    ppl_fq = ppl_eval(
+        lambda p, ids: opt_apply(p, ids, cfg, qs, res.kv_scales),
+        res.params, stream, seqlen=32, max_samples=2,
+    )
+    assert abs(np.log(ppl_engine) - np.log(ppl_fq)) < 0.5, (ppl_engine, ppl_fq)
+
+
 def test_opt_engine_kernel_matches_xla(opt_engine_setup):
     cfg, params, res, eng = opt_engine_setup
     ids = jnp.asarray(synthetic_stream(cfg.vocab_size, 8, seed=3).reshape(1, 8))
