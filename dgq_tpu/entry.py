@@ -263,11 +263,32 @@ def main(argv=None):
             except Exception as e:
                 print(f"[dgq_tpu] {ds}: unavailable offline ({type(e).__name__}); skipping")
                 continue
-            ppl = ppl_eval(
-                logits_fn, (params, kv_scales), stream, seqlen,
-                max_samples=args.eval_samples, verbose=True,
-            )
-            print(f"[dgq_tpu] {ds} ppl = {ppl:.4f}")
+            if engine_state is not None:
+                # the reference evaluates through the converted real-quant
+                # model after --inference_mod (reference: entry.py:95-116)
+                from dgq_tpu.utils.evalutils import ppl_eval_engine
+
+                fwd = initc = None
+                if arch == "opt":
+                    from dgq_tpu.models.opt_engine import init_opt_kv_cache, opt_engine_forward
+
+                    fwd, initc = opt_engine_forward, init_opt_kv_cache
+                elif arch == "bloom":
+                    from dgq_tpu.models.bloom_engine import bloom_engine_forward, init_bloom_kv_cache
+
+                    fwd, initc = bloom_engine_forward, init_bloom_kv_cache
+                ppl = ppl_eval_engine(
+                    engine_state[0], engine_state[1], stream, seqlen,
+                    max_samples=args.eval_samples, verbose=True,
+                    forward_fn=fwd, init_cache_fn=initc,
+                )
+                print(f"[dgq_tpu] {ds} ppl (INT8 engine) = {ppl:.4f}")
+            else:
+                ppl = ppl_eval(
+                    logits_fn, (params, kv_scales), stream, seqlen,
+                    max_samples=args.eval_samples, verbose=True,
+                )
+                print(f"[dgq_tpu] {ds} ppl = {ppl:.4f}")
 
     if args.mmlu_eval != "no":
         from dgq_tpu.utils.datautils import prepare_mmlu

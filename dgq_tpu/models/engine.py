@@ -304,9 +304,13 @@ def _decode_blocks(n: int, k: int, span: int):
     return bn, bk
 
 
-def _linear_s8(lin: EngineLinear, x_s8: jax.Array, *, use_kernel: bool, groupsize: int = 128,
+def _linear_s8(lin: EngineLinear, x_s8: jax.Array, *, use_kernel: bool, groupsize: int | None = None,
                bm: int = 256, interpret: bool = False, fp_scales: bool = False) -> jax.Array:
     """int8 activations -> fp32 output via the fused dequant GEMM."""
+    if groupsize is None:
+        # infer from the packed layout: K = 2 * packed rows, scales arrive
+        # 8x-replicated so G = rows/8; groupsize = K / G
+        groupsize = (2 * lin.qweight.shape[0] * 8) // lin.wscales.shape[0]
     m = x_s8.shape[0] * x_s8.shape[1] if x_s8.ndim == 3 else x_s8.shape[0]
     x2 = x_s8.reshape(-1, x_s8.shape[-1])
     if use_kernel:

@@ -30,7 +30,7 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from dgq_tpu.models.engine import EngineLinear, _linear_s8
+from dgq_tpu.models.engine import EngineLinear, _fuse_linears, _linear_s8
 from dgq_tpu.models.opt import OPTConfig
 from dgq_tpu.quant.packing import PackedLinear
 
@@ -38,9 +38,11 @@ from dgq_tpu.quant.packing import PackedLinear
 class OPTEngineLayer(NamedTuple):
     ln1_weight: jax.Array  # (D,) f32, / attn_input_scale
     ln1_bias: jax.Array
-    q_proj: EngineLinear  # int8 out; alpha includes /q_scale; q absorbs 1/sqrt(dh)
-    k_proj: EngineLinear  # int8 out
-    v_proj: EngineLinear  # int8 out
+    # fused q|k|v, int8 out; per-channel alpha carries each component's own
+    # output scale (q additionally absorbs 1/sqrt(dh)) so one GEMM launch
+    # replaces three (the reference keeps them separate CUDA kernels,
+    # opt_a8w4.py:55-66; on TPU launch count dominates decode)
+    qkv_proj: EngineLinear
     out_proj: EngineLinear  # f32 out
     ln2_weight: jax.Array  # / fc1_input_scale
     ln2_bias: jax.Array
@@ -128,9 +130,11 @@ def from_ptq_opt(params, kv_scales, cfg: OPTConfig) -> OPTEngineParams:
                 ln1_bias=layer["self_attn_layer_norm"]["bias"].astype(jnp.float32)
                 / attn_input_scale,
                 # q absorbs the attention scaling (reference: opt_a8w4.py:60-61)
-                q_proj=_int8_out_linear(at["q_proj"], attn_input_scale, q_scale, scaling),
-                k_proj=_int8_out_linear(at["k_proj"], attn_input_scale, k_scale),
-                v_proj=_int8_out_linear(at["v_proj"], attn_input_scale, v_scale),
+                qkv_proj=_fuse_linears([
+                    _int8_out_linear(at["q_proj"], attn_input_scale, q_scale, scaling),
+                    _int8_out_linear(at["k_proj"], attn_input_scale, k_scale),
+                    _int8_out_linear(at["v_proj"], attn_input_scale, v_scale),
+                ]),
                 out_proj=_f32_out_linear(at["out_proj"], out_input_scale),
                 ln2_weight=layer["final_layer_norm"]["weight"].astype(jnp.float32)
                 / fc1_input_scale,
@@ -183,9 +187,8 @@ def _opt_block(ecfg: OPTEngineConfig, layer: OPTEngineLayer, x, k_cache, v_cache
 
     x_s8 = _layer_norm_q(x, layer.ln1_weight, layer.ln1_bias, cfg.layer_norm_eps)
     kw = dict(use_kernel=ecfg.use_kernel, bm=bm, interpret=ecfg.interpret)
-    q_s8 = _linear_s8_int8out(layer.q_proj, x_s8, **kw)
-    k_s8 = _linear_s8_int8out(layer.k_proj, x_s8, **kw)
-    v_s8 = _linear_s8_int8out(layer.v_proj, x_s8, **kw)
+    qkv_s8 = _linear_s8_int8out(layer.qkv_proj, x_s8, **kw)
+    q_s8, k_s8, v_s8 = jnp.split(qkv_s8, 3, axis=-1)
 
     h = q_s8.shape[-1] // dh
     q_s8 = q_s8.reshape(b, s, h, dh).transpose(0, 2, 1, 3)
@@ -233,10 +236,13 @@ def _opt_block(ecfg: OPTEngineConfig, layer: OPTEngineLayer, x, k_cache, v_cache
     return x, k_cache, v_cache
 
 
-def _linear_s8_int8out(lin: EngineLinear, x_s8, *, use_kernel, bm, interpret, groupsize=128):
+def _linear_s8_int8out(lin: EngineLinear, x_s8, *, use_kernel, bm, interpret, groupsize=None):
     """int8 activations -> int8 output (requantized in the epilogue)."""
     from dgq_tpu.models.engine import _decode_blocks
 
+    if groupsize is None:
+        # infer from the packed layout (K = 2 * packed rows, G = scale rows / 8)
+        groupsize = (2 * lin.qweight.shape[0] * 8) // lin.wscales.shape[0]
     m = x_s8.reshape(-1, x_s8.shape[-1]).shape[0]
     x2 = x_s8.reshape(-1, x_s8.shape[-1])
     if use_kernel:

@@ -45,9 +45,7 @@ def build_opt_engine(cfg: OPTConfig, seed=0) -> OPTEngineParams:
     one = OPTEngineLayer(
         ln1_weight=np.full((d,), 10.0, np.float32),
         ln1_bias=np.zeros((d,), np.float32),
-        q_proj=lin(d, d),
-        k_proj=lin(d, d),
-        v_proj=lin(d, d),
+        qkv_proj=lin(3 * d, d),
         out_proj=lin(d, d),
         ln2_weight=np.full((d,), 10.0, np.float32),
         ln2_bias=np.zeros((d,), np.float32),
