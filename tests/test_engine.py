@@ -215,3 +215,33 @@ def test_meanact_engine_conversion(engine_setup):
     fq = llama_apply(res2.params, ids, cfg, qs, res2.kv_scales)
     agree = (np.asarray(jnp.argmax(logits[0], -1)) == np.asarray(jnp.argmax(fq[0], -1))).mean()
     assert agree > 0.75, f"meanact engine agreement too low: {agree}"
+
+
+@pytest.mark.parametrize("g", [32, 64])
+def test_linear_s8_infers_non128_groupsize(g):
+    """Regression: _linear_s8 / _linear_s8_int8out must infer groupsize from
+    the packed buffers — they used to assume 128, so any other --groupsize
+    dequantized wrong (or shape-errored) in every INT8 engine."""
+    from dgq_tpu.models.engine import _engine_linear, _linear_s8
+    from dgq_tpu.models.opt_engine import _linear_s8_int8out
+    from dgq_tpu.quant.packing import dequantize_to_int8, pack_linear_w4w8
+    from dgq_tpu.quant.search import search_quantize
+
+    rng = np.random.default_rng(g)
+    n, k = 128, 256
+    w = rng.normal(size=(n, k)).astype(np.float32)
+    xcal = rng.normal(size=(32, k)).astype(np.float32)
+    res = search_quantize(jnp.asarray(w), jnp.asarray(xcal), groupsize=g, w4w8=True)
+    pl = pack_linear_w4w8(res.qweight_fp, res.scale, res.zero, res.scale8, g)
+    input_scale = jnp.float32(0.05)
+    lin = _engine_linear(pl, input_scale)
+
+    x_s8 = jnp.asarray(rng.integers(-127, 128, size=(4, k)).astype(np.int8))
+    got = _linear_s8(lin, x_s8, use_kernel=False)
+    w_s8 = dequantize_to_int8(pl)  # (K, N) int8
+    want = (np.asarray(x_s8, np.float32) @ np.asarray(w_s8, np.float32)) * np.asarray(lin.alpha)[None, :]
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+
+    got8 = _linear_s8_int8out(lin, x_s8, use_kernel=False, bm=128, interpret=False)
+    want8 = np.clip(np.round(want), -128, 127).astype(np.int8)
+    np.testing.assert_array_equal(np.asarray(got8), want8)
