@@ -196,9 +196,11 @@ def _listify(tree):
     return tree
 
 
-def save_engine(path: str, eng, cfg: LlamaConfig):
-    """Serialize converted EngineParams directly (fused/padded/pre-replicated
-    buffers), so serving startup skips the PTQ-result -> engine conversion."""
+def save_engine(path: str, eng, cfg, arch: str = "llama"):
+    """Serialize converted engine params directly (fused/padded/pre-replicated
+    buffers), so serving startup skips the PTQ-result -> engine conversion.
+    Works for every engine family (llama ``EngineParams``, opt/bloom
+    ``*EngineParams`` NamedTuples); pass ``arch`` so load can reconstruct."""
     import dataclasses as _dc
 
     from safetensors.flax import save_file
@@ -209,20 +211,40 @@ def save_engine(path: str, eng, cfg: LlamaConfig):
         key = "/".join(str(getattr(k, "name", getattr(k, "key", getattr(k, "idx", k)))) for k in path_keys)
         tensors[key] = leaf
     save_file(tensors, path)
+    manifest = {
+        "format_version": 1,
+        "kind": "engine",
+        "arch": arch,
+        "model_config": _dc.asdict(cfg),
+    }
+    if hasattr(eng, "rms_eps"):
+        manifest["rms_eps"] = eng.rms_eps
     with open(path + ".json", "w") as f:
-        json.dump(
-            {
-                "format_version": 1,
-                "kind": "engine",
-                "model_config": _dc.asdict(cfg),
-                "rms_eps": eng.rms_eps,
-            },
-            f,
-        )
+        json.dump(manifest, f)
+
+
+def _rebuild_namedtuple(cls, tensors, prefix: str = ""):
+    """Reconstruct a (possibly nested) NamedTuple pytree from flat
+    ``a/b/c``-keyed tensors; missing keys (Optional fields saved as None)
+    come back as None."""
+    import sys
+    import typing
+
+    hints = typing.get_type_hints(cls, vars(sys.modules[cls.__module__]))
+    vals = {}
+    for name in cls._fields:
+        key = f"{prefix}{name}"
+        t = hints.get(name)
+        if isinstance(t, type) and issubclass(t, tuple) and hasattr(t, "_fields"):
+            vals[name] = _rebuild_namedtuple(t, tensors, key + "/")
+        else:
+            vals[name] = tensors.get(key)
+    return cls(**vals)
 
 
 def load_engine(path: str):
-    """(EngineParams, LlamaConfig) from a save_engine checkpoint."""
+    """(engine params, model config) from a save_engine checkpoint; the
+    engine family is read from the manifest's ``arch``."""
     import jax as _jax
 
     from safetensors.flax import load_file
@@ -232,6 +254,17 @@ def load_engine(path: str):
     tensors = load_file(path)
     with open(path + ".json") as f:
         manifest = json.load(f)
+    arch = manifest.get("arch", "llama")
+    if arch == "opt":
+        from dgq_tpu.models.opt import OPTConfig
+        from dgq_tpu.models.opt_engine import OPTEngineParams
+
+        return _rebuild_namedtuple(OPTEngineParams, tensors), OPTConfig(**manifest["model_config"])
+    if arch == "bloom":
+        from dgq_tpu.models.bloom import BloomConfig
+        from dgq_tpu.models.bloom_engine import BloomEngineParams
+
+        return _rebuild_namedtuple(BloomEngineParams, tensors), BloomConfig(**manifest["model_config"])
     cfg = LlamaConfig(**manifest["model_config"])
 
     def lin(prefix: str) -> EngineLinear:

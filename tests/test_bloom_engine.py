@@ -80,3 +80,15 @@ def test_bloom_engine_kernel_matches_xla(bloom_engine_setup):
     )
     agree = (np.asarray(jnp.argmax(lx[0], -1)) == np.asarray(jnp.argmax(lk[0], -1))).mean()
     assert agree > 0.9
+
+
+def test_bloom_engine_checkpoint_roundtrip(bloom_engine_setup, tmp_path):
+    from dgq_tpu.utils.checkpoint import load_engine, save_engine
+
+    cfg, params, res, eng = bloom_engine_setup
+    path = str(tmp_path / "bloom_engine.safetensors")
+    save_engine(path, eng, cfg, arch="bloom")
+    eng2, cfg2 = load_engine(path)
+    assert cfg2 == cfg
+    for a, b in zip(jax.tree_util.tree_leaves(eng), jax.tree_util.tree_leaves(eng2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

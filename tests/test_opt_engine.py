@@ -103,3 +103,27 @@ def test_opt_engine_kernel_matches_xla(opt_engine_setup):
     np.testing.assert_allclose(np.asarray(lx), np.asarray(lk), rtol=0.1, atol=0.3)
     agree = (np.asarray(jnp.argmax(lx[0], -1)) == np.asarray(jnp.argmax(lk[0], -1))).mean()
     assert agree > 0.9
+
+
+def test_opt_engine_checkpoint_roundtrip(opt_engine_setup, tmp_path):
+    """save_engine/load_engine must round-trip non-LLaMA engine families
+    bitwise (arch recorded in the manifest, NamedTuple rebuild)."""
+    from dgq_tpu.utils.checkpoint import load_engine, save_engine
+
+    cfg, params, res, eng = opt_engine_setup
+    path = str(tmp_path / "opt_engine.safetensors")
+    save_engine(path, eng, cfg, arch="opt")
+    eng2, cfg2 = load_engine(path)
+    assert cfg2 == cfg
+    flat1 = jax.tree_util.tree_leaves(eng)
+    flat2 = jax.tree_util.tree_leaves(eng2)
+    assert len(flat1) == len(flat2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    ecfg = OPTEngineConfig(cfg=cfg2, use_kernel=False)
+    ids = jnp.asarray(synthetic_stream(cfg.vocab_size, 8, seed=2).reshape(1, 8))
+    cache = init_opt_kv_cache(cfg2, 1, 16)
+    l1, _ = opt_engine_forward(ecfg, eng, ids, cache)
+    l2, _ = opt_engine_forward(ecfg, eng2, ids, cache)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
