@@ -65,6 +65,24 @@ class ContinuousBatcher:
 
     # -- public API ---------------------------------------------------------
 
+    @classmethod
+    def from_checkpoint(cls, path: str, *, use_kernel: Optional[bool] = None, **kw):
+        """Serving startup straight from a ``save_engine`` checkpoint —
+        skips the PTQ-result -> engine conversion entirely."""
+        import jax as _jax
+
+        from dgq_tpu.models.llama import LlamaConfig
+        from dgq_tpu.utils.checkpoint import load_engine
+
+        eng, cfg = load_engine(path)
+        if not isinstance(cfg, LlamaConfig):
+            raise ValueError(
+                f"ContinuousBatcher serves the LLaMA engine; checkpoint is {type(cfg).__name__}"
+            )
+        if use_kernel is None:
+            use_kernel = _jax.default_backend() not in ("cpu",)
+        return cls(EngineConfig(cfg=cfg, use_kernel=use_kernel), eng, **kw)
+
     def add_request(self, req: Request):
         self.queue.append(req)
 

@@ -153,3 +153,26 @@ def test_batcher_with_sampled_request(serving_setup):
                                 sampling=SamplingParams(temperature=1.0, top_k=20)))
     finished = batcher.run()
     assert len(finished) == 2 and all(len(r.output_ids) == 3 for r in finished)
+
+
+def test_batcher_from_checkpoint_matches_direct(serving_setup, tmp_path):
+    """Serving startup from a save_engine checkpoint produces the same
+    greedy outputs as constructing the batcher from in-memory params."""
+    from dgq_tpu.utils.checkpoint import save_engine
+
+    cfg, eng, ecfg = serving_setup
+    path = str(tmp_path / "eng.safetensors")
+    save_engine(path, eng, cfg)
+
+    rng = np.random.default_rng(3)
+    prompts = [rng.integers(0, cfg.vocab_size, size=ln).astype(np.int32) for ln in (4, 6)]
+
+    def run(batcher):
+        for i, p in enumerate(prompts):
+            batcher.add_request(Request(uid=i, prompt_ids=p, max_new_tokens=4))
+        return {r.uid: r.output_ids for r in batcher.run()}
+
+    out_direct = run(ContinuousBatcher(ecfg, eng, num_slots=2, max_len=32, prefill_pad=8))
+    out_ckpt = run(ContinuousBatcher.from_checkpoint(
+        path, use_kernel=False, num_slots=2, max_len=32, prefill_pad=8))
+    assert out_direct == out_ckpt
