@@ -588,6 +588,23 @@ def engine_forward(
     return logits, new_cache
 
 
+@partial(jax.jit, static_argnames=("ecfg", "n"))
+def engine_decode_multi(ecfg: EngineConfig, params: EngineParams, tok, cache, n: int):
+    """``n`` greedy decode steps in ONE dispatch (statically unrolled).
+
+    Amortizes the per-dispatch cost — dominant through remote/tunneled
+    device attachments and non-trivial even locally (the reference pays it
+    per CUDA launch instead, SURVEY §3.3).  Params are an argument, never a
+    closure capture (captured arrays re-materialize per call).
+    Returns (tokens (B, n), next_tok (B, 1), cache)."""
+    toks = []
+    for _ in range(n):
+        logits, cache = engine_forward(ecfg, params, tok, cache)
+        tok = jnp.argmax(logits[:, -1:, :], axis=-1).astype(jnp.int32)
+        toks.append(tok[:, 0])
+    return jnp.stack(toks, axis=1), tok, cache
+
+
 def generate(
     ecfg: EngineConfig,
     params: EngineParams,
@@ -596,9 +613,11 @@ def generate(
     max_len: int,
     sampling=None,  # Optional[dgq_tpu.serving.sampling.SamplingParams]
     rng_key: Optional[jax.Array] = None,
+    decode_unroll: int = 1,
 ) -> jax.Array:
     """Decode loop (prefill + N steps); greedy by default, or sampled with
-    SamplingParams (temperature / top-k / top-p)."""
+    SamplingParams (temperature / top-k / top-p).  ``decode_unroll`` > 1
+    batches that many greedy steps per dispatch (greedy only)."""
     from dgq_tpu.serving.sampling import SamplingParams, sample_logits
 
     sampling = sampling or SamplingParams()
@@ -616,7 +635,17 @@ def generate(
         rng_key, key = jax.random.split(rng_key)
     next_tok = pick(logits, key)
     toks = [next_tok]
-    for _ in range(max_new_tokens - 1):
+    remaining = max_new_tokens - 1
+    if sampling.greedy and decode_unroll > 1:
+        cols = [jnp.stack(toks, axis=1)]
+        tok = next_tok[:, None]
+        while remaining > 0:
+            n = min(decode_unroll, remaining)
+            chunk, tok, cache = engine_decode_multi(ecfg, params, tok, cache, n)
+            cols.append(chunk)
+            remaining -= n
+        return jnp.concatenate(cols, axis=1)
+    for _ in range(remaining):
         logits, cache = engine_forward(ecfg, params, next_tok[:, None], cache)
         if not sampling.greedy:
             rng_key, key = jax.random.split(rng_key)

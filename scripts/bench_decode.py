@@ -11,6 +11,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import argparse
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -120,22 +121,25 @@ def main():
     if args.unroll:
         U = args.unroll
 
-        @jax.jit
-        def multi(tok0, cache0):
+        # params MUST be a jit argument: closure-captured arrays are
+        # re-materialized per call through the axon tunnel (~100x) and the
+        # multi-GB constant capture explodes compile time
+        @partial(jax.jit, static_argnames=("n",))
+        def multi(e, tok0, cache0, n):
             tok, c = tok0, cache0
-            for _ in range(U):
-                lg, c = engine_forward(ecfg, eng, tok, c)
+            for _ in range(n):
+                lg, c = engine_forward(ecfg, e, tok, c)
                 tok = jnp.argmax(lg[:, -1:, :], axis=-1).astype(jnp.int32)
             return tok, c
 
         t0 = time.perf_counter()
-        tok_f, cache_f = multi(tok, cache)
+        tok_f, cache_f = multi(eng, tok, cache, n=U)
         jax.device_get(tok_f)
         print(f"unroll{U} compile+run: {time.perf_counter()-t0:.1f}s", flush=True)
         n_calls = max(args.steps // U, 2)
         t0 = time.perf_counter()
         for _ in range(n_calls):
-            tok, cache = multi(tok, cache)
+            tok, cache = multi(eng, tok, cache, n=U)
         jax.device_get(tok)
         dt = (time.perf_counter() - t0) / (n_calls * U)
         print(f"decode(unroll{U}): {dt*1e3:.2f} ms/step, {args.batch/dt:.1f} tok/s "
@@ -143,19 +147,19 @@ def main():
         return
     if args.fused_loop:
         @jax.jit
-        def multi_step(tok0, cache0):
+        def multi_step(e, tok0, cache0):
             def body(carry, _):
                 tok, c = carry
-                lg, c = engine_forward(ecfg, eng, tok, c)
+                lg, c = engine_forward(ecfg, e, tok, c)
                 nt = jnp.argmax(lg[:, -1:, :], axis=-1).astype(jnp.int32)
                 return (nt, c), None
             (tok_f, cache_f), _ = jax.lax.scan(body, (tok0, cache0), None, length=args.steps)
             return tok_f, cache_f
 
-        tok_f, _ = multi_step(tok, cache)  # compile
+        tok_f, _ = multi_step(eng, tok, cache)  # compile
         jax.device_get(tok_f)
         t0 = time.perf_counter()
-        tok_f, _ = multi_step(tok, cache)
+        tok_f, _ = multi_step(eng, tok, cache)
         jax.device_get(tok_f)
         dt = (time.perf_counter() - t0) / args.steps
     else:

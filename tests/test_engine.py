@@ -245,3 +245,14 @@ def test_linear_s8_infers_non128_groupsize(g):
     got8 = _linear_s8_int8out(lin, x_s8, use_kernel=False, bm=128, interpret=False)
     want8 = np.clip(np.round(want), -128, 127).astype(np.int8)
     np.testing.assert_array_equal(np.asarray(got8), want8)
+
+
+def test_generate_decode_unroll_matches_single_step(engine_setup):
+    """decode_unroll must be a pure dispatch-batching change: greedy tokens
+    identical to the step-by-step loop (incl. a remainder chunk)."""
+    cfg, params, res, eng = engine_setup
+    ecfg = EngineConfig(cfg=cfg, use_kernel=False)
+    ids = jnp.asarray(synthetic_stream(cfg.vocab_size, 8, seed=21).reshape(1, 8))
+    base = generate(ecfg, eng, ids, max_new_tokens=6, max_len=32)
+    unrolled = generate(ecfg, eng, ids, max_new_tokens=6, max_len=32, decode_unroll=4)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(unrolled))
