@@ -185,6 +185,21 @@ def apply_fn_for(arch: str, cfg):
     raise ValueError(arch)
 
 
+def _engine_eval_fns(arch: str):
+    """(forward_fn, init_cache_fn) for the converted INT8 engine of ``arch``."""
+    if arch == "opt":
+        from dgq_tpu.models.opt_engine import init_opt_kv_cache, opt_engine_forward
+
+        return opt_engine_forward, init_opt_kv_cache
+    if arch == "bloom":
+        from dgq_tpu.models.bloom_engine import bloom_engine_forward, init_bloom_kv_cache
+
+        return bloom_engine_forward, init_bloom_kv_cache
+    from dgq_tpu.models.engine import engine_forward, init_kv_cache
+
+    return engine_forward, init_kv_cache
+
+
 def _fp_qs():
     from dgq_tpu.models.llama import QuantState
 
@@ -268,15 +283,7 @@ def main(argv=None):
                 # model after --inference_mod (reference: entry.py:95-116)
                 from dgq_tpu.utils.evalutils import ppl_eval_engine
 
-                fwd = initc = None
-                if arch == "opt":
-                    from dgq_tpu.models.opt_engine import init_opt_kv_cache, opt_engine_forward
-
-                    fwd, initc = opt_engine_forward, init_opt_kv_cache
-                elif arch == "bloom":
-                    from dgq_tpu.models.bloom_engine import bloom_engine_forward, init_bloom_kv_cache
-
-                    fwd, initc = bloom_engine_forward, init_bloom_kv_cache
+                fwd, initc = _engine_eval_fns(arch)
                 ppl = ppl_eval_engine(
                     engine_state[0], engine_state[1], stream, seqlen,
                     max_samples=args.eval_samples, verbose=True,
@@ -294,15 +301,30 @@ def main(argv=None):
         from dgq_tpu.utils.datautils import prepare_mmlu
         from dgq_tpu.utils.evalutils import mmlu_accuracy
 
-        apply_fn = apply_fn_for(arch, cfg)
-        qs = QuantState(actq=qcfg.actq, wtq=qcfg.wtq, kv=qcfg.kvquant)
         examples, abcd = prepare_mmlu(model_dir, args.mmlu_eval)
-        result = mmlu_accuracy(
-            lambda ps_and_kv, batch: apply_fn(ps_and_kv[0], batch, qs, ps_and_kv[1]),
-            (params, kv_scales),
-            examples,
-            abcd,
-        )
+        if engine_state is not None:
+            ec, ep = engine_state
+            fwd, initc = _engine_eval_fns(arch)
+
+            def eng_logits(_unused, batch, _bucket=64):
+                # pad to a bucket so jit recompiles per bucket, not per
+                # example length; causal masking keeps positions < S exact
+                s = batch.shape[1]
+                sp = -(-s // _bucket) * _bucket
+                padded = jnp.pad(batch, ((0, 0), (0, sp - s)))
+                lg, _ = fwd(ec, ep, padded, initc(ec.cfg, batch.shape[0], sp))
+                return lg[:, :s, :]
+
+            result = mmlu_accuracy(eng_logits, None, examples, abcd)
+        else:
+            apply_fn = apply_fn_for(arch, cfg)
+            qs = QuantState(actq=qcfg.actq, wtq=qcfg.wtq, kv=qcfg.kvquant)
+            result = mmlu_accuracy(
+                lambda ps_and_kv, batch: apply_fn(ps_and_kv[0], batch, qs, ps_and_kv[1]),
+                (params, kv_scales),
+                examples,
+                abcd,
+            )
         print(json.dumps({k: v for k, v in result.items() if k == "accuracy"}))
         print(result)
 
