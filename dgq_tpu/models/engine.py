@@ -321,13 +321,20 @@ def _linear_s8(lin: EngineLinear, x_s8: jax.Array, *, use_kernel: bool, groupsiz
         if m <= 32:  # decode-shaped GEMV: fat blocks
             bn, bk = _decode_blocks(n_out, x2.shape[-1], span)
         else:
-            # prefill: moderate fat blocks (VMEM-bounded at larger bm)
+            # prefill: fat M blocks win big (sweep_gemm.py: 339.8 vs 209.5
+            # TOPS at M=2048); grow bm to cover the padded M, cap 2048.
+            # fp-scale kernel keeps the caller's bm (not VMEM-validated fat)
+            if not fp_scales:
+                bm = min(2048, max(bm, 1 << max(m - 1, 1).bit_length()))
             bn = next((c for c in (512, 256, 128) if n_out % c == 0), n_out)
-            bk = next(
-                (c for c in (512, 256)
-                 if c % span == 0 and x2.shape[-1] % c == 0 and c * bn * 4 <= (1 << 22)),
-                span,
-            )
+            if bm >= 1024:
+                bk = span  # bigger K blocks at fat M blow the VMEM budget
+            else:
+                bk = next(
+                    (c for c in (512, 256)
+                     if c % span == 0 and x2.shape[-1] % c == 0 and c * bn * 4 <= (1 << 22)),
+                    span,
+                )
         if fp_scales:
             from dgq_tpu.ops.quant_matmul import w4a8_fpscale_matmul_packed
 

@@ -253,6 +253,8 @@ def _linear_s8_int8out(lin: EngineLinear, x_s8, *, use_kernel, bm, interpret, gr
         if m <= 32:
             bn, bk = _decode_blocks(n_out, x2.shape[-1], span)
         else:
+            # fat M blocks, matching engine._linear_s8 (sweep_gemm.py)
+            bm = min(2048, max(bm, 1 << max(m - 1, 1).bit_length()))
             bn = next((c for c in (512, 256, 128) if n_out % c == 0), n_out)
             bk = span
         y = w4a8_matmul_packed(
