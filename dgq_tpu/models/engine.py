@@ -418,10 +418,12 @@ class EngineConfig:
     bm_prefill: int = 256
     bm_decode: int = 128
     tp_axis: Optional[str] = None  # set under shard_map: psum o_proj/down_proj
-    # flash prefill kernel: big memory win at long S (no SxS scores in HBM)
-    # but Mosaic compile through the remote tunnel is currently very slow at
-    # 7B scale — opt-in until profiled
-    flash_prefill: bool = False
+    # flash prefill kernel: no SxS score materialization in HBM.  On-TPU A/B
+    # at 7B / S=2048 (scripts/ab_flash_prefill.py): identical throughput to
+    # the standard path (263 ms, prefill is GEMM-dominated), so the memory
+    # win is free — default ON.  Engages only when S and Smax are multiples
+    # of 128 (falls back to the standard path otherwise).
+    flash_prefill: bool = True
     # fp-scale engine mode (w4w8 fallback layers, BASELINE config 3): group
     # scales are fp32 and every linear runs through the decomposed-dot
     # fp-scale GEMM. from_ptq selects this automatically for mixed models.
