@@ -1,30 +1,42 @@
-"""Driver benchmark: prints ONE JSON line.
+"""Driver benchmark: ALWAYS prints exactly ONE JSON line on stdout.
 
 Primary metric: fused W4A8 dequant-GEMM throughput as a fraction of the
 INT8 MXU roofline on LLaMA-7B GEMM shapes (the BASELINE.json north-star:
 >= 0.90).  Measured with the dependency-chained harness
 (dgq_tpu/utils/benchmarking.py) because block_until_ready through the axon
-tunnel does not await device completion.  Extra fields carry the raw TOPS
-and the XLA s8 GEMM reference measured identically.  ``vs_baseline`` =
-value / 0.90 (ratio vs the target).
+tunnel does not await device completion.
+
+Fault tolerance (round-1 lesson: the driver capture died on a TPU
+FAILED_PRECONDITION during warm-up and emitted nothing): every measurement
+round runs in a fresh *subprocess* so a wedged backend is retried with a
+clean re-init; failures back off and retry; whatever happens the parent
+prints a parseable JSON line (``degraded``/``rounds_failed`` fields set
+when applicable).
 """
 
 import functools
 import json
-import sys
 import os
+import subprocess
+import sys
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
-
 PEAK_INT8_OPS = {"v5e": 394.7e12, "v5p": 918e12, "v4": 275e12, "v6e": 1836e12}
+
+# parent-side retry schedule: tunnel degraded windows last 10+ minutes, so
+# back off meaningfully between failed attempts
+MAX_ATTEMPTS = int(os.environ.get("DGQ_BENCH_ATTEMPTS", "6"))
+TARGET_GOOD_ROUNDS = 2
+SLEEPS = (20, 45, 90, 150, 240)
+WORKER_TIMEOUT_FIRST = 900  # cold Mosaic remote-compile can take minutes
+WORKER_TIMEOUT_NEXT = 420
 
 
 def _tpu_gen():
+    import jax
+
     gen = os.environ.get("PALLAS_AXON_TPU_GEN", "")
     if gen in PEAK_INT8_OPS:
         return gen
@@ -37,7 +49,12 @@ def _tpu_gen():
     return "v5e"
 
 
-def main():
+def worker_round():
+    """One measurement round; prints one JSON line {"ok": true, ...}."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     from dgq_tpu.ops.quant_matmul import w4a8_matmul_packed
     from dgq_tpu.utils.benchmarking import gemm_tops
 
@@ -53,8 +70,7 @@ def main():
     w8 = jnp.asarray(rng.integers(-127, 128, (k, n)), jnp.int8)
 
     # fat-M blocks: scripts/sweep_gemm.py measured (2048, 512, bk=256) at
-    # 339.8 TOPS (86.1% roofline) vs (1024, 1024) at 209.5 in the same
-    # window — ~1.6x, reproduced across two tunnel windows
+    # 339.8 TOPS (86.1% roofline) vs (1024, 1024) at 209.5 in the same window
     bm, bn = (2048, 512) if on_tpu else (128, 128)
     kw = (
         dict(iters=96, base_iters=24, repeats=2)
@@ -62,52 +78,134 @@ def main():
         else dict(iters=3, base_iters=1, repeats=1)
     )
 
-    fused = functools.partial(
-        w4a8_matmul_packed, bm=bm, bn=bn, interpret=not on_tpu
-    )
+    fused = functools.partial(w4a8_matmul_packed, bm=bm, bn=bn, interpret=not on_tpu)
 
     def xla_s8(x_, w_):
         return jax.lax.dot_general(
             x_, w_, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
         )
 
-    # two interleaved measurement rounds: the tunnel has minutes-long
-    # degraded windows; report the best sustained (max of per-round medians)
-    rounds = 2 if on_tpu else 1
-    best = (float("inf"), 0.0)
-    best_ref = (float("inf"), 0.0)
-    for _ in range(rounds):
-        dt_i, tops_i = gemm_tops(fused, (x, qw, ws, wz, al), m, n, k, **kw)
-        if tops_i > best[1]:
-            best = (dt_i, tops_i)
-        dtr_i, topsr_i = gemm_tops(xla_s8, (x, w8), m, n, k, **kw)
-        if topsr_i > best_ref[1]:
-            best_ref = (dtr_i, topsr_i)
-    dt, tops = best
-    dt_ref, tops_ref = best_ref
+    out = {"ok": True, "backend": jax.default_backend(),
+           "device": jax.devices()[0].device_kind,
+           "shape_mnk": [m, n, k], "block_mn": [bm, bn]}
+    dt, tops = gemm_tops(fused, (x, qw, ws, wz, al), m, n, k, **kw)
+    out["fused_tops"] = round(tops, 1)
+    out["fused_us"] = round(dt * 1e6, 1)
+    # the XLA s8 reference is informational; don't let it sink the round
+    try:
+        dtr, topsr = gemm_tops(xla_s8, (x, w8), m, n, k, **kw)
+        out["xla_s8_tops"] = round(topsr, 1)
+        out["xla_s8_us"] = round(dtr * 1e6, 1)
+    except Exception as e:  # noqa: BLE001
+        out["xla_s8_error"] = repr(e)[:200]
+    print(json.dumps(out), flush=True)
 
-    peak = PEAK_INT8_OPS[_tpu_gen()] if on_tpu else 1e12
-    frac = tops * 1e12 / peak
 
-    result = {
-        "metric": "fused W4A8 dequant-GEMM fraction of INT8 MXU roofline (M=2048 LLaMA-7B shape, best sustained of 2 rounds)",
-        "value": round(frac, 4),
-        "unit": "fraction_of_roofline",
-        "vs_baseline": round(frac / 0.90, 4),
-        "extra": {
-            "fused_tops": round(tops, 1),
-            "fused_us": round(dt * 1e6, 1),
-            "xla_s8_tops": round(tops_ref, 1),
-            "xla_s8_us": round(dt_ref * 1e6, 1),
-            "fused_vs_xla_s8": round(tops / max(tops_ref, 1e-9), 3),
-            "shape_mnk": [m, n, k],
-            "block_mn": [bm, bn],
-            "backend": jax.default_backend(),
-            "device": jax.devices()[0].device_kind,
-        },
-    }
-    print(json.dumps(result))
+def _parse_worker_json(text: str):
+    for line in reversed(text.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                d = json.loads(line)
+                if d.get("ok"):
+                    return d
+            except Exception:
+                continue
+    return None
+
+
+def main():
+    # CPU (no tunnel): run inline, no subprocess machinery needed
+    import jax
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+
+    rounds, errors = [], []
+    if not on_tpu:
+        try:
+            import io
+            import contextlib
+
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                worker_round()
+            d = _parse_worker_json(buf.getvalue())
+            if d:
+                rounds.append(d)
+        except Exception as e:  # noqa: BLE001
+            errors.append(repr(e)[:300])
+    else:
+        attempts = 0
+        while attempts < MAX_ATTEMPTS and len(rounds) < TARGET_GOOD_ROUNDS:
+            timeout = WORKER_TIMEOUT_FIRST if attempts == 0 else WORKER_TIMEOUT_NEXT
+            attempts += 1
+            try:
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--worker"],
+                    capture_output=True, text=True, timeout=timeout,
+                )
+                d = _parse_worker_json(proc.stdout)
+                if d is not None:
+                    rounds.append(d)
+                    continue
+                tail = (proc.stderr or proc.stdout or "").strip().splitlines()
+                errors.append(" | ".join(tail[-3:])[:400] or f"rc={proc.returncode}")
+            except subprocess.TimeoutExpired:
+                errors.append(f"worker timeout after {timeout}s")
+            except Exception as e:  # noqa: BLE001
+                errors.append(repr(e)[:300])
+            if attempts < MAX_ATTEMPTS and len(rounds) < TARGET_GOOD_ROUNDS:
+                time.sleep(SLEEPS[min(attempts - 1, len(SLEEPS) - 1)])
+
+    # aggregate: best sustained (max over per-round medians) — the tunnel has
+    # minutes-long degraded windows that depress absolutes ~40%
+    if rounds:
+        best = max(rounds, key=lambda d: d.get("fused_tops", 0.0))
+        tops = best["fused_tops"]
+        peak = (PEAK_INT8_OPS[_tpu_gen()] if on_tpu else 1e12)
+        frac = tops * 1e12 / peak
+        result = {
+            "metric": "fused W4A8 dequant-GEMM fraction of INT8 MXU roofline "
+                      "(M=2048 LLaMA-7B shape, best sustained of %d round(s))" % len(rounds),
+            "value": round(frac, 4),
+            "unit": "fraction_of_roofline",
+            "vs_baseline": round(frac / 0.90, 4),
+            "extra": {
+                "fused_tops": tops,
+                "fused_us": best.get("fused_us"),
+                "xla_s8_tops": best.get("xla_s8_tops"),
+                "xla_s8_us": best.get("xla_s8_us"),
+                "fused_vs_xla_s8": (
+                    round(tops / best["xla_s8_tops"], 3)
+                    if best.get("xla_s8_tops") else None
+                ),
+                "shape_mnk": best.get("shape_mnk"),
+                "block_mn": best.get("block_mn"),
+                "backend": best.get("backend"),
+                "device": best.get("device"),
+                "rounds_ok": len(rounds),
+                "all_round_tops": [r.get("fused_tops") for r in rounds],
+            },
+        }
+        if errors:
+            result["degraded"] = True
+            result["rounds_failed"] = len(errors)
+            result["extra"]["errors"] = errors
+    else:
+        result = {
+            "metric": "fused W4A8 dequant-GEMM fraction of INT8 MXU roofline",
+            "value": 0.0,
+            "unit": "fraction_of_roofline",
+            "vs_baseline": 0.0,
+            "degraded": True,
+            "rounds_failed": len(errors),
+            "extra": {"errors": errors},
+        }
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    if "--worker" in sys.argv:
+        worker_round()
+    else:
+        main()

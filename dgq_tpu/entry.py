@@ -56,7 +56,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--meanact", action="store_true")
     p.add_argument("--w4w8", action="store_true", help="dual grained quantization")
     p.add_argument("--eval", action="store_true")
-    p.add_argument("--mmlu_eval", type=str, default="no", help="path to mmlu jsonl, or 'no'")
+    p.add_argument("--mmlu_eval", type=str, default="no",
+                   help="path to mmlu jsonl, 'sample' for the vendored sample, or 'no'")
     p.add_argument("--inference_mod", action="store_true",
                    help="convert to the real-quant INT8 engine after load")
     p.add_argument("--eval_samples", type=int, default=None, help="cap ppl windows")

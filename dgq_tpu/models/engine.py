@@ -110,6 +110,11 @@ def _engine_linear_fp(pl: PackedLinear, input_scale: jax.Array) -> EngineLinear:
     """fp-group-scale engine representation: exact for BOTH dual-grained
     (scale = int8_scale * scale8) and plain fallback (fp scale) linears —
     the uniform layout the fp-scale decomposed-dot GEMM consumes."""
+    if pl.wbits != 4:
+        raise ValueError(
+            f"engine requires 4-bit nibble-packed weights, got wbits={pl.wbits}; "
+            "wbits>=8 models run via the fake-quant eval path only"
+        )
     assert pl.span == 2 * pl.groupsize, "engine requires span-packed weights"
     if pl.w4w8:
         fp_s = pl.wscales.astype(jnp.float32) * pl.wscales8.astype(jnp.float32)[None, :]
@@ -158,15 +163,23 @@ def _pad_linear_n(lin: EngineLinear, mult: int) -> EngineLinear:
 def _pad_linear_k(lin: EngineLinear, mult: int) -> EngineLinear:
     """Pad the input dim to a multiple of ``mult``; callers feed zeros in the
     padded activation channels, so the (garbage) padded weights contribute
-    exactly 0."""
+    exactly 0.
+
+    The scale-row padding is derived from the actual groupsize (scales are
+    stored 8x sublane-replicated, so 8 rows per group), and padding only
+    happens in whole spans (pad % 2*groupsize == 0) — a partial span would
+    desynchronize the nibble-plane structure the kernel's unpack assumes."""
     k = lin.qweight.shape[0] * 2
+    # infer groupsize from the packed layout (same rule as _linear_s8):
+    # K = 2 * packed rows, G = replicated scale rows / 8
+    groupsize = (k * 8) // lin.wscales.shape[0]
     pad = (-k) % mult
-    if pad == 0 or k < mult or pad > k // 8:
+    if pad == 0 or k < mult or pad > k // 8 or pad % (2 * groupsize) != 0:
         return lin
     return EngineLinear(
         qweight=jnp.pad(lin.qweight, ((0, pad // 2), (0, 0))),
-        wscales=jnp.pad(lin.wscales, ((0, 8 * pad // 128), (0, 0)), constant_values=1),
-        wzeros=jnp.pad(lin.wzeros, ((0, 8 * pad // 128), (0, 0))),
+        wscales=jnp.pad(lin.wscales, ((0, 8 * pad // groupsize), (0, 0)), constant_values=1),
+        wzeros=jnp.pad(lin.wzeros, ((0, 8 * pad // groupsize), (0, 0))),
         alpha=lin.alpha,
         bias=lin.bias,
     )

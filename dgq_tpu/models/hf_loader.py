@@ -194,7 +194,18 @@ def load_llama_params(model_dir: str, dtype=jnp.bfloat16) -> Dict:
                 proj = parts[4]
                 leaf = parts[5]  # weight / bias
                 layers[li][sub][proj][leaf] = a
-    if "lm_head" not in params and cfg.tie_word_embeddings:
+    if "lm_head" not in params:
+        # Some checkpoint shard sets omit lm_head.weight without setting
+        # tie_word_embeddings; tie to the embedding with a warning rather
+        # than KeyError-ing deep inside the forward.
+        if not cfg.tie_word_embeddings:
+            import warnings
+
+            warnings.warn(
+                "checkpoint has no lm_head.weight and tie_word_embeddings is "
+                "not set; tying lm_head to embed_tokens",
+                stacklevel=2,
+            )
         params["lm_head"] = {"weight": params["embed_tokens"]}
     return params
 

@@ -133,6 +133,23 @@ def shard_engine_params(params: EngineParams, mesh: Mesh) -> EngineParams:
     """
     tp = mesh.shape.get("tp", 1)
     if tp > 1:
+        # row-parallel (K-sharded) linears: each rank must receive a whole
+        # number of *spans* (an even group count), or the per-rank packed
+        # nibble planes go out of sync with the kernel's unpack and the
+        # failure surfaces later as an opaque k % bk trace-time assert.
+        for name in ("o_proj", "down_proj"):
+            lin = getattr(params.layers, name)
+            k = lin.qweight.shape[-2] * 2
+            groupsize = (k * 8) // lin.wscales.shape[-2]
+            span = 2 * groupsize
+            if k % tp != 0 or (k // tp) % span != 0:
+                raise ValueError(
+                    f"row-parallel {name}: K={k} with tp={tp} gives per-rank "
+                    f"K={k / tp:g}, not a multiple of the packed span "
+                    f"{span} (groupsize {groupsize}). Each rank needs an even "
+                    f"group count — choose pad_to so K/tp is a multiple of "
+                    f"{span} (e.g. pad_to a multiple of {span * tp})."
+                )
         layers = params.layers
         nq_kv = layers.qkv_proj.alpha.shape[-1]
         # component sizes from config-free arithmetic: alpha_N = (rep+2)*hk*dh

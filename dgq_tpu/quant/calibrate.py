@@ -151,6 +151,7 @@ def _quantize_linear(lin, inp1, hessian, qcfg: QuantConfig, amax):
                         res_plain.qweight_fp,
                         res_plain.scale.reshape(-1), res_plain.zero.reshape(-1),
                         groupsize, bias=bias, amax=amax, act_method=act_method,
+                        bits=wq.bits,
                     )
             return pack_linear_w4w8(
                 res.qweight_fp, res.scale, res.zero, res.scale8, groupsize,
@@ -158,7 +159,7 @@ def _quantize_linear(lin, inp1, hessian, qcfg: QuantConfig, amax):
             )
         return pack_linear(
             res.qweight_fp, res.scale.reshape(-1), res.zero.reshape(-1), groupsize,
-            bias=bias, amax=amax, act_method=act_method,
+            bias=bias, amax=amax, act_method=act_method, bits=wq.bits,
         )
     if wq.method == "gptq":
         H, _ = hessian
@@ -168,13 +169,13 @@ def _quantize_linear(lin, inp1, hessian, qcfg: QuantConfig, amax):
         )
         return pack_linear(
             res.qweight_fp, res.scale.reshape(-1), res.zero.reshape(-1), groupsize,
-            bias=bias, amax=amax, act_method=act_method,
+            bias=bias, amax=amax, act_method=act_method, bits=wq.bits,
         )
     if wq.method == "naive":
         scale, zero, wq_fp = naive_quantize(w, bits=wq.bits, groupsize=groupsize)
         return pack_linear(
             wq_fp, scale.reshape(-1), zero.reshape(-1), groupsize,
-            bias=bias, amax=amax, act_method=act_method,
+            bias=bias, amax=amax, act_method=act_method, bits=wq.bits,
         )
     raise NotImplementedError(wq.method)
 

@@ -80,7 +80,7 @@ def unpack_nibbles(packed: jax.Array, span: int = 0) -> jax.Array:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["qweight", "wscales", "wzeros", "wscales8", "bias", "amax"],
-    meta_fields=["in_features", "out_features", "groupsize", "w4w8", "act_method", "abits", "span"],
+    meta_fields=["in_features", "out_features", "groupsize", "w4w8", "act_method", "abits", "span", "wbits"],
 )
 @dataclasses.dataclass
 class PackedLinear:
@@ -88,7 +88,10 @@ class PackedLinear:
     QuantLinear buffers (reference: quant_linear.py:87-93).
 
     Shapes (K = in_features, N = out_features, G = K // groupsize):
-      qweight:  (K//2, N) int8      nibble-packed 4-bit codes
+      qweight:  (K//2, N) int8      nibble-packed codes (wbits <= 4), or
+                (K, N) uint8/int32  unpacked codes (wbits >= 8, matching the
+                                    reference's wbits<8 pack() branch,
+                                    quant_linear.py:118-121)
       wscales:  (G, N)              int8 (w4w8) or f32 (plain) group scales
       wzeros:   (G, N)              int8 (w4w8) or f32 (plain) group zeros
       wscales8: (N,) f32 | None     per-output-channel scale (w4w8 only)
@@ -109,6 +112,7 @@ class PackedLinear:
     act_method: Optional[str] = "static"
     abits: int = 8
     span: int = 0  # nibble layout: 0 = adjacent-pair, else 2*groupsize span
+    wbits: int = 4  # weight bits; >= 8 stores codes unpacked (no nibbles)
 
 
 def _group_scales_to_k(scales_gn: jax.Array, groupsize: int) -> jax.Array:
@@ -126,12 +130,20 @@ def pack_linear(
     bias: Optional[jax.Array] = None,
     amax: Optional[jax.Array] = None,
     act_method: str = "static",
+    bits: int = 4,
 ) -> PackedLinear:
     """Plain (non-dual-grained) packing. reference: quant_linear.py:110-121.
 
     ``scale_flat``/``zero_flat`` are per-(out-row, group) params flattened to
     (N*G,) in the reference's view(-1, groupsize) order.
+
+    ``bits <= 4`` nibble-packs (codes clipped to [0, 2^bits - 1]);
+    ``bits >= 8`` stores the codes unpacked, matching the reference's
+    wbits >= 8 branch (quant_linear.py:118-121) — uint8 for 8-bit, int32
+    for 16-bit.
     """
+    if bits not in (2, 3, 4, 8, 16):
+        raise ValueError(f"pack_linear: unsupported wbits={bits}")
     n, k = weight_nk.shape
     g = k // groupsize
     # bf16-round the scales exactly like the reference stores them.
@@ -139,11 +151,16 @@ def pack_linear(
     zeros = zero_flat.reshape(n, g).astype(jnp.bfloat16).astype(jnp.float32)
     wg = weight_nk.astype(jnp.float32).reshape(n, g, groupsize)
     codes = jnp.round(wg / scales[:, :, None] + zeros[:, :, None])
-    codes = jnp.clip(codes, 0, 15)
+    codes = jnp.clip(codes, 0, (1 << bits) - 1)
     codes_kn = codes.reshape(n, k).T  # (K, N)
-    span = 2 * groupsize if k % (2 * groupsize) == 0 else 0
+    if bits >= 8:
+        qweight = codes_kn.astype(jnp.uint8 if bits == 8 else jnp.int32)
+        span = 0
+    else:
+        span = 2 * groupsize if k % (2 * groupsize) == 0 else 0
+        qweight = pack_nibbles(codes_kn, span)
     return PackedLinear(
-        qweight=pack_nibbles(codes_kn, span),
+        qweight=qweight,
         wscales=scales.T,  # (G, N)
         wzeros=zeros.T,
         wscales8=None,
@@ -155,6 +172,7 @@ def pack_linear(
         w4w8=False,
         act_method=act_method,
         span=span,
+        wbits=bits,
     )
 
 
@@ -175,6 +193,9 @@ def pack_linear_w4w8(
     ``zero_flat`` integer-valued zeros, ``scale8_n`` the per-channel fp scale.
     The quantization codes are computed against the *effective* scale
     wscales * bf16(wscales8), matching reference packW4W8's qscales.
+
+    Dual-grained packing is 4-bit by definition (config.py enforces
+    w4w8 => wbits == 4).
     """
     n, k = weight_nk.shape
     g = k // groupsize
@@ -215,7 +236,10 @@ def dequantize_linear(pl: PackedLinear) -> jax.Array:
 
     reference: quant_linear.py:97-108 (unpack), transposed to input-major.
     """
-    codes = unpack_nibbles(pl.qweight, pl.span).astype(jnp.float32)  # (K, N)
+    if pl.wbits >= 8:  # unpacked storage (reference wbits>=8 branch)
+        codes = pl.qweight.astype(jnp.float32)  # (K, N)
+    else:
+        codes = unpack_nibbles(pl.qweight, pl.span).astype(jnp.float32)  # (K, N)
     if pl.w4w8:
         scales = pl.wscales.astype(jnp.float32) * pl.wscales8.astype(jnp.float32)[None, :]
     else:

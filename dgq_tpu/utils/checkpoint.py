@@ -41,6 +41,7 @@ def _flatten(params, prefix: str, out: Dict[str, Any], meta: Dict[str, Any]):
             "act_method": params.act_method,
             "abits": params.abits,
             "span": params.span,
+            "wbits": params.wbits,
         }
         for f in _PACKED_FIELDS:
             v = getattr(params, f)
@@ -158,6 +159,7 @@ def load_quantized(path: str):
             act_method=m["act_method"],
             abits=m["abits"],
             span=m.get("span", 0),
+            wbits=m.get("wbits", 4),
         )
         _insert(nested, prefix.split("."), pl)
 

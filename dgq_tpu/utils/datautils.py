@@ -149,7 +149,16 @@ def prepare_mmlu(
     each example carries input_ids, answer_pos (position where the answer
     token would go — the logit is read at answer_pos - 1), label 0..3,
     subject.
+
+    ``mmlu_path="sample"`` loads the small vendored sample
+    (dgq_tpu/data/mmlu_sample.jsonl) — enough to exercise the full eval
+    path without shipping the 1 MB reference dataset.
     """
+    if mmlu_path == "sample":
+        mmlu_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "data", "mmlu_sample.jsonl",
+        )
     tok = _tokenizer(model_path)
     abcd = [tok(f" {c}", add_special_tokens=False).input_ids[-1] for c in "ABCD"]
     letters = {"A": 0, "B": 1, "C": 2, "D": 3}

@@ -77,3 +77,21 @@ def test_prepare_mmlu_jsonl(tmp_path):
     assert len(examples) == 2 and len(abcd) == 4
     assert examples[0]["label"] == 1 and examples[1]["label"] == 3
     assert examples[0]["subject"] == "algebra"
+
+
+def test_prepare_mmlu_vendored_sample():
+    from unittest import mock
+
+    from dgq_tpu.utils import datautils
+
+    class FakeTok:
+        def __call__(self, text, add_special_tokens=True):
+            class R:
+                input_ids = [ord(c) % 97 for c in text[:7]]
+            return R()
+
+    with mock.patch.object(datautils, "_tokenizer", lambda _m: FakeTok()):
+        examples, abcd = datautils.prepare_mmlu("dummy", "sample")
+    assert len(examples) == 12
+    assert len(abcd) == 4
+    assert {e["label"] for e in examples} == {0, 1, 2, 3}

@@ -77,3 +77,38 @@ def test_w4w8_pack_matches_search_fake_weight():
     pl = pack_linear_w4w8(jnp.asarray(w), res.scale, res.zero, res.scale8, g)
     wq = np.asarray(dequantize_linear(pl)).T  # (N, K)
     np.testing.assert_allclose(wq, np.asarray(res.qweight_fp), rtol=2e-2, atol=2e-2)
+
+
+def test_pack_linear_wbits8_unpacked_storage():
+    # wbits >= 8 stores codes unpacked (reference quant_linear.py:118-121
+    # branches on wbits < 8); previously this path silently clipped codes
+    # to 15 and produced garbage
+    rng = np.random.default_rng(3)
+    n, k, g = 8, 256, 64
+    w = rng.normal(size=(n, k)).astype(np.float32)
+    wg = w.reshape(-1, g)
+    xmin = np.minimum(wg.min(1), 0)
+    xmax = np.maximum(wg.max(1), 0)
+    scale = (xmax - xmin) / 255
+    zero = np.round(-xmin / scale)
+    pl = pack_linear(jnp.asarray(w), jnp.asarray(scale), jnp.asarray(zero), g, bits=8)
+    assert pl.wbits == 8 and pl.qweight.shape == (k, n) and pl.qweight.dtype == jnp.uint8
+    wq = np.asarray(dequantize_linear(pl))
+    err = np.abs(wq.T - w)
+    step = scale.reshape(n, k // g).repeat(g, axis=1)
+    # bf16 scale rounding adds up to ~0.4% relative on top of the half-step
+    assert (err <= step * 0.51 + np.abs(w) * 0.01 + 1e-5).all()
+
+
+def test_pack_linear_wbits2_clips_to_bit_range():
+    rng = np.random.default_rng(4)
+    n, k, g = 4, 128, 64
+    w = rng.normal(size=(n, k)).astype(np.float32)
+    wg = w.reshape(-1, g)
+    xmin = np.minimum(wg.min(1), 0)
+    xmax = np.maximum(wg.max(1), 0)
+    scale = (xmax - xmin) / 3
+    zero = np.round(-xmin / scale)
+    pl = pack_linear(jnp.asarray(w), jnp.asarray(scale), jnp.asarray(zero), g, bits=2)
+    codes = np.asarray(unpack_nibbles(pl.qweight, pl.span))
+    assert codes.max() <= 3, "2-bit codes must stay in [0, 3]"
