@@ -69,16 +69,20 @@ def worker_round():
     al = jnp.asarray(rng.random(n), jnp.float32)
     w8 = jnp.asarray(rng.integers(-127, 128, (k, n)), jnp.int8)
 
-    # fat-M blocks: scripts/sweep_gemm.py measured (2048, 512, bk=256) at
-    # 339.8 TOPS (86.1% roofline) vs (1024, 1024) at 209.5 in the same window
-    bm, bn = (2048, 512) if on_tpu else (128, 128)
+    # block shapes come from the autotune source of truth (fat-M winner
+    # (2048, 512, bk=256) pre-populated in autotune_defaults.json)
+    from dgq_tpu.ops.autotune import get_blocks
+
+    bm, bn, bk = get_blocks(m, n, k, groupsize=g) if on_tpu else (128, 128, 256)
     kw = (
         dict(iters=96, base_iters=24, repeats=2)
         if on_tpu
         else dict(iters=3, base_iters=1, repeats=1)
     )
 
-    fused = functools.partial(w4a8_matmul_packed, bm=bm, bn=bn, interpret=not on_tpu)
+    fused = functools.partial(
+        w4a8_matmul_packed, bm=bm, bn=bn, bk=bk, interpret=not on_tpu
+    )
 
     def xla_s8(x_, w_):
         return jax.lax.dot_general(
@@ -87,7 +91,7 @@ def worker_round():
 
     out = {"ok": True, "backend": jax.default_backend(),
            "device": jax.devices()[0].device_kind,
-           "shape_mnk": [m, n, k], "block_mn": [bm, bn]}
+           "shape_mnk": [m, n, k], "block_mn": [bm, bn, bk]}
     dt, tops = gemm_tops(fused, (x, qw, ws, wz, al), m, n, k, **kw)
     out["fused_tops"] = round(tops, 1)
     out["fused_us"] = round(dt * 1e6, 1)

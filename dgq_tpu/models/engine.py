@@ -303,18 +303,8 @@ def _rms_norm_q(x: jax.Array, weight_q: jax.Array, eps: float, bias_q=None) -> j
     return jnp.clip(jnp.round(y), -128, 127).astype(jnp.int8)
 
 
-def _decode_blocks(n: int, k: int, span: int):
-    """Large (bn, bk) for skinny-M GEMVs: decode is HBM/overhead-bound, so
-    fewer, fatter grid steps win (a 7B step otherwise runs ~100k tiny grid
-    iterations).  Constraints: bn | N, bk | K with bk a span multiple, and
-    the in-kernel int32 unpack temporary (bk x bn) bounded to ~2 MB."""
-    bn = next((c for c in (2048, 1024, 512, 256, 128) if n % c == 0), n)
-    bk = next(
-        (c for c in (2048, 1024, 512, 256)
-         if c % span == 0 and k % c == 0 and c * bn * 4 <= (1 << 23)),
-        span,
-    )
-    return bn, bk
+# block-shape selection lives in ops/autotune.py (get_blocks) — ONE source
+# of truth for the engine, bench.py, and the sweep scripts (VERDICT r1 #5)
 
 
 def _linear_s8(lin: EngineLinear, x_s8: jax.Array, *, use_kernel: bool, groupsize: int | None = None,
@@ -329,25 +319,17 @@ def _linear_s8(lin: EngineLinear, x_s8: jax.Array, *, use_kernel: bool, groupsiz
     if use_kernel:
         from dgq_tpu.ops.quant_matmul import w4a8_matmul_packed
 
+        from dgq_tpu.ops.autotune import get_blocks
+
         span = 2 * groupsize
         n_out = lin.alpha.shape[-1]
-        if m <= 32:  # decode-shaped GEMV: fat blocks
-            bn, bk = _decode_blocks(n_out, x2.shape[-1], span)
-        else:
-            # prefill: fat M blocks win big (sweep_gemm.py: 339.8 vs 209.5
-            # TOPS at M=2048); grow bm to cover the padded M, cap 2048.
-            # fp-scale kernel keeps the caller's bm (not VMEM-validated fat)
-            if not fp_scales:
-                bm = min(2048, max(bm, 1 << max(m - 1, 1).bit_length()))
-            bn = next((c for c in (512, 256, 128) if n_out % c == 0), n_out)
-            if bm >= 1024:
-                bk = span  # bigger K blocks at fat M blow the VMEM budget
-            else:
-                bk = next(
-                    (c for c in (512, 256)
-                     if c % span == 0 and x2.shape[-1] % c == 0 and c * bn * 4 <= (1 << 22)),
-                    span,
-                )
+        # fp-scale kernel keeps the caller's bm at prefill (not
+        # VMEM-validated for fat-M tiles)
+        bm_sel, bn, bk = get_blocks(
+            m, n_out, x2.shape[-1], groupsize=groupsize, bm_hint=bm
+        )
+        if not (fp_scales and m > 32):
+            bm = bm_sel
         if fp_scales:
             from dgq_tpu.ops.quant_matmul import w4a8_fpscale_matmul_packed
 

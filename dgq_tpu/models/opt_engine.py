@@ -238,25 +238,18 @@ def _opt_block(ecfg: OPTEngineConfig, layer: OPTEngineLayer, x, k_cache, v_cache
 
 def _linear_s8_int8out(lin: EngineLinear, x_s8, *, use_kernel, bm, interpret, groupsize=None):
     """int8 activations -> int8 output (requantized in the epilogue)."""
-    from dgq_tpu.models.engine import _decode_blocks
-
     if groupsize is None:
         # infer from the packed layout (K = 2 * packed rows, G = scale rows / 8)
         groupsize = (2 * lin.qweight.shape[0] * 8) // lin.wscales.shape[0]
     m = x_s8.reshape(-1, x_s8.shape[-1]).shape[0]
     x2 = x_s8.reshape(-1, x_s8.shape[-1])
     if use_kernel:
+        from dgq_tpu.ops.autotune import get_blocks
         from dgq_tpu.ops.quant_matmul import w4a8_matmul_packed
 
         span = 2 * groupsize
         n_out = lin.alpha.shape[-1]
-        if m <= 32:
-            bn, bk = _decode_blocks(n_out, x2.shape[-1], span)
-        else:
-            # fat M blocks, matching engine._linear_s8 (sweep_gemm.py)
-            bm = min(2048, max(bm, 1 << max(m - 1, 1).bit_length()))
-            bn = next((c for c in (512, 256, 128) if n_out % c == 0), n_out)
-            bk = span
+        bm, bn, bk = get_blocks(m, n_out, x2.shape[-1], groupsize=groupsize, bm_hint=bm)
         y = w4a8_matmul_packed(
             x2, lin.qweight, lin.wscales, lin.wzeros, lin.alpha, lin.bias,
             groupsize=groupsize, span=span, bm=bm, bn=bn, bk=bk,

@@ -1,11 +1,22 @@
-"""Autotune heuristic path (measurement runs only on real TPU)."""
+"""Block-shape source of truth: get_blocks lookups, defaults file,
+heuristics (measurement runs only on real TPU)."""
 
-from dgq_tpu.ops.autotune import DEFAULT_CANDIDATES, autotune_w4a8
+import json
+import os
+
+from dgq_tpu.ops import autotune
+from dgq_tpu.ops.autotune import (
+    DEFAULT_CANDIDATES,
+    autotune_w4a8,
+    decode_blocks,
+    get_blocks,
+    heuristic_blocks,
+    prefill_blocks,
+)
 
 
 def test_heuristic_path_on_cpu():
     bm, bn = autotune_w4a8(2048, 4096, 4096, measure=False)
-    assert (bm, bn) in DEFAULT_CANDIDATES
     assert 4096 % bn == 0
 
 
@@ -18,3 +29,42 @@ def test_cache_hit_is_stable():
     a = autotune_w4a8(2048, 4096, 4096, measure=False)
     b = autotune_w4a8(2048, 4096, 4096, measure=False)
     assert a == b
+
+
+def test_get_blocks_decode_is_fat_nk():
+    # 7B down_proj GEMV: fat bn/bk, caller bm preserved
+    bm, bn, bk = get_blocks(1, 4096, 11264, groupsize=128, bm_hint=128)
+    assert bm == 128
+    assert 4096 % bn == 0 and bn >= 512
+    assert bk % 256 == 0 and 11264 % bk == 0
+    assert bk * bn * 4 <= (1 << 23)
+
+
+def test_get_blocks_prefill_is_fat_m():
+    bm, bn, bk = get_blocks(2048, 4096, 4096, groupsize=128)
+    assert bm == 2048 and 4096 % bn == 0 and bk == 256
+
+
+def test_get_blocks_always_legal():
+    # every (bm, bn, bk) must satisfy the kernel's divisibility contract
+    for m in (1, 8, 33, 200, 2048, 4096):
+        for n, k in ((4096, 4096), (12288, 4096), (4096, 11264), (768, 768)):
+            bm, bn, bk = get_blocks(m, n, k, groupsize=128)
+            assert bk % 256 == 0 and k % bk == 0, (m, n, k, bm, bn, bk)
+            assert n % bn == 0 or n < bn, (m, n, k, bm, bn, bk)
+
+
+def test_defaults_file_covers_llama_family():
+    path = os.path.join(os.path.dirname(autotune.__file__), "autotune_defaults.json")
+    with open(path) as f:
+        d = json.load(f)
+    # 4 fams x 4 GEMMs x 2 buckets
+    assert len(d) >= 32
+    assert "TPU_v5_lite:2048:12288x4096g128" in d
+    for key, v in d.items():
+        assert len(v) == 3 and all(isinstance(x, int) for x in v), (key, v)
+
+
+def test_legacy_two_element_cache_entries_upgrade():
+    triple = autotune._as_triple([1024, 512], 2048, 4096, 4096, 256)
+    assert triple[:2] == (1024, 512) and triple[2] % 256 == 0
