@@ -99,7 +99,7 @@ def _kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("groupsize", "span", "bm", "bn", "bk", "out_dtype", "interpret", "scales_replicated"),
+    static_argnames=("groupsize", "span", "bm", "bn", "bk", "out_dtype", "interpret", "scales_replicated", "vmem_limit"),
 )
 def w4a8_matmul_packed(
     x_s8: jax.Array,  # (M, K) int8
@@ -117,6 +117,7 @@ def w4a8_matmul_packed(
     out_dtype=jnp.float32,
     interpret: bool = False,
     scales_replicated: bool = False,  # wscales/wzeros already (8G, N)
+    vmem_limit: Optional[int] = None,  # raise Mosaic's VMEM budget (<=16MB phys)
 ) -> jax.Array:
     """Raw fused kernel entry: y[m, n] = (sum_k x[m,k] * w_s8[k,n]) * alpha[n].
 
@@ -169,6 +170,7 @@ def w4a8_matmul_packed(
         scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            **({"vmem_limit_bytes": vmem_limit} if vmem_limit else {}),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * m_pad * n * k,

@@ -38,11 +38,23 @@ def make_mesh(
 def make_hybrid_mesh(dcn: int, dp: int, tp: int) -> Mesh:
     """Multi-slice mesh: leading dcn axis over slices, (dp, tp) within a
     slice over ICI.  Requires jax.distributed to be initialized across
-    hosts."""
+    hosts.
+
+    Falls back to grouping devices by process index when slice metadata is
+    unavailable (CPU fake-cluster testing, single-slice debug) — the dcn
+    axis then means "process boundary", which is the right DCN analogue for
+    the 2-process smoke test (tests/test_multihost.py)."""
     from jax.experimental import mesh_utils
 
-    arr = mesh_utils.create_hybrid_device_mesh(
-        mesh_shape=(dp, tp),
-        dcn_mesh_shape=(dcn, 1),
-    )
-    return Mesh(arr.reshape(dcn, dp, tp // 1), ("dcn", "dp", "tp"))
+    try:
+        arr = mesh_utils.create_hybrid_device_mesh(
+            mesh_shape=(dp, tp),
+            dcn_mesh_shape=(dcn, 1),
+        )
+        return Mesh(arr.reshape(dcn, dp, tp), ("dcn", "dp", "tp"))
+    except Exception:
+        devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+        if len(devs) < dcn * dp * tp:
+            raise
+        arr = np.asarray(devs[: dcn * dp * tp]).reshape(dcn, dp, tp)
+        return Mesh(arr, ("dcn", "dp", "tp"))

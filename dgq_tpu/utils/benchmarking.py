@@ -39,7 +39,14 @@ def device_time(
     base_iters: int = 24,
     repeats: int = 3,
 ) -> float:
-    """Seconds per invocation of fn(x, *rest)."""
+    """Seconds per invocation of fn(x, *rest).
+
+    Estimator: collect ``repeats`` wall-times for the short chain and the
+    long chain separately, difference the MINIMA.  Tunnel stalls are
+    one-sided (they only ever inflate a sample), so min-of-each-length
+    converges on the true device time where a paired median does not —
+    round-2 measured paired ratios spreading 0.08x-2.0x and a "223% of
+    roofline" control under the old per-pair median."""
     feedback = feedback or _same_shape_feedback
     step = jax.jit(lambda a, *r: feedback(fn(a, *r), a))
 
@@ -51,18 +58,18 @@ def device_time(
 
     run(2)  # warm compile + caches
 
-    samples = []
+    shorts, longs = [], []
     for _ in range(repeats):
         t0 = time.perf_counter()
         run(base_iters)
-        t_short = time.perf_counter() - t0
+        shorts.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
         run(iters)
-        t_long = time.perf_counter() - t0
-        samples.append(max(t_long - t_short, 1e-9) / (iters - base_iters))
-    # median: tunnel queue noise hits both directions, min/max are biased
-    samples.sort()
-    return samples[len(samples) // 2]
+        longs.append(time.perf_counter() - t0)
+    dt = (min(longs) - min(shorts)) / (iters - base_iters)
+    if dt <= 0:  # both minima stalled; fall back to the long chain alone
+        dt = min(longs) / iters
+    return dt
 
 
 def int8_gemm_feedback(m: int, k: int):

@@ -34,12 +34,12 @@ PEAK = 394.7  # v5e int8 TOPS
 # (bm, bn, bk); control first, then full-K candidates by VMEM estimate
 CONFIGS = [
     (2048, 512, 256),   # round-1 winner (control)
-    (1024, 512, 4096),  # resident-x: ~11 MB VMEM
-    (2048, 256, 4096),  # ~13.5 MB
-    (1024, 256, 4096),
+    (1024, 256, 4096),  # first-sweep best (1.52x control in degraded window)
+    (512, 256, 4096),
+    (2048, 256, 4096),
+    (1024, 128, 4096),
+    (1024, 256, 2048),
     (512, 512, 4096),
-    (1024, 512, 2048),  # half-K compromise
-    (2048, 512, 512),   # failed remote-compile in r1; retry with vmem room
 ]
 
 
