@@ -74,7 +74,24 @@ def decode_blocks(n: int, k: int, span: int) -> Tuple[int, int]:
 
 
 def prefill_blocks(m: int, n: int, k: int, span: int, bm_hint: int = 256) -> Tuple[int, int, int]:
-    """Fat-M (bm, bn, bk) for prefill GEMMs (the sweep-measured rule)."""
+    """(bm, bn, bk) for prefill GEMMs.
+
+    Preferred: the full-K "resident-x" tiling (bm=512, bn=512, bk=K) — the
+    x block's index map is constant across the inner N steps, so Pallas
+    fetches x once per M block instead of once per (M, N) block, cutting x
+    HBM traffic 8x on the 7B M=2048 shape.  Round-2 paired sweeps
+    (scripts/sweep_paired.py, min-diff estimator): 1.13-1.27x the round-1
+    fat-M winner (2048, 512, 256) with 8/8 pair wins across two sweeps.
+
+    Falls back to the round-1 fat-M rule when full-K doesn't fit VMEM
+    (x block bm*k capped at 4 MB) or shapes misalign."""
+    if (
+        m >= 512
+        and k % span == 0
+        and 512 * k <= (4 << 20)
+        and n % 512 == 0
+    ):
+        return 512, 512, k
     bm = min(2048, max(bm_hint, _next_pow2(m)))
     bn = next((c for c in (512, 256, 128) if n % c == 0), n)
     if bm >= 1024:

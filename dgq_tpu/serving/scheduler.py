@@ -24,6 +24,8 @@ from dgq_tpu.models.engine import EngineConfig, EngineParams
 from dgq_tpu.serving.batch_engine import (
     BatchedKVCache,
     engine_decode_batched,
+    engine_prefill_batched,
+    engine_prefill_chunk,
     engine_prefill_slot,
     init_batched_cache,
 )
@@ -50,15 +52,26 @@ class ContinuousBatcher:
         num_slots: int = 8,
         max_len: int = 2048,
         prefill_pad: int = 128,
+        prefill_chunk: int = 0,
+        admit_batch: int = 1,
     ):
+        """``prefill_chunk`` > 0 prefills prompts longer than the chunk in
+        chunk-sized pieces, one chunk per scheduler step, so a long prompt
+        no longer stalls decode of the other active slots (head-of-line
+        latency is bounded by one chunk).  ``admit_batch`` > 1 admits up to
+        that many short queued prompts in ONE batched prefill call."""
         self.ecfg = ecfg
         self.params = params
         self.num_slots = num_slots
         self.max_len = max_len
         self.prefill_pad = prefill_pad
+        self.prefill_chunk = prefill_chunk
+        self.admit_batch = max(1, admit_batch)
         self.cache = init_batched_cache(ecfg.cfg, num_slots, max_len)
         self.queue: Deque[Request] = deque()
         self.slots: List[Optional[Request]] = [None] * num_slots
+        # slot -> in-progress chunked prefill: {"padded", "pos", "n"}
+        self.pending: dict = {}
         self.next_tokens = np.zeros((num_slots,), np.int32)
         self.finished: List[Request] = []
         self._seed = 0
@@ -91,10 +104,15 @@ class ContinuousBatcher:
         return bool(self.queue) or any(r is not None for r in self.slots)
 
     def step(self):
-        """Admit queued requests into free slots (prefill), then one batched
-        decode step for all active slots."""
+        """Admit queued requests into free slots (prefill), advance at most
+        one in-progress chunked prefill by one chunk, then one batched
+        decode step for all fully-prefilled active slots."""
         self._admit()
-        if any(r is not None for r in self.slots):
+        self._advance_pending()
+        if any(
+            r is not None and s not in self.pending
+            for s, r in enumerate(self.slots)
+        ):
             self._decode_step()
 
     def run(self) -> List[Request]:
@@ -111,11 +129,36 @@ class ContinuousBatcher:
         return out
 
     def _admit(self):
-        for slot in range(self.num_slots):
-            if self.slots[slot] is not None or not self.queue:
-                continue
+        free = [s for s in range(self.num_slots) if self.slots[s] is None]
+        # split the admissible head of the queue into chunked (long) and
+        # immediate (short) prompts
+        short: List[tuple] = []  # (slot, req, padded)
+        while free and self.queue:
             req = self.queue.popleft()
+            slot = free.pop(0)
             padded = self._pad_prompt(np.asarray(req.prompt_ids, np.int32))
+            if self.prefill_chunk and len(padded) > self.prefill_chunk:
+                # long prompt: prefill chunk-by-chunk across steps; re-pad
+                # to a chunk multiple so every chunk holds >= 1 real token
+                c = self.prefill_chunk
+                true_len = len(req.prompt_ids)
+                padded_c = np.zeros((-(-true_len // c) * c,), np.int32)
+                padded_c[:true_len] = np.asarray(req.prompt_ids, np.int32)
+                self.slots[slot] = req
+                self.pending[slot] = {"padded": padded_c, "pos": 0}
+                continue
+            short.append((slot, req, padded))
+            if len(short) >= self.admit_batch:
+                self._prefill_group(short)
+                short = []
+        if short:
+            self._prefill_group(short)
+
+    def _prefill_group(self, group: List[tuple]):
+        """Prefill 1..admit_batch prompts; a group of one keeps the original
+        single-slot program, larger groups run ONE batched program."""
+        if len(group) == 1:
+            slot, req, padded = group[0]
             logits, self.cache = engine_prefill_slot(
                 self.ecfg,
                 self.params,
@@ -124,14 +167,68 @@ class ContinuousBatcher:
                 jnp.asarray(len(req.prompt_ids), jnp.int32),
                 self.cache,
             )
-            tok = self._pick_token(req, logits[None, :])
+            rows = logits[None, :]
+        else:
+            s_max = max(len(p) for _, _, p in group)
+            ids = np.zeros((len(group), s_max), np.int32)
+            for i, (_, _, p) in enumerate(group):
+                ids[i, : len(p)] = p
+            logits, self.cache = engine_prefill_batched(
+                self.ecfg,
+                self.params,
+                jnp.asarray([s for s, _, _ in group], jnp.int32),
+                jnp.asarray(ids),
+                jnp.asarray([len(r.prompt_ids) for _, r, _ in group], jnp.int32),
+                self.cache,
+            )
+            rows = logits
+        for i, (slot, req, _) in enumerate(group):
+            tok = self._pick_token(req, rows[i][None, :])
             req.output_ids.append(tok)
             self.slots[slot] = req
             self.next_tokens[slot] = tok
             self._maybe_finish(slot)
 
+    def _advance_pending(self):
+        """Advance ONE chunked prefill by one chunk (bounds head-of-line
+        latency for the decode slots at one chunk per step)."""
+        if not self.pending:
+            return
+        slot = next(iter(self.pending))
+        st = self.pending[slot]
+        req = self.slots[slot]
+        padded, pos = st["padded"], st["pos"]
+        c = self.prefill_chunk
+        chunk = np.zeros((c,), np.int32)
+        end = min(pos + c, len(padded))
+        chunk[: end - pos] = padded[pos:end]
+        true_len = len(req.prompt_ids)
+        valid = min(true_len, end) - pos
+        assert valid >= 1, (pos, end, true_len)  # guaranteed by chunk re-pad
+        logits, self.cache = engine_prefill_chunk(
+            self.ecfg,
+            self.params,
+            jnp.asarray(slot, jnp.int32),
+            jnp.asarray(chunk),
+            jnp.asarray(pos, jnp.int32),
+            jnp.asarray(valid, jnp.int32),
+            self.cache,
+        )
+        st["pos"] = end
+        if end >= len(padded):
+            del self.pending[slot]
+            tok = self._pick_token(req, logits[None, :])
+            req.output_ids.append(tok)
+            self.next_tokens[slot] = tok
+            self._maybe_finish(slot)
+
     def _decode_step(self):
-        active = np.asarray([r is not None for r in self.slots])
+        # pending slots are mid-prefill: they must neither advance their
+        # length nor emit tokens until their last chunk lands
+        active = np.asarray(
+            [r is not None and s not in self.pending
+             for s, r in enumerate(self.slots)]
+        )
         logits, self.cache = engine_decode_batched(
             self.ecfg,
             self.params,
@@ -141,7 +238,7 @@ class ContinuousBatcher:
         )
         greedy_toks = np.asarray(jnp.argmax(logits, axis=-1), np.int32)
         for slot, req in enumerate(self.slots):
-            if req is None:
+            if req is None or slot in self.pending:
                 continue
             if req.sampling is None or req.sampling.greedy:
                 tok = int(greedy_toks[slot])

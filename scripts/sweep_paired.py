@@ -28,11 +28,11 @@ PEAK = 394.7
 CONTROL = (2048, 512, 256, None)
 # (bm, bn, bk, vmem_limit) — vmem_limit None keeps Mosaic's default budget
 CANDIDATES = [
-    (512, 512, 4096, None),     # round-A winner (4/4 pairs >= control)
-    (512, 512, 2048, None),
-    (1024, 512, 4096, 16 * 2**20),  # failed compile at default budget
-    (512, 1024, 4096, 16 * 2**20),
-    (2048, 512, 256, 16 * 2**20),   # control shape + raised budget
+    (512, 512, 4096, None),   # resident-x winner of rounds A/B
+    (1024, 512, 1024, None),  # fewer K steps (probe: s8 analogue ran 1.23x)
+    (1024, 512, 512, None),
+    (512, 512, 1024, None),
+    (1024, 512, 2048, None),
 ]
 PAIRS = 4
 

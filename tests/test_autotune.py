@@ -40,8 +40,15 @@ def test_get_blocks_decode_is_fat_nk():
     assert bk * bn * 4 <= (1 << 23)
 
 
-def test_get_blocks_prefill_is_fat_m():
+def test_get_blocks_prefill_full_k_resident_x():
+    # 7B prefill shapes: full-K resident-x tiling (r2 sweep winner)
     bm, bn, bk = get_blocks(2048, 4096, 4096, groupsize=128)
+    assert (bm, bn, bk) == (512, 512, 4096)
+
+
+def test_get_blocks_prefill_fat_m_fallback():
+    # K too large for a resident x block -> round-1 fat-M rule
+    bm, bn, bk = get_blocks(2048, 4096, 11264, groupsize=128)
     assert bm == 2048 and 4096 % bn == 0 and bk == 256
 
 

@@ -176,3 +176,107 @@ def test_batcher_from_checkpoint_matches_direct(serving_setup, tmp_path):
     out_ckpt = run(ContinuousBatcher.from_checkpoint(
         path, use_kernel=False, num_slots=2, max_len=32, prefill_pad=8))
     assert out_direct == out_ckpt
+
+
+def test_chunked_prefill_matches_whole_prefill(serving_setup):
+    """engine_prefill_chunk piecewise == engine_prefill_slot whole
+    (VERDICT r1 #8: chunked prefill)."""
+    from dgq_tpu.serving.batch_engine import engine_prefill_chunk
+
+    cfg, eng, ecfg = serving_setup
+    prompt = synthetic_stream(cfg.vocab_size, 12, seed=7).astype(np.int32)
+
+    cache_a = init_batched_cache(cfg, 2, 32)
+    logits_a, cache_a = engine_prefill_slot(
+        ecfg, eng, jnp.asarray(0, jnp.int32),
+        jnp.asarray(np.pad(prompt, (0, 4))), jnp.asarray(12, jnp.int32), cache_a,
+    )
+
+    cache_b = init_batched_cache(cfg, 2, 32)
+    c = 8
+    padded = np.pad(prompt, (0, 4))  # 16 = 2 chunks of 8
+    logits_b = None
+    for pos in range(0, 16, c):
+        valid = min(12, pos + c) - pos
+        logits_b, cache_b = engine_prefill_chunk(
+            ecfg, eng, jnp.asarray(0, jnp.int32),
+            jnp.asarray(padded[pos:pos + c]), jnp.asarray(pos, jnp.int32),
+            jnp.asarray(valid, jnp.int32), cache_b,
+        )
+
+    np.testing.assert_allclose(
+        np.asarray(logits_b), np.asarray(logits_a), rtol=2e-4, atol=2e-4
+    )
+    assert int(cache_b.lengths[0]) == 12
+    # the written cache regions must agree exactly (int8)
+    ka = np.asarray(cache_a.k)[:, 0, :, :, :12]
+    kb = np.asarray(cache_b.k)[:, 0, :, :, :12]
+    np.testing.assert_array_equal(ka, kb)
+
+
+def test_batched_prefill_matches_single(serving_setup):
+    """engine_prefill_batched over 2 slots == two engine_prefill_slot calls
+    (VERDICT r1 #8: batch>1 prefill)."""
+    from dgq_tpu.serving.batch_engine import engine_prefill_batched
+
+    cfg, eng, ecfg = serving_setup
+    p1 = synthetic_stream(cfg.vocab_size, 8, seed=21).astype(np.int32)
+    p2 = synthetic_stream(cfg.vocab_size, 5, seed=22).astype(np.int32)
+
+    cache_a = init_batched_cache(cfg, 3, 32)
+    la1, cache_a = engine_prefill_slot(
+        ecfg, eng, jnp.asarray(2, jnp.int32),
+        jnp.asarray(np.pad(p1, (0, 0))), jnp.asarray(8, jnp.int32), cache_a,
+    )
+    la2, cache_a = engine_prefill_slot(
+        ecfg, eng, jnp.asarray(0, jnp.int32),
+        jnp.asarray(np.pad(p2, (0, 3))), jnp.asarray(5, jnp.int32), cache_a,
+    )
+
+    cache_b = init_batched_cache(cfg, 3, 32)
+    ids = np.zeros((2, 8), np.int32)
+    ids[0, :8] = p1
+    ids[1, :5] = p2
+    logits, cache_b = engine_prefill_batched(
+        ecfg, eng, jnp.asarray([2, 0], jnp.int32), jnp.asarray(ids),
+        jnp.asarray([8, 5], jnp.int32), cache_b,
+    )
+
+    np.testing.assert_allclose(np.asarray(logits[0]), np.asarray(la1), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(logits[1]), np.asarray(la2), rtol=2e-4, atol=2e-4)
+    assert int(cache_b.lengths[2]) == 8 and int(cache_b.lengths[0]) == 5
+    np.testing.assert_array_equal(
+        np.asarray(cache_a.k)[:, 2, :, :, :8], np.asarray(cache_b.k)[:, 2, :, :, :8]
+    )
+
+
+def test_scheduler_chunked_prefill_no_hol_stall(serving_setup):
+    """A long prompt admitted while others decode advances one chunk per
+    step; decode slots keep producing tokens every step (no head-of-line
+    stall), and final outputs match the unchunked scheduler."""
+    cfg, eng, ecfg = serving_setup
+
+    def mk_reqs():
+        return [
+            Request(uid=1, prompt_ids=synthetic_stream(cfg.vocab_size, 6, seed=31).astype(np.int32),
+                    max_new_tokens=6),
+            Request(uid=2, prompt_ids=synthetic_stream(cfg.vocab_size, 20, seed=32).astype(np.int32),
+                    max_new_tokens=4),
+            Request(uid=3, prompt_ids=synthetic_stream(cfg.vocab_size, 4, seed=33).astype(np.int32),
+                    max_new_tokens=6),
+        ]
+
+    plain = ContinuousBatcher(ecfg, eng, num_slots=3, max_len=64, prefill_pad=4)
+    for r in mk_reqs():
+        plain.add_request(r)
+    done_plain = {r.uid: r.output_ids for r in plain.run()}
+
+    chunked = ContinuousBatcher(
+        ecfg, eng, num_slots=3, max_len=64, prefill_pad=4,
+        prefill_chunk=8, admit_batch=2,
+    )
+    for r in mk_reqs():
+        chunked.add_request(r)
+    done_chunked = {r.uid: r.output_ids for r in chunked.run()}
+
+    assert done_plain == done_chunked, (done_plain, done_chunked)
