@@ -423,10 +423,11 @@ class EngineConfig:
     # scales are fp32 and every linear runs through the decomposed-dot
     # fp-scale GEMM. from_ptq selects this automatically for mixed models.
     fp_scales: bool = False
-    # long-context decode: >0 processes the KV cache in chunks of this many
-    # tokens (VMEM-bounded flash partials + exact logsumexp combine); 0 keeps
-    # the whole per-head cache slice in VMEM (fine to ~8k context)
-    decode_attn_chunk: int = 0
+    # long-context decode: -1 (AUTO, default) selects the VMEM-bounded
+    # chunked kernel automatically once Smax exceeds ~8k (see
+    # ops.attention.auto_decode_chunk); >0 forces that chunk size; 0 always
+    # keeps the whole per-head cache slice in VMEM (fine to ~8k context)
+    decode_attn_chunk: int = -1
 
     def __hash__(self):
         return hash(
@@ -484,13 +485,19 @@ def _block(ecfg: EngineConfig, layer: EngineLayer, x: jax.Array,
 
     rep = h // hk
     if s == 1 and ecfg.use_kernel:
-        if ecfg.decode_attn_chunk and k_cache.shape[-1] > ecfg.decode_attn_chunk:
+        from dgq_tpu.ops.attention import auto_decode_chunk
+
+        smax = k_cache.shape[-1]
+        chunk = ecfg.decode_attn_chunk
+        if chunk < 0:  # AUTO: VMEM-bounded kernel once Smax outgrows ~8k
+            chunk = auto_decode_chunk(smax)
+        if chunk and smax > chunk:
             from dgq_tpu.ops.attention import int8_decode_attention_chunked
 
             ctx = int8_decode_attention_chunked(
                 q_s8[:, :, 0, :], k_cache, v_cache, cache_len + 1,
                 layer.q_scale, layer.k_scale, layer.v_scale,
-                chunk=ecfg.decode_attn_chunk, interpret=ecfg.interpret,
+                chunk=chunk, interpret=ecfg.interpret,
             )
         else:
             from dgq_tpu.ops.attention import int8_decode_attention
@@ -506,21 +513,30 @@ def _block(ecfg: EngineConfig, layer: EngineLayer, x: jax.Array,
                 interpret=ecfg.interpret,
             )  # (B, H, Dh) f32
         ctx = ctx.reshape(b, 1, h * dh)
-    elif ecfg.use_kernel and ecfg.flash_prefill and s % 128 == 0 and k_cache.shape[-1] % 128 == 0:
-        # flash prefill: blockwise online softmax, scores never hit HBM
+    elif ecfg.use_kernel and ecfg.flash_prefill and s > 1 and k_cache.shape[-1] % 128 == 0:
+        # flash prefill: blockwise online softmax, scores never hit HBM.
+        # S is auto-padded to the kernel's 128-row query granularity (the
+        # pad rows score against valid keys only — the kernel masks
+        # j < prompt_len — and are sliced off), so the path engages for ANY
+        # prompt length instead of silently materializing (S, Smax) scores
+        # when S % 128 != 0 (VERDICT r1 #9).
         from dgq_tpu.ops.attention import int8_prefill_attention
 
         smax = k_cache.shape[-1]
+        sp = -(-s // 128) * 128
+        qp = q_s8 if sp == s else jnp.pad(
+            q_s8, ((0, 0), (0, 0), (0, sp - s), (0, 0))
+        )
         ctx = int8_prefill_attention(
-            q_s8, k_cache, v_cache,
+            qp, k_cache, v_cache,
             cache_len + s,  # total valid length
             layer.q_scale, layer.k_scale, layer.v_scale,
             cache_len,  # absolute position of the first query row
-            bq=256 if s % 256 == 0 else 128,
+            bq=256 if sp % 256 == 0 else 128,
             bkv=256 if smax % 256 == 0 else 128,
             interpret=ecfg.interpret,
-        )  # (B, H, S, Dh) f32
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, h * dh)
+        )  # (B, H, Sp, Dh) f32
+        ctx = ctx[:, :, :s].transpose(0, 2, 1, 3).reshape(b, s, h * dh)
     else:
         # GQA: fold query-head groups onto kv heads
         qg = q_s8.reshape(b, hk, rep * s, dh)  # (B, Hkv, rep*S, Dh)

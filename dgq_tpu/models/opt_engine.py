@@ -175,9 +175,13 @@ class OPTEngineConfig:
     bm_prefill: int = 256
     bm_decode: int = 128
     tp_axis: Optional[str] = None
+    # long-context decode chunking: -1 AUTO / 0 off / >0 manual (mirrors
+    # models.engine.EngineConfig.decode_attn_chunk)
+    decode_attn_chunk: int = -1
 
     def __hash__(self):
-        return hash((self.cfg, self.use_kernel, self.interpret, self.bm_prefill, self.bm_decode, self.tp_axis))
+        return hash((self.cfg, self.use_kernel, self.interpret, self.bm_prefill,
+                     self.bm_decode, self.tp_axis, self.decode_attn_chunk))
 
 
 def _opt_block(ecfg: OPTEngineConfig, layer: OPTEngineLayer, x, k_cache, v_cache, cache_len, mask, bm):
@@ -201,14 +205,28 @@ def _opt_block(ecfg: OPTEngineConfig, layer: OPTEngineLayer, x, k_cache, v_cache
     v_cache = jax.lax.dynamic_update_slice(v_cache, v_s8, (0, 0, cache_len, 0))
 
     if s == 1 and ecfg.use_kernel:
-        from dgq_tpu.ops.attention import int8_decode_attention
+        from dgq_tpu.ops.attention import auto_decode_chunk, int8_decode_attention
 
-        ctx = int8_decode_attention(
-            q_s8[:, :, 0, :], k_cache, v_cache, cache_len + 1,
-            layer.q_scale, layer.k_scale, layer.v_scale,
-            apply_sqrt_dh=False,  # scaling absorbed into q
-            interpret=ecfg.interpret,
-        ).reshape(b, 1, h * dh)
+        smax = k_cache.shape[-1]
+        chunk = ecfg.decode_attn_chunk
+        if chunk < 0:  # AUTO (engine.py dispatch mirror)
+            chunk = auto_decode_chunk(smax)
+        if chunk and smax > chunk:
+            from dgq_tpu.ops.attention import int8_decode_attention_chunked
+
+            ctx = int8_decode_attention_chunked(
+                q_s8[:, :, 0, :], k_cache, v_cache, cache_len + 1,
+                layer.q_scale, layer.k_scale, layer.v_scale,
+                chunk=chunk, apply_sqrt_dh=False,  # scaling absorbed into q
+                interpret=ecfg.interpret,
+            ).reshape(b, 1, h * dh)
+        else:
+            ctx = int8_decode_attention(
+                q_s8[:, :, 0, :], k_cache, v_cache, cache_len + 1,
+                layer.q_scale, layer.k_scale, layer.v_scale,
+                apply_sqrt_dh=False,  # scaling absorbed into q
+                interpret=ecfg.interpret,
+            ).reshape(b, 1, h * dh)
     else:
         # INT8 qk BMM (bmm_s8t_s8n_f32t equivalent), alpha = q_scale*k_scale
         s32 = jnp.einsum("bhqd,bhdk->bhqk", q_s8, k_cache, preferred_element_type=jnp.int32)

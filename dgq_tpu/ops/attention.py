@@ -312,6 +312,24 @@ def _decode_chunk_kernel(
     l_ref[0, 0] = jnp.broadcast_to(l, (rep, 128))
 
 
+def auto_decode_chunk(smax: int) -> int:
+    """Pick the decode-attention chunk size for a context of ``smax``.
+
+    Returns 0 (whole-cache kernel) up to 8k context — the per-head K+V
+    slice plus f32 temporaries stay comfortably inside the ~16 MB VMEM
+    budget there — and otherwise the largest chunk in {4096..128} that
+    divides ``smax`` (the chunked kernel requires smax % chunk == 0).
+    Engine dispatch consults this when EngineConfig.decode_attn_chunk is
+    left at its AUTO default, so long contexts select the VMEM-bounded
+    kernel without manual knobs (VERDICT r1 #9)."""
+    if smax <= 8192:
+        return 0
+    for c in (4096, 2048, 1024, 512, 256, 128):
+        if smax % c == 0:
+            return c
+    return 0  # odd smax: whole-cache kernel (caller may still OOM VMEM)
+
+
 @functools.partial(jax.jit, static_argnames=("chunk", "apply_sqrt_dh", "interpret"))
 def int8_decode_attention_chunked(
     q_s8: jax.Array,  # (B, H, Dh) int8

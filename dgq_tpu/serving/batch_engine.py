@@ -145,13 +145,26 @@ def _decode_block_batched(ecfg: EngineConfig, layer, x, k_cache, v_cache, length
     v_cache = jax.vmap(upd_v)(v_cache, v_s8, lengths)
 
     if ecfg.use_kernel:
-        from dgq_tpu.ops.attention import int8_decode_attention
+        from dgq_tpu.ops.attention import auto_decode_chunk, int8_decode_attention
 
-        ctx = int8_decode_attention(
-            q_s8[:, :, 0, :], k_cache, v_cache, lengths + 1,
-            layer.q_scale, layer.k_scale, layer.v_scale,
-            interpret=ecfg.interpret,
-        ).reshape(b, 1, h * dh)
+        smax = k_cache.shape[-1]
+        chunk = ecfg.decode_attn_chunk
+        if chunk < 0:  # AUTO (engine.py dispatch mirror)
+            chunk = auto_decode_chunk(smax)
+        if chunk and smax > chunk:
+            from dgq_tpu.ops.attention import int8_decode_attention_chunked
+
+            ctx = int8_decode_attention_chunked(
+                q_s8[:, :, 0, :], k_cache, v_cache, lengths + 1,
+                layer.q_scale, layer.k_scale, layer.v_scale,
+                chunk=chunk, interpret=ecfg.interpret,
+            ).reshape(b, 1, h * dh)
+        else:
+            ctx = int8_decode_attention(
+                q_s8[:, :, 0, :], k_cache, v_cache, lengths + 1,
+                layer.q_scale, layer.k_scale, layer.v_scale,
+                interpret=ecfg.interpret,
+            ).reshape(b, 1, h * dh)
     else:
         from dgq_tpu.ops.attention import int8_decode_attention_xla
 
