@@ -428,13 +428,48 @@ class EngineConfig:
     # ops.attention.auto_decode_chunk); >0 forces that chunk size; 0 always
     # keeps the whole per-head cache slice in VMEM (fine to ~8k context)
     decode_attn_chunk: int = -1
+    # decode launch fusion (VERDICT r1 #3): collapse norm+GEMV(+requant,
+    # +SiLU, +residual) sub-blocks into single pallas_calls at s==1
+    # (ops/fused_decode.py).  Falls back per-layer when shapes don't fit.
+    fused_decode: bool = True
 
     def __hash__(self):
         return hash(
             (self.cfg, self.use_kernel, self.interpret, self.bm_prefill,
              self.bm_decode, self.tp_axis, self.flash_prefill, self.fp_scales,
-             self.decode_attn_chunk)
+             self.decode_attn_chunk, self.fused_decode)
         )
+
+
+def _lin_groupsize(lin: EngineLinear) -> int:
+    """Groupsize from the packed layout (K = 2*rows, G = scale rows / 8)."""
+    return (2 * lin.qweight.shape[0] * 8) // lin.wscales.shape[0]
+
+
+def _mlp_bf(span: int, fdim: int) -> int:
+    """Intermediate-dim block for the fused MLP kernel (multiple of span,
+    ~512 columns — the VMEM-validated size)."""
+    bf = span * max(1, 512 // span)
+    return min(bf, fdim)
+
+
+def _decode_fusable(layer: EngineLayer) -> bool:
+    """Static shape check for the fused decode kernels (ops/fused_decode.py);
+    False falls back to the unfused per-op path."""
+    gs = _lin_groupsize(layer.qkv_proj)
+    span = 2 * gs
+    for lin in (layer.qkv_proj, layer.o_proj, layer.gate_up_proj, layer.down_proj):
+        if _lin_groupsize(lin) != gs:
+            return False
+        k = 2 * lin.qweight.shape[0]
+        n = lin.alpha.shape[-1]
+        if k % span != 0 or (n % 512 != 0 and n % 128 != 0 and n >= 512):
+            return False
+    fdim = 2 * layer.down_proj.qweight.shape[0]
+    if layer.gate_up_proj.alpha.shape[-1] != 2 * fdim:
+        return False
+    bf = _mlp_bf(span, fdim)
+    return fdim % bf == 0 and bf % span == 0
 
 
 def _block(ecfg: EngineConfig, layer: EngineLayer, x: jax.Array,
@@ -449,10 +484,25 @@ def _block(ecfg: EngineConfig, layer: EngineLayer, x: jax.Array,
     dh = cfg.head_dim
 
     # ---- attention ----
-    x_s8 = _rms_norm_q(x, layer.ln1_weight, cfg.rms_norm_eps, layer.ln1_bias)
+    # decode launch fusion: norm/requant prologues + GEMV (+ SiLU + residual)
+    # run as single pallas_calls — see ops/fused_decode.py (VERDICT r1 #3)
+    fused = (s == 1 and ecfg.use_kernel and not ecfg.fp_scales
+             and ecfg.fused_decode and b <= 32 and _decode_fusable(layer))
     kwl = dict(use_kernel=ecfg.use_kernel, bm=bm, interpret=ecfg.interpret,
                fp_scales=ecfg.fp_scales)
-    qkv = _linear_s8(layer.qkv_proj, x_s8, **kwl)
+    if fused:
+        from dgq_tpu.ops.fused_decode import fused_norm_gemv
+
+        span = 2 * _lin_groupsize(layer.qkv_proj)
+        qkv = fused_norm_gemv(
+            x[:, 0, :], layer.ln1_weight, layer.ln1_bias,
+            layer.qkv_proj.qweight, layer.qkv_proj.wscales,
+            layer.qkv_proj.wzeros, layer.qkv_proj.alpha, layer.qkv_proj.bias,
+            span=span, eps=cfg.rms_norm_eps, interpret=ecfg.interpret,
+        )[:, None, :]
+    else:
+        x_s8 = _rms_norm_q(x, layer.ln1_weight, cfg.rms_norm_eps, layer.ln1_bias)
+        qkv = _linear_s8(layer.qkv_proj, x_s8, **kwl)
 
     # head counts inferred from (possibly tensor-sharded) projection widths,
     # so the same block body runs unsharded and under shard_map TP:
@@ -546,6 +596,45 @@ def _block(ecfg: EngineConfig, layer: EngineLayer, x: jax.Array,
         vf = v_cache.astype(jnp.float32) * layer.v_scale
         ctx = jnp.einsum("bgrqk,bgkd->bgrqd", probs, vf)  # (B, Hkv, rep, S, Dh)
         ctx = ctx.transpose(0, 3, 1, 2, 4).reshape(b, s, h * dh)
+
+    if fused:
+        from dgq_tpu.ops.fused_decode import fused_mlp_decode, fused_requant_gemv
+
+        span_o = 2 * _lin_groupsize(layer.o_proj)
+        tp = ecfg.tp_axis
+        # o_proj: requant prologue + GEMV + (residual when unsharded —
+        # under TP the fp32 partials must psum before the single add)
+        attn_out = fused_requant_gemv(
+            ctx[:, 0, :], layer.out_input_scale,  # llama_a8w4.py:158 clamps -127
+            layer.o_proj.qweight, layer.o_proj.wscales, layer.o_proj.wzeros,
+            layer.o_proj.alpha, layer.o_proj.bias,
+            residual=None if tp is not None else x[:, 0, :],
+            span=span_o, qmin=-127.0, fuse_residual=tp is None,
+            interpret=ecfg.interpret,
+        )[:, None, :]
+        if tp is not None:
+            x = x + jax.lax.psum(attn_out, tp).astype(x.dtype)
+        else:
+            x = attn_out.astype(x.dtype)  # residual fused in-kernel
+
+        # ---- mlp: ONE launch (norm + gate/up + SiLU + requant + down) ----
+        span_m = 2 * _lin_groupsize(layer.gate_up_proj)
+        fdim = 2 * layer.down_proj.qweight.shape[0]
+        mlp_out = fused_mlp_decode(
+            x[:, 0, :], layer.ln2_weight, layer.ln2_bias,
+            layer.gate_up_proj.qweight, layer.gate_up_proj.wscales,
+            layer.gate_up_proj.wzeros, layer.gate_up_proj.alpha,
+            layer.down_input_scale,
+            layer.down_proj.qweight, layer.down_proj.wscales,
+            layer.down_proj.wzeros, layer.down_proj.alpha, layer.down_proj.bias,
+            span=span_m, bf=_mlp_bf(span_m, fdim), eps=cfg.rms_norm_eps,
+            fuse_residual=tp is None, interpret=ecfg.interpret,
+        )[:, None, :]
+        if tp is not None:
+            x = x + jax.lax.psum(mlp_out, tp).astype(x.dtype)
+        else:
+            x = mlp_out.astype(x.dtype)
+        return x, k_cache, v_cache
 
     ctx_s8 = _requant(ctx, layer.out_input_scale, qmin=-127.0)  # llama_a8w4.py:158 clamps -127
     attn_out = _linear_s8(layer.o_proj, ctx_s8, **kwl)

@@ -1,0 +1,441 @@
+"""Fused decode-step kernels: norm/requant + dequant-GEMV (+ MLP) in ONE
+pallas_call each.
+
+Round-1 measurement (ROADMAP "late findings"): the 7B decode step is
+launch-bound — ~160 Pallas launches plus the XLA glue fusions between them
+dominate the 16.1 ms/step, not dispatch or FLOPs.  The reference pays 4 CUDA
+launches per linear (reference: dgq/kernels/linear.cu:48-51 — dequant +
+GEMM + two elementwise); the TPU answer is to collapse each decode
+sub-block into a single kernel:
+
+  * ``fused_norm_gemv``      — RMSNormQ prologue + full-K dequant GEMV
+                               (replaces norm fusion + qkv/gate-up GEMM)
+  * ``fused_requant_gemv``   — int8 requant prologue + GEMV + optional
+                               residual-add epilogue (o_proj)
+  * ``fused_mlp_decode``     — RMSNormQ + gate/up GEMV + SiLU·mul +
+                               requant + down GEMV + residual epilogue:
+                               the ENTIRE MLP in one launch
+
+All three exploit the decode shape (M = batch <= 8 rows): the activation
+row block is VMEM-resident with a constant index map (fetched once), so the
+contraction runs full-K inside each grid step and the normalization /
+requant prologue is computed once into scratch at step 0 and reused.
+Weight traffic is identical to the unfused kernels — same packed-nibble
+stream — so the win is pure launch-count and epilogue-glue removal.
+
+Packed layout and dequant identical to ops/quant_matmul.py (span nibbles,
+8x-replicated int8 group scales, per-channel fp alpha epilogue).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _unpack_dot(x_s8, qw_ref, s_all, z_all, row0: int, nsp: int, span: int):
+    """Contract x_s8 (B, nsp*span) with the span-packed weight block held in
+    qw_ref rows [row0*half, (row0+nsp)*half), returning (B, bn) int32."""
+    half = span // 2
+    acc = None
+    for t in range(nsp):
+        byte = qw_ref[(row0 + t) * half : (row0 + t + 1) * half, :].astype(jnp.int32) & 0xFF
+        hi = byte >> 4
+        lo = byte & 0xF
+        r = 16 * (row0 + t)
+        w_hi = (hi - z_all[r : r + 1, :]) * s_all[r : r + 1, :]
+        w_lo = (lo - z_all[r + 8 : r + 9, :]) * s_all[r + 8 : r + 9, :]
+        w_s8 = jnp.concatenate([w_hi, w_lo], axis=0).astype(jnp.int8)  # (span, bn)
+        d = jax.lax.dot_general(
+            x_s8[:, t * span : (t + 1) * span], w_s8,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        acc = d if acc is None else acc + d
+    return acc
+
+
+def _rmsnorm_q(x, w, b, eps: float):
+    """RMSNormQ on a (B, D) f32 block -> int8 (matches engine._rms_norm_q)."""
+    var = jnp.mean(x * x, axis=-1, keepdims=True)
+    y = x * jax.lax.rsqrt(var + eps) * w + b
+    return jnp.clip(jnp.round(y), -128, 127).astype(jnp.int8)
+
+
+# --------------------------------------------------------------------------
+# norm + GEMV (qkv / gate_up entry)
+# --------------------------------------------------------------------------
+
+def _norm_gemv_kernel(
+    x_ref,  # (B8, K) f32 residual-stream block (constant index map)
+    lnw_ref,  # (1, K) f32 pre-scaled norm weight
+    lnb_ref,  # (1, K) f32 norm bias (zeros when absent)
+    qw_ref,  # (K//2, bn) int8 span-packed
+    s_ref,  # (16*nspk, bn) int8 replicated group scales
+    z_ref,  # (16*nspk, bn) int8
+    alpha_ref,  # (1, bn) f32
+    beta_ref,  # (1, bn) f32
+    out_ref,  # (B8, bn) f32
+    xq_ref,  # (B8, K) int8 scratch
+    *,
+    nspk: int,
+    span: int,
+    eps: float,
+):
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        xq_ref[:] = _rmsnorm_q(x_ref[:], lnw_ref[:], lnb_ref[:], eps)
+
+    acc = _unpack_dot(xq_ref[:], qw_ref, s_ref[:].astype(jnp.int32),
+                      z_ref[:].astype(jnp.int32), 0, nspk, span)
+    out_ref[:] = acc.astype(jnp.float32) * alpha_ref[:] + beta_ref[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("span", "bn", "eps", "interpret"),
+)
+def fused_norm_gemv(
+    x: jax.Array,  # (B, K) f32 residual stream
+    ln_w: jax.Array,  # (K,) f32
+    ln_b: Optional[jax.Array],  # (K,) f32 or None
+    qweight: jax.Array,  # (K//2, N) int8 span-packed
+    wscales: jax.Array,  # (8G, N) int8 replicated
+    wzeros: jax.Array,  # (8G, N) int8
+    alpha: jax.Array,  # (N,) f32
+    beta: Optional[jax.Array] = None,  # (N,) f32
+    *,
+    span: int = 256,
+    bn: int = 512,
+    eps: float = 1e-6,
+    interpret: bool = False,
+) -> jax.Array:
+    """One launch: y = (RMSNormQ(x) @ dequant(W)) * alpha + beta."""
+    b, k = x.shape
+    k2, n = qweight.shape
+    assert 2 * k2 == k and k % span == 0, (x.shape, qweight.shape, span)
+    b8 = _cdiv(max(b, 1), 8) * 8
+    if b8 != b:
+        x = jnp.pad(x, ((0, b8 - b), (0, 0)))
+    if n % bn != 0:
+        bn = n if n < bn else 128
+    assert n % bn == 0, (n, bn)
+    nspk = k // span
+    if ln_b is None:
+        ln_b = jnp.zeros((k,), jnp.float32)
+    if beta is None:
+        beta = jnp.zeros((n,), jnp.float32)
+
+    out = pl.pallas_call(
+        functools.partial(_norm_gemv_kernel, nspk=nspk, span=span, eps=eps),
+        grid=(n // bn,),
+        in_specs=[
+            pl.BlockSpec((b8, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k2, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16 * nspk, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16 * nspk, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b8, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b8, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((b8, k), jnp.int8)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),  # scratch carries across steps
+        ),
+        interpret=interpret,
+    )(
+        x.astype(jnp.float32), ln_w.reshape(1, k).astype(jnp.float32),
+        ln_b.reshape(1, k).astype(jnp.float32), qweight, wscales, wzeros,
+        alpha.reshape(1, n).astype(jnp.float32), beta.reshape(1, n).astype(jnp.float32),
+    )
+    return out[:b]
+
+
+# --------------------------------------------------------------------------
+# requant + GEMV (+ residual) (o_proj)
+# --------------------------------------------------------------------------
+
+def _requant_gemv_kernel(
+    x_ref,  # (B8, K) f32 attention context (constant index map)
+    scale_ref,  # (1,) f32 SMEM requant scale
+    qw_ref,
+    s_ref,
+    z_ref,
+    alpha_ref,
+    beta_ref,
+    res_ref,  # (B8, bn) f32 residual block
+    out_ref,
+    xq_ref,  # (B8, K) int8 scratch
+    *,
+    nspk: int,
+    span: int,
+    qmin: float,
+    fuse_residual: bool,
+):
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        y = jnp.round(x_ref[:] / scale_ref[0])
+        xq_ref[:] = jnp.clip(y, qmin, 127.0).astype(jnp.int8)
+
+    acc = _unpack_dot(xq_ref[:], qw_ref, s_ref[:].astype(jnp.int32),
+                      z_ref[:].astype(jnp.int32), 0, nspk, span)
+    y = acc.astype(jnp.float32) * alpha_ref[:] + beta_ref[:]
+    if fuse_residual:
+        y = y + res_ref[:]
+    out_ref[:] = y
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("span", "bn", "qmin", "fuse_residual", "interpret"),
+)
+def fused_requant_gemv(
+    x: jax.Array,  # (B, K) f32 (e.g. attention context)
+    in_scale: jax.Array,  # () f32 static requant scale
+    qweight: jax.Array,
+    wscales: jax.Array,
+    wzeros: jax.Array,
+    alpha: jax.Array,
+    beta: Optional[jax.Array] = None,
+    residual: Optional[jax.Array] = None,  # (B, N) f32 added in-kernel
+    *,
+    span: int = 256,
+    bn: int = 512,
+    qmin: float = -127.0,
+    fuse_residual: bool = True,
+    interpret: bool = False,
+) -> jax.Array:
+    """One launch: y = (requant(x) @ dequant(W)) * alpha + beta [+ residual]."""
+    b, k = x.shape
+    k2, n = qweight.shape
+    assert 2 * k2 == k and k % span == 0
+    b8 = _cdiv(max(b, 1), 8) * 8
+    if b8 != b:
+        x = jnp.pad(x, ((0, b8 - b), (0, 0)))
+    if n % bn != 0:
+        bn = n if n < bn else 128
+    assert n % bn == 0
+    nspk = k // span
+    if beta is None:
+        beta = jnp.zeros((n,), jnp.float32)
+    if residual is None:
+        assert not fuse_residual
+        residual = jnp.zeros((b8, n), jnp.float32)
+    elif b8 != b:
+        residual = jnp.pad(residual, ((0, b8 - b), (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(_requant_gemv_kernel, nspk=nspk, span=span,
+                          qmin=qmin, fuse_residual=fuse_residual),
+        grid=(n // bn,),
+        in_specs=[
+            pl.BlockSpec((b8, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((k2, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16 * nspk, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16 * nspk, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b8, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b8, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b8, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((b8, k), jnp.int8)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(
+        x.astype(jnp.float32), jnp.reshape(in_scale, (1,)).astype(jnp.float32),
+        qweight, wscales, wzeros,
+        alpha.reshape(1, n).astype(jnp.float32), beta.reshape(1, n).astype(jnp.float32),
+        residual.astype(jnp.float32),
+    )
+    return out[:b]
+
+
+# --------------------------------------------------------------------------
+# whole-MLP kernel: norm + gate/up GEMV + SiLU*up + requant + down + residual
+# --------------------------------------------------------------------------
+
+def _mlp_kernel(
+    x_ref,  # (B8, D) f32 residual stream (constant index map)
+    lnw_ref,  # (1, D) f32
+    lnb_ref,  # (1, D) f32
+    hscale_ref,  # (1,) f32 SMEM: down-proj input requant scale
+    qwg_ref,  # (D//2, bf) int8 — gate columns of the fused gate_up weight
+    sg_ref,  # (16*nspd, bf) int8
+    zg_ref,
+    ag_ref,  # (1, bf) f32 gate alpha
+    qwu_ref,  # (D//2, bf) int8 — up columns
+    su_ref,
+    zu_ref,
+    au_ref,
+    qwd_ref,  # (bf//2, D) int8 — down rows for this intermediate block
+    sd_ref,  # (16*nspf, D) int8
+    zd_ref,
+    ad_ref,  # (1, D) f32 down alpha
+    bd_ref,  # (1, D) f32 down bias
+    out_ref,  # (B8, D) f32
+    xq_ref,  # (B8, D) int8 scratch (normed input)
+    acc_ref,  # (B8, D) int32 scratch (down accumulation)
+    *,
+    nf: int,
+    nspd: int,  # spans along D (gate/up contraction)
+    nspf: int,  # spans along bf (down contraction per step)
+    span: int,
+    eps: float,
+    fuse_residual: bool,
+):
+    f = pl.program_id(0)
+
+    @pl.when(f == 0)
+    def _():
+        xq_ref[:] = _rmsnorm_q(x_ref[:], lnw_ref[:], lnb_ref[:], eps)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    xq = xq_ref[:]
+    g32 = _unpack_dot(xq, qwg_ref, sg_ref[:].astype(jnp.int32),
+                      zg_ref[:].astype(jnp.int32), 0, nspd, span)
+    u32 = _unpack_dot(xq, qwu_ref, su_ref[:].astype(jnp.int32),
+                      zu_ref[:].astype(jnp.int32), 0, nspd, span)
+    g = g32.astype(jnp.float32) * ag_ref[:]
+    u = u32.astype(jnp.float32) * au_ref[:]
+    h = (g * jax.nn.sigmoid(g)) * u  # SiLU(gate) * up
+    h_s8 = jnp.clip(jnp.round(h / hscale_ref[0]), -128.0, 127.0).astype(jnp.int8)
+
+    acc_ref[:] += _unpack_dot(h_s8, qwd_ref, sd_ref[:].astype(jnp.int32),
+                              zd_ref[:].astype(jnp.int32), 0, nspf, span)
+
+    @pl.when(f == nf - 1)
+    def _():
+        y = acc_ref[:].astype(jnp.float32) * ad_ref[:] + bd_ref[:]
+        if fuse_residual:
+            y = y + x_ref[:]
+        out_ref[:] = y
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("span", "bf", "eps", "fuse_residual", "interpret"),
+)
+def fused_mlp_decode(
+    x: jax.Array,  # (B, D) f32 residual stream
+    ln_w: jax.Array,  # (D,) f32
+    ln_b: Optional[jax.Array],
+    gu_qweight: jax.Array,  # (D//2, 2F) int8 — [gate | up] fused columns
+    gu_wscales: jax.Array,  # (8G, 2F) int8 replicated
+    gu_wzeros: jax.Array,
+    gu_alpha: jax.Array,  # (2F,) f32
+    down_scale: jax.Array,  # () f32 down-proj input requant scale
+    d_qweight: jax.Array,  # (F//2, D) int8
+    d_wscales: jax.Array,  # (8Gf, D) int8 replicated
+    d_wzeros: jax.Array,
+    d_alpha: jax.Array,  # (D,) f32
+    d_beta: Optional[jax.Array] = None,  # (D,) f32 down bias
+    *,
+    span: int = 256,
+    bf: int = 512,
+    eps: float = 1e-6,
+    fuse_residual: bool = True,
+    interpret: bool = False,
+) -> jax.Array:
+    """The entire LLaMA decode MLP in ONE pallas_call.
+
+    Grid walks the intermediate dimension F in blocks of ``bf``; each step
+    computes that block of SiLU(gate)*up from the VMEM-resident normed
+    input, requants it, and accumulates its contribution to the down
+    projection.  The final step applies the down per-channel epilogue and
+    (optionally) adds the residual stream.  Replaces 5 device launches
+    (norm fusion, gate_up GEMM, SiLU/requant fusion, down GEMM, residual
+    add) with one; weight traffic is unchanged.
+
+    Under tensor parallelism call with ``fuse_residual=False`` and psum +
+    residual-add outside (the partial down output is alpha-scaled, which
+    commutes with the all-reduce)."""
+    b, d = x.shape
+    d2, n2f = gu_qweight.shape
+    assert 2 * d2 == d and d % span == 0, (x.shape, gu_qweight.shape, span)
+    f2, dout = d_qweight.shape
+    fdim = 2 * f2
+    assert n2f == 2 * fdim and dout == d, (gu_qweight.shape, d_qweight.shape)
+    bf = min(bf, fdim)
+    assert fdim % bf == 0 and bf % span == 0, (fdim, bf, span)
+    b8 = _cdiv(max(b, 1), 8) * 8
+    if b8 != b:
+        x = jnp.pad(x, ((0, b8 - b), (0, 0)))
+    nf = fdim // bf
+    nspd = d // span
+    nspf = bf // span
+    if ln_b is None:
+        ln_b = jnp.zeros((d,), jnp.float32)
+    if d_beta is None:
+        d_beta = jnp.zeros((d,), jnp.float32)
+
+    fb = fdim // bf  # column-block offset of the up half
+
+    out = pl.pallas_call(
+        functools.partial(_mlp_kernel, nf=nf, nspd=nspd, nspf=nspf, span=span,
+                          eps=eps, fuse_residual=fuse_residual),
+        grid=(nf,),
+        in_specs=[
+            pl.BlockSpec((b8, d), lambda f: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda f: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda f: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            # gate columns [f*bf, (f+1)*bf)
+            pl.BlockSpec((d2, bf), lambda f: (0, f), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16 * nspd, bf), lambda f: (0, f), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16 * nspd, bf), lambda f: (0, f), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bf), lambda f: (0, f), memory_space=pltpu.VMEM),
+            # up columns [F + f*bf, ...)
+            pl.BlockSpec((d2, bf), lambda f: (0, fb + f), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16 * nspd, bf), lambda f: (0, fb + f), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16 * nspd, bf), lambda f: (0, fb + f), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bf), lambda f: (0, fb + f), memory_space=pltpu.VMEM),  # up alpha
+            # down rows [f*bf/2, ...)
+            pl.BlockSpec((bf // 2, d), lambda f: (f, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16 * nspf, d), lambda f: (f, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((16 * nspf, d), lambda f: (f, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda f: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda f: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b8, d), lambda f: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b8, d), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((b8, d), jnp.int8),
+            pltpu.VMEM((b8, d), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(
+        x.astype(jnp.float32), ln_w.reshape(1, d).astype(jnp.float32),
+        ln_b.reshape(1, d).astype(jnp.float32),
+        jnp.reshape(down_scale, (1,)).astype(jnp.float32),
+        gu_qweight, gu_wscales, gu_wzeros,
+        gu_alpha.reshape(1, n2f).astype(jnp.float32),
+        gu_qweight, gu_wscales, gu_wzeros,
+        gu_alpha.reshape(1, n2f).astype(jnp.float32),
+        d_qweight, d_wscales, d_wzeros,
+        d_alpha.reshape(1, d).astype(jnp.float32),
+        d_beta.reshape(1, d).astype(jnp.float32),
+    )
+    return out[:b]

@@ -111,10 +111,26 @@ def _decode_block_batched(ecfg: EngineConfig, layer, x, k_cache, v_cache, length
     b = x.shape[0]
     dh = cfg.head_dim
 
-    x_s8 = _rms_norm_q(x, layer.ln1_weight, cfg.rms_norm_eps, layer.ln1_bias)
+    # decode launch fusion (shared with models/engine._block — VERDICT r1 #3)
+    from dgq_tpu.models.engine import _decode_fusable, _lin_groupsize, _mlp_bf
+
+    fused = (ecfg.use_kernel and not ecfg.fp_scales and ecfg.fused_decode
+             and b <= 32 and _decode_fusable(layer))
     kwl = dict(use_kernel=ecfg.use_kernel, bm=ecfg.bm_decode, interpret=ecfg.interpret,
                fp_scales=ecfg.fp_scales)
-    qkv = _linear_s8(layer.qkv_proj, x_s8, **kwl)
+    if fused:
+        from dgq_tpu.ops.fused_decode import fused_norm_gemv
+
+        qkv = fused_norm_gemv(
+            x[:, 0, :], layer.ln1_weight, layer.ln1_bias,
+            layer.qkv_proj.qweight, layer.qkv_proj.wscales,
+            layer.qkv_proj.wzeros, layer.qkv_proj.alpha, layer.qkv_proj.bias,
+            span=2 * _lin_groupsize(layer.qkv_proj), eps=cfg.rms_norm_eps,
+            interpret=ecfg.interpret,
+        )[:, None, :]
+    else:
+        x_s8 = _rms_norm_q(x, layer.ln1_weight, cfg.rms_norm_eps, layer.ln1_bias)
+        qkv = _linear_s8(layer.qkv_proj, x_s8, **kwl)
     rep = cfg.num_attention_heads // cfg.num_key_value_heads
     hk = qkv.shape[-1] // dh // (rep + 2)
     h = rep * hk
@@ -172,6 +188,41 @@ def _decode_block_batched(ecfg: EngineConfig, layer, x, k_cache, v_cache, length
             q_s8[:, :, 0, :], k_cache, v_cache, lengths + 1,
             layer.q_scale, layer.k_scale, layer.v_scale,
         ).reshape(b, 1, h * dh)
+
+    if fused:
+        from dgq_tpu.ops.fused_decode import fused_mlp_decode, fused_requant_gemv
+
+        tp = ecfg.tp_axis
+        attn_out = fused_requant_gemv(
+            ctx[:, 0, :], layer.out_input_scale,
+            layer.o_proj.qweight, layer.o_proj.wscales, layer.o_proj.wzeros,
+            layer.o_proj.alpha, layer.o_proj.bias,
+            residual=None if tp is not None else x[:, 0, :],
+            span=2 * _lin_groupsize(layer.o_proj), qmin=-127.0,
+            fuse_residual=tp is None, interpret=ecfg.interpret,
+        )[:, None, :]
+        if tp is not None:
+            x = x + jax.lax.psum(attn_out, tp).astype(x.dtype)
+        else:
+            x = attn_out.astype(x.dtype)
+
+        span_m = 2 * _lin_groupsize(layer.gate_up_proj)
+        fdim = 2 * layer.down_proj.qweight.shape[0]
+        mlp_out = fused_mlp_decode(
+            x[:, 0, :], layer.ln2_weight, layer.ln2_bias,
+            layer.gate_up_proj.qweight, layer.gate_up_proj.wscales,
+            layer.gate_up_proj.wzeros, layer.gate_up_proj.alpha,
+            layer.down_input_scale,
+            layer.down_proj.qweight, layer.down_proj.wscales,
+            layer.down_proj.wzeros, layer.down_proj.alpha, layer.down_proj.bias,
+            span=span_m, bf=_mlp_bf(span_m, fdim), eps=cfg.rms_norm_eps,
+            fuse_residual=tp is None, interpret=ecfg.interpret,
+        )[:, None, :]
+        if tp is not None:
+            x = x + jax.lax.psum(mlp_out, tp).astype(x.dtype)
+        else:
+            x = mlp_out.astype(x.dtype)
+        return x, k_cache, v_cache
 
     ctx_s8 = _requant(ctx, layer.out_input_scale, qmin=-127.0)
     attn_out = _linear_s8(layer.o_proj, ctx_s8, **kwl)

@@ -85,6 +85,8 @@ def main():
     p.add_argument("--max-len", type=int, default=1024)
     p.add_argument("--layers", type=int, default=32)
     p.add_argument("--no-kernel", action="store_true")
+    p.add_argument("--no-fused-decode", action="store_true",
+                   help="disable the fused decode kernels (A/B baseline)")
     p.add_argument("--bm-decode", type=int, default=128)
     p.add_argument("--fused-loop", action="store_true",
                    help="run all decode steps in one on-device lax.scan")
@@ -94,7 +96,8 @@ def main():
 
     cfg = LlamaConfig(num_hidden_layers=args.layers)
     on_tpu = jax.default_backend() not in ("cpu",)
-    ecfg = EngineConfig(cfg=cfg, use_kernel=on_tpu and not args.no_kernel, bm_decode=args.bm_decode)
+    ecfg = EngineConfig(cfg=cfg, use_kernel=on_tpu and not args.no_kernel, bm_decode=args.bm_decode,
+                        fused_decode=not args.no_fused_decode)
 
     print(f"building 7B-shaped engine ({args.layers} layers)...", flush=True)
     eng = build_7b_engine(cfg)

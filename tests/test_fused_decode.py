@@ -1,0 +1,152 @@
+"""Fused decode kernels (ops/fused_decode.py): goldens + engine integration.
+
+Mirrors the reference's kernel-test strategy
+(reference: dgq/test/test_linear_kernels.py) in interpret mode on CPU."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dgq_tpu.ops.fused_decode import (
+    fused_mlp_decode,
+    fused_norm_gemv,
+    fused_requant_gemv,
+)
+from dgq_tpu.quant.packing import pack_nibbles
+
+SPAN, G = 256, 128
+
+
+def _mk(k, n, seed):
+    r = np.random.default_rng(seed)
+    codes = r.integers(0, 16, size=(k, n)).astype(np.int8)
+    qw = pack_nibbles(jnp.asarray(codes), span=SPAN)
+    sc = r.integers(1, 4, size=(k // G, n)).astype(np.int8)
+    zr = r.integers(0, 16, size=(k // G, n)).astype(np.int8)
+    al = r.random(n).astype(np.float32) * 0.01
+    w_s8 = ((codes.astype(np.int32) - np.repeat(zr, G, 0)) * np.repeat(sc, G, 0)).astype(np.int8)
+    return qw, jnp.repeat(jnp.asarray(sc), 8, 0), jnp.repeat(jnp.asarray(zr), 8, 0), jnp.asarray(al), w_s8
+
+
+def _rmsq(x, w, b, eps=1e-6):
+    v = np.mean(x * x, -1, keepdims=True)
+    y = x / np.sqrt(v + eps) * w + b
+    return np.clip(np.round(y), -128, 127).astype(np.int8)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(0)
+    D, N = 512, 768
+    B = 2
+    x = rng.normal(size=(B, D)).astype(np.float32) * 3
+    lnw = rng.random(D).astype(np.float32) + 0.5
+    lnb = rng.normal(size=(D,)).astype(np.float32) * 0.1
+    beta = rng.normal(size=(N,)).astype(np.float32)
+    return rng, D, N, x, lnw, lnb, beta
+
+
+def test_fused_norm_gemv_golden(setup):
+    rng, D, N, x, lnw, lnb, beta = setup
+    qw, sc, zr, al, w_s8 = _mk(D, N, 1)
+    xq = _rmsq(x, lnw, lnb)
+    want = xq.astype(np.int32) @ w_s8.astype(np.int32) * al[None] + beta[None]
+    got = np.asarray(fused_norm_gemv(
+        jnp.asarray(x), jnp.asarray(lnw), jnp.asarray(lnb),
+        qw, sc, zr, al, jnp.asarray(beta), bn=256, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+def test_fused_requant_gemv_golden(setup):
+    rng, D, N, x, lnw, lnb, beta = setup
+    qw, sc, zr, al, w_s8 = _mk(D, N, 1)
+    scale = np.float32(0.07)
+    resid = rng.normal(size=(x.shape[0], N)).astype(np.float32)
+    xq = np.clip(np.round(x / scale), -127, 127).astype(np.int8)
+    want = xq.astype(np.int32) @ w_s8.astype(np.int32) * al[None] + beta[None] + resid
+    got = np.asarray(fused_requant_gemv(
+        jnp.asarray(x), jnp.asarray(scale), qw, sc, zr, al,
+        jnp.asarray(beta), jnp.asarray(resid), bn=256, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+def test_fused_mlp_decode_golden(setup):
+    rng, D, N, x, lnw, lnb, beta = setup
+    F = 1024
+    qwg, scg, zrg, alg, wg_s8 = _mk(D, 2 * F, 2)  # [gate | up]
+    qwd, scd, zrd, ald, wd_s8 = _mk(F, D, 3)
+    hscale = np.float32(0.05)
+    dbias = rng.normal(size=(D,)).astype(np.float32) * 0.1
+
+    xq = _rmsq(x, lnw, lnb)
+    gu = xq.astype(np.int32) @ wg_s8.astype(np.int32) * alg[None]
+    g, u = gu[:, :F], gu[:, F:]
+    h = (g * (1 / (1 + np.exp(-g)))) * u
+    h_s8 = np.clip(np.round(h / hscale), -128, 127).astype(np.int8)
+    want = h_s8.astype(np.int32) @ wd_s8.astype(np.int32) * ald[None] + dbias[None] + x
+    got = np.asarray(fused_mlp_decode(
+        jnp.asarray(x), jnp.asarray(lnw), jnp.asarray(lnb),
+        qwg, scg, zrg, alg, jnp.asarray(hscale),
+        qwd, scd, zrd, ald, jnp.asarray(dbias),
+        bf=512, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
+def test_fused_mlp_no_residual(setup):
+    """fuse_residual=False returns the bare MLP output (the TP partial)."""
+    rng, D, N, x, lnw, lnb, beta = setup
+    F = 512
+    qwg, scg, zrg, alg, _ = _mk(D, 2 * F, 4)
+    qwd, scd, zrd, ald, _ = _mk(F, D, 5)
+    hscale = np.float32(0.05)
+    with_res = np.asarray(fused_mlp_decode(
+        jnp.asarray(x), jnp.asarray(lnw), jnp.asarray(lnb),
+        qwg, scg, zrg, alg, jnp.asarray(hscale),
+        qwd, scd, zrd, ald, None, bf=512, interpret=True))
+    without = np.asarray(fused_mlp_decode(
+        jnp.asarray(x), jnp.asarray(lnw), jnp.asarray(lnb),
+        qwg, scg, zrg, alg, jnp.asarray(hscale),
+        qwd, scd, zrd, ald, None, bf=512, fuse_residual=False, interpret=True))
+    np.testing.assert_allclose(with_res - without, x, rtol=1e-4, atol=1e-4)
+
+
+def test_engine_fused_decode_matches_unfused():
+    """End-to-end: the fused-decode engine path equals the unfused kernel
+    path (both interpret mode) on a multi-token decode chain."""
+    from dgq_tpu.config import ActQuantConfig, QuantConfig, WtQuantConfig
+    from dgq_tpu.models.engine import EngineConfig, engine_forward, from_ptq, init_kv_cache
+    from dgq_tpu.models.llama import init_llama_params, tiny_llama_config
+    from dgq_tpu.quant.calibrate import ptq_llama
+    from dgq_tpu.utils.datautils import synthetic_stream
+
+    cfg = tiny_llama_config(hidden_size=256, intermediate_size=512, num_hidden_layers=2,
+                            num_attention_heads=4, num_key_value_heads=4)
+    params = init_llama_params(cfg, jax.random.PRNGKey(0))
+    calib = jnp.asarray(synthetic_stream(cfg.vocab_size, 2 * 32).reshape(2, 32))
+    qcfg = QuantConfig(act_quant=ActQuantConfig(), wt_quant=WtQuantConfig(groupsize=128),
+                       kvquant=True)
+    res = ptq_llama(params, cfg, calib, qcfg, verbose=False)
+    eng = from_ptq(res.params, res.kv_scales, cfg)
+
+    fused = EngineConfig(cfg=cfg, use_kernel=True, interpret=True,
+                         bm_prefill=128, bm_decode=128)  # fused_decode default ON
+    unfused = dataclasses.replace(fused, fused_decode=False)
+
+    ids = jnp.asarray(synthetic_stream(cfg.vocab_size, 8, seed=9).reshape(1, 8))
+
+    def chain(ecfg):
+        cache = init_kv_cache(cfg, 1, 32)
+        logits, cache = engine_forward(ecfg, eng, ids, cache)
+        outs = []
+        tok = jnp.argmax(logits[:, -1:, :], -1).astype(jnp.int32)
+        for _ in range(3):
+            lg, cache = engine_forward(ecfg, eng, tok, cache)
+            outs.append(np.asarray(lg))
+            tok = jnp.argmax(lg[:, -1:, :], -1).astype(jnp.int32)
+        return outs
+
+    for a, b in zip(chain(fused), chain(unfused)):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)

@@ -280,3 +280,32 @@ def test_scheduler_chunked_prefill_no_hol_stall(serving_setup):
     done_chunked = {r.uid: r.output_ids for r in chunked.run()}
 
     assert done_plain == done_chunked, (done_plain, done_chunked)
+
+
+def test_batched_decode_fused_kernel_matches_xla(serving_setup):
+    """engine_decode_batched with the fused decode kernels (interpret mode)
+    matches the XLA fallback path per slot."""
+    import dataclasses
+
+    cfg, eng, ecfg = serving_setup
+    cache0 = init_batched_cache(cfg, 3, 32)
+    p = synthetic_stream(cfg.vocab_size, 8, seed=71).astype(np.int32)
+    _, cache0 = engine_prefill_slot(
+        ecfg, eng, jnp.asarray(0, jnp.int32), jnp.asarray(p),
+        jnp.asarray(8, jnp.int32), cache0,
+    )
+    _, cache0 = engine_prefill_slot(
+        ecfg, eng, jnp.asarray(2, jnp.int32), jnp.asarray(p[::-1].copy()),
+        jnp.asarray(8, jnp.int32), cache0,
+    )
+    toks = jnp.asarray([5, 0, 9], jnp.int32)
+    active = jnp.asarray([True, False, True])
+
+    l_xla, c_xla = engine_decode_batched(ecfg, eng, toks, cache0, active)
+    kcfg = dataclasses.replace(ecfg, use_kernel=True, interpret=True)
+    l_k, c_k = engine_decode_batched(kcfg, eng, toks, cache0, active)
+    sel = np.asarray([0, 2])
+    np.testing.assert_allclose(
+        np.asarray(l_k)[sel], np.asarray(l_xla)[sel], rtol=5e-3, atol=5e-3
+    )
+    np.testing.assert_array_equal(np.asarray(c_k.lengths), np.asarray(c_xla.lengths))
