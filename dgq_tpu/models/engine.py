@@ -39,13 +39,25 @@ from dgq_tpu.quant.packing import PackedLinear
 
 
 class EngineLinear(NamedTuple):
-    """Span-packed dual-grained linear with a precomputed epilogue alpha."""
+    """Span-packed dual-grained linear with a precomputed epilogue alpha.
+
+    ``wscales``/``wzeros`` are the 8x sublane-replicated copies the tiled
+    prefill GEMM's dynamic k-block row indexing needs; ``s_hi``..``z_lo``
+    are COMPACT per-nibble-plane rows ((G/2, N) int8, even planes = hi
+    nibbles) consumed by the plane-dot decode kernels
+    (ops/fused_decode.py) — 8x less scale DMA on the bandwidth-bound
+    decode path.  None for fp-scale (w4w8-fallback) linears, where the
+    fused decode path is disabled."""
 
     qweight: jax.Array  # (K//2, N) int8, span layout
-    wscales: jax.Array  # (G, N) int8
-    wzeros: jax.Array  # (G, N) int8
+    wscales: jax.Array  # (8G, N) int8 replicated (fp32 in fp-scale mode)
+    wzeros: jax.Array  # (8G, N) int8 replicated
     alpha: jax.Array  # (N,) f32 = wscales8 * input_scale
     bias: Optional[jax.Array]  # (N,) f32 or None
+    s_hi: Optional[jax.Array] = None  # (G/2, N) int8 even-plane scales
+    s_lo: Optional[jax.Array] = None  # (G/2, N) int8 odd-plane scales
+    z_hi: Optional[jax.Array] = None  # (G/2, N) int8 even-plane zeros
+    z_lo: Optional[jax.Array] = None  # (G/2, N) int8 odd-plane zeros
 
 
 class EngineLayer(NamedTuple):
@@ -133,13 +145,18 @@ def _engine_linear_fp(pl: PackedLinear, input_scale: jax.Array) -> EngineLinear:
 def _engine_linear(pl: PackedLinear, input_scale: jax.Array) -> EngineLinear:
     assert pl.w4w8 and pl.span == 2 * pl.groupsize, "engine requires span-packed w4w8"
     # scales pre-replicated 8x on sublanes: the kernel's aligned-BlockSpec
-    # layout, computed once at conversion instead of per call
+    # layout, computed once at conversion instead of per call; plus the
+    # compact per-plane rows the plane-dot decode kernels consume
     return EngineLinear(
         qweight=pl.qweight,
         wscales=jnp.repeat(pl.wscales, 8, axis=0),
         wzeros=jnp.repeat(pl.wzeros, 8, axis=0),
         alpha=pl.wscales8.astype(jnp.float32) * input_scale.astype(jnp.float32),
         bias=pl.bias,
+        s_hi=pl.wscales[0::2],
+        s_lo=pl.wscales[1::2],
+        z_hi=pl.wzeros[0::2],
+        z_lo=pl.wzeros[1::2],
     )
 
 
@@ -151,12 +168,20 @@ def _pad_linear_n(lin: EngineLinear, mult: int) -> EngineLinear:
     pad = (-n) % mult
     if pad == 0 or n < mult or pad > n // 8:
         return lin  # skip tiny dims / disproportionate padding
+
+    def _pad_n(a, cv=0):
+        return None if a is None else jnp.pad(a, ((0, 0), (0, pad)), constant_values=cv)
+
     return EngineLinear(
-        qweight=jnp.pad(lin.qweight, ((0, 0), (0, pad))),
-        wscales=jnp.pad(lin.wscales, ((0, 0), (0, pad)), constant_values=1),
-        wzeros=jnp.pad(lin.wzeros, ((0, 0), (0, pad))),
+        qweight=_pad_n(lin.qweight),
+        wscales=_pad_n(lin.wscales, 1),
+        wzeros=_pad_n(lin.wzeros),
         alpha=jnp.pad(lin.alpha, (0, pad)),  # zero alpha -> zero output
         bias=None if lin.bias is None else jnp.pad(lin.bias, (0, pad)),
+        s_hi=_pad_n(lin.s_hi, 1),
+        s_lo=_pad_n(lin.s_lo, 1),
+        z_hi=_pad_n(lin.z_hi),
+        z_lo=_pad_n(lin.z_lo),
     )
 
 
@@ -176,12 +201,23 @@ def _pad_linear_k(lin: EngineLinear, mult: int) -> EngineLinear:
     pad = (-k) % mult
     if pad == 0 or k < mult or pad > k // 8 or pad % (2 * groupsize) != 0:
         return lin
+    # pad is a whole number of spans, so hi/lo planes each gain
+    # pad/(2*groupsize) rows
+    pad_pl = pad // (2 * groupsize)
+
+    def _pad_planes(a, cv=0):
+        return None if a is None else jnp.pad(a, ((0, pad_pl), (0, 0)), constant_values=cv)
+
     return EngineLinear(
         qweight=jnp.pad(lin.qweight, ((0, pad // 2), (0, 0))),
         wscales=jnp.pad(lin.wscales, ((0, 8 * pad // groupsize), (0, 0)), constant_values=1),
         wzeros=jnp.pad(lin.wzeros, ((0, 8 * pad // groupsize), (0, 0))),
         alpha=lin.alpha,
         bias=lin.bias,
+        s_hi=_pad_planes(lin.s_hi, 1),
+        s_lo=_pad_planes(lin.s_lo, 1),
+        z_hi=_pad_planes(lin.z_hi),
+        z_lo=_pad_planes(lin.z_lo),
     )
 
 
@@ -197,12 +233,20 @@ def _fuse_linears(lins: list) -> EngineLinear:
         )
     else:
         bias = None
+    def _cat(field):
+        vals = [getattr(l, field) for l in lins]
+        return None if any(v is None for v in vals) else jnp.concatenate(vals, axis=1)
+
     return EngineLinear(
         qweight=jnp.concatenate([l.qweight for l in lins], axis=1),
         wscales=jnp.concatenate([l.wscales for l in lins], axis=1),
         wzeros=jnp.concatenate([l.wzeros for l in lins], axis=1),
         alpha=jnp.concatenate([l.alpha for l in lins]),
         bias=bias,
+        s_hi=_cat("s_hi"),
+        s_lo=_cat("s_lo"),
+        z_hi=_cat("z_hi"),
+        z_lo=_cat("z_lo"),
     )
 
 
@@ -459,7 +503,7 @@ def _decode_fusable(layer: EngineLayer) -> bool:
     gs = _lin_groupsize(layer.qkv_proj)
     span = 2 * gs
     for lin in (layer.qkv_proj, layer.o_proj, layer.gate_up_proj, layer.down_proj):
-        if _lin_groupsize(lin) != gs:
+        if _lin_groupsize(lin) != gs or lin.s_hi is None:
             return False
         k = 2 * lin.qweight.shape[0]
         n = lin.alpha.shape[-1]
@@ -494,10 +538,10 @@ def _block(ecfg: EngineConfig, layer: EngineLayer, x: jax.Array,
         from dgq_tpu.ops.fused_decode import fused_norm_gemv
 
         span = 2 * _lin_groupsize(layer.qkv_proj)
+        qp = layer.qkv_proj
         qkv = fused_norm_gemv(
             x[:, 0, :], layer.ln1_weight, layer.ln1_bias,
-            layer.qkv_proj.qweight, layer.qkv_proj.wscales,
-            layer.qkv_proj.wzeros, layer.qkv_proj.alpha, layer.qkv_proj.bias,
+            qp.qweight, qp.s_hi, qp.s_lo, qp.z_hi, qp.z_lo, qp.alpha, qp.bias,
             span=span, eps=cfg.rms_norm_eps, interpret=ecfg.interpret,
         )[:, None, :]
     else:
@@ -602,12 +646,13 @@ def _block(ecfg: EngineConfig, layer: EngineLayer, x: jax.Array,
 
         span_o = 2 * _lin_groupsize(layer.o_proj)
         tp = ecfg.tp_axis
+        op = layer.o_proj
         # o_proj: requant prologue + GEMV + (residual when unsharded —
         # under TP the fp32 partials must psum before the single add)
         attn_out = fused_requant_gemv(
             ctx[:, 0, :], layer.out_input_scale,  # llama_a8w4.py:158 clamps -127
-            layer.o_proj.qweight, layer.o_proj.wscales, layer.o_proj.wzeros,
-            layer.o_proj.alpha, layer.o_proj.bias,
+            op.qweight, op.s_hi, op.s_lo, op.z_hi, op.z_lo,
+            op.alpha, op.bias,
             residual=None if tp is not None else x[:, 0, :],
             span=span_o, qmin=-127.0, fuse_residual=tp is None,
             interpret=ecfg.interpret,
@@ -620,13 +665,12 @@ def _block(ecfg: EngineConfig, layer: EngineLayer, x: jax.Array,
         # ---- mlp: ONE launch (norm + gate/up + SiLU + requant + down) ----
         span_m = 2 * _lin_groupsize(layer.gate_up_proj)
         fdim = 2 * layer.down_proj.qweight.shape[0]
+        gu, dn = layer.gate_up_proj, layer.down_proj
         mlp_out = fused_mlp_decode(
             x[:, 0, :], layer.ln2_weight, layer.ln2_bias,
-            layer.gate_up_proj.qweight, layer.gate_up_proj.wscales,
-            layer.gate_up_proj.wzeros, layer.gate_up_proj.alpha,
+            gu.qweight, gu.s_hi, gu.s_lo, gu.z_hi, gu.z_lo, gu.alpha,
             layer.down_input_scale,
-            layer.down_proj.qweight, layer.down_proj.wscales,
-            layer.down_proj.wzeros, layer.down_proj.alpha, layer.down_proj.bias,
+            dn.qweight, dn.wscales, dn.wzeros, dn.alpha, dn.bias,
             span=span_m, bf=_mlp_bf(span_m, fdim), eps=cfg.rms_norm_eps,
             fuse_residual=tp is None, interpret=ecfg.interpret,
         )[:, None, :]

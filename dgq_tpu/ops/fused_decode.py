@@ -20,11 +20,20 @@ All three exploit the decode shape (M = batch <= 8 rows): the activation
 row block is VMEM-resident with a constant index map (fetched once), so the
 contraction runs full-K inside each grid step and the normalization /
 requant prologue is computed once into scratch at step 0 and reused.
-Weight traffic is identical to the unfused kernels — same packed-nibble
-stream — so the win is pure launch-count and epilogue-glue removal.
 
-Packed layout and dequant identical to ops/quant_matmul.py (span nibbles,
-8x-replicated int8 group scales, per-channel fp alpha epilogue).
+Dequant algebra (round-2 rework): the per-element ``(code - z) * s``
+materialization is VPU-bound (launch-overhead probe: 28 us/launch vs a
+12.8 us DMA floor for a 7B-shaped GEMV).  Because z and s are constant per
+128-deep nibble *plane*, the contraction distributes over them:
+
+    y_n = sum_p  s_{p,n} * ( dot(x_p, codes_p)_n  -  sum(x_p) * z_{p,n} )
+
+so the MXU contracts RAW nibble codes and the scale/zero arithmetic
+collapses to per-plane (1, bn)-row corrections — ~1.6x less VPU work per
+byte, and the group scales are consumed COMPACT ((G/2, N) int8 hi/lo plane
+rows, precomputed in engine.from_ptq) instead of the 8x sublane-replicated
+copies the tiled prefill GEMM needs, cutting scale DMA 8x.  All arithmetic
+stays in exact int32, matching ops/quant_matmul.py bit for bit.
 """
 
 from __future__ import annotations
@@ -42,16 +51,51 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def _unpack_dot(x_s8, qw_ref, s_all, z_all, row0: int, nsp: int, span: int):
-    """Contract x_s8 (B, nsp*span) with the span-packed weight block held in
-    qw_ref rows [row0*half, (row0+nsp)*half), returning (B, bn) int32."""
+def _plane_dot(x_s8, qw_ref, sh_ref, sl_ref, zh_ref, zl_ref, nsp: int, span: int):
+    """Contract x_s8 (B, nsp*span) with the span-packed weight block in
+    qw_ref via raw-nibble-plane dots + per-plane scalar corrections,
+    returning exact (B, bn) int32.
+
+    Per span t the hi nibbles are group 2t (k in [t*span, t*span+half)) and
+    the lo nibbles group 2t+1 — the layout of quant/packing.pack_nibbles."""
     half = span // 2
     acc = None
     for t in range(nsp):
-        byte = qw_ref[(row0 + t) * half : (row0 + t + 1) * half, :].astype(jnp.int32) & 0xFF
+        u = qw_ref[t * half : (t + 1) * half, :].astype(jnp.uint8).astype(jnp.int32)
+        hi = (u >> 4).astype(jnp.int8)
+        lo = (u & 0xF).astype(jnp.int8)
+        xh = x_s8[:, t * span : t * span + half]
+        xl = x_s8[:, t * span + half : (t + 1) * span]
+        dh = jax.lax.dot_general(
+            xh, hi, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        dl = jax.lax.dot_general(
+            xl, lo, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        sh = sh_ref[t : t + 1, :].astype(jnp.int32)  # (1, bn)
+        sl = sl_ref[t : t + 1, :].astype(jnp.int32)
+        zh = zh_ref[t : t + 1, :].astype(jnp.int32)
+        zl = zl_ref[t : t + 1, :].astype(jnp.int32)
+        sxh = jnp.sum(xh.astype(jnp.int32), axis=1, keepdims=True)  # (B, 1)
+        sxl = jnp.sum(xl.astype(jnp.int32), axis=1, keepdims=True)
+        p = (dh - sxh * zh) * sh + (dl - sxl * zl) * sl
+        acc = p if acc is None else acc + p
+    return acc
+
+
+def _unpack_dot(x_s8, qw_ref, s_all, z_all, nsp: int, span: int):
+    """Legacy per-element dequant contraction on 8x-replicated scales —
+    kept for the down-proj leg of the MLP kernel, whose per-f-block plane
+    rows (nspf=bf/span, typically 2) violate Mosaic's sublane-divisibility
+    rule for compact blocks (the replicated rows 16t / 16t+8 are 8-aligned
+    by construction)."""
+    half = span // 2
+    acc = None
+    for t in range(nsp):
+        byte = qw_ref[t * half : (t + 1) * half, :].astype(jnp.int32) & 0xFF
         hi = byte >> 4
         lo = byte & 0xF
-        r = 16 * (row0 + t)
+        r = 16 * t
         w_hi = (hi - z_all[r : r + 1, :]) * s_all[r : r + 1, :]
         w_lo = (lo - z_all[r + 8 : r + 9, :]) * s_all[r + 8 : r + 9, :]
         w_s8 = jnp.concatenate([w_hi, w_lo], axis=0).astype(jnp.int8)  # (span, bn)
@@ -71,6 +115,11 @@ def _rmsnorm_q(x, w, b, eps: float):
     return jnp.clip(jnp.round(y), -128, 127).astype(jnp.int8)
 
 
+def _plane_specs(nsp: int, bn: int, index_map):
+    """BlockSpecs for the 4 compact plane-scale arrays ((nsp, bn) blocks)."""
+    return [pl.BlockSpec((nsp, bn), index_map, memory_space=pltpu.VMEM)] * 4
+
+
 # --------------------------------------------------------------------------
 # norm + GEMV (qkv / gate_up entry)
 # --------------------------------------------------------------------------
@@ -80,8 +129,10 @@ def _norm_gemv_kernel(
     lnw_ref,  # (1, K) f32 pre-scaled norm weight
     lnb_ref,  # (1, K) f32 norm bias (zeros when absent)
     qw_ref,  # (K//2, bn) int8 span-packed
-    s_ref,  # (16*nspk, bn) int8 replicated group scales
-    z_ref,  # (16*nspk, bn) int8
+    sh_ref,  # (nspk, bn) int8 even-plane group scales
+    sl_ref,  # (nspk, bn) int8 odd-plane group scales
+    zh_ref,  # (nspk, bn) int8 even-plane zeros
+    zl_ref,  # (nspk, bn) int8 odd-plane zeros
     alpha_ref,  # (1, bn) f32
     beta_ref,  # (1, bn) f32
     out_ref,  # (B8, bn) f32
@@ -97,8 +148,8 @@ def _norm_gemv_kernel(
     def _():
         xq_ref[:] = _rmsnorm_q(x_ref[:], lnw_ref[:], lnb_ref[:], eps)
 
-    acc = _unpack_dot(xq_ref[:], qw_ref, s_ref[:].astype(jnp.int32),
-                      z_ref[:].astype(jnp.int32), 0, nspk, span)
+    acc = _plane_dot(xq_ref[:], qw_ref, sh_ref, sl_ref, zh_ref, zl_ref,
+                     nspk, span)
     out_ref[:] = acc.astype(jnp.float32) * alpha_ref[:] + beta_ref[:]
 
 
@@ -111,8 +162,10 @@ def fused_norm_gemv(
     ln_w: jax.Array,  # (K,) f32
     ln_b: Optional[jax.Array],  # (K,) f32 or None
     qweight: jax.Array,  # (K//2, N) int8 span-packed
-    wscales: jax.Array,  # (8G, N) int8 replicated
-    wzeros: jax.Array,  # (8G, N) int8
+    s_hi: jax.Array,  # (G//2, N) int8 compact even-plane scales
+    s_lo: jax.Array,  # (G//2, N) int8
+    z_hi: jax.Array,  # (G//2, N) int8
+    z_lo: jax.Array,  # (G//2, N) int8
     alpha: jax.Array,  # (N,) f32
     beta: Optional[jax.Array] = None,  # (N,) f32
     *,
@@ -132,6 +185,7 @@ def fused_norm_gemv(
         bn = n if n < bn else 128
     assert n % bn == 0, (n, bn)
     nspk = k // span
+    assert s_hi.shape == (nspk, n), (s_hi.shape, nspk, n)
     if ln_b is None:
         ln_b = jnp.zeros((k,), jnp.float32)
     if beta is None:
@@ -145,8 +199,7 @@ def fused_norm_gemv(
             pl.BlockSpec((1, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((k2, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((16 * nspk, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((16 * nspk, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
+            *_plane_specs(nspk, bn, lambda j: (0, j)),
             pl.BlockSpec((1, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
         ],
@@ -159,7 +212,8 @@ def fused_norm_gemv(
         interpret=interpret,
     )(
         x.astype(jnp.float32), ln_w.reshape(1, k).astype(jnp.float32),
-        ln_b.reshape(1, k).astype(jnp.float32), qweight, wscales, wzeros,
+        ln_b.reshape(1, k).astype(jnp.float32), qweight,
+        s_hi, s_lo, z_hi, z_lo,
         alpha.reshape(1, n).astype(jnp.float32), beta.reshape(1, n).astype(jnp.float32),
     )
     return out[:b]
@@ -173,8 +227,10 @@ def _requant_gemv_kernel(
     x_ref,  # (B8, K) f32 attention context (constant index map)
     scale_ref,  # (1,) f32 SMEM requant scale
     qw_ref,
-    s_ref,
-    z_ref,
+    sh_ref,
+    sl_ref,
+    zh_ref,
+    zl_ref,
     alpha_ref,
     beta_ref,
     res_ref,  # (B8, bn) f32 residual block
@@ -193,8 +249,8 @@ def _requant_gemv_kernel(
         y = jnp.round(x_ref[:] / scale_ref[0])
         xq_ref[:] = jnp.clip(y, qmin, 127.0).astype(jnp.int8)
 
-    acc = _unpack_dot(xq_ref[:], qw_ref, s_ref[:].astype(jnp.int32),
-                      z_ref[:].astype(jnp.int32), 0, nspk, span)
+    acc = _plane_dot(xq_ref[:], qw_ref, sh_ref, sl_ref, zh_ref, zl_ref,
+                     nspk, span)
     y = acc.astype(jnp.float32) * alpha_ref[:] + beta_ref[:]
     if fuse_residual:
         y = y + res_ref[:]
@@ -209,8 +265,10 @@ def fused_requant_gemv(
     x: jax.Array,  # (B, K) f32 (e.g. attention context)
     in_scale: jax.Array,  # () f32 static requant scale
     qweight: jax.Array,
-    wscales: jax.Array,
-    wzeros: jax.Array,
+    s_hi: jax.Array,
+    s_lo: jax.Array,
+    z_hi: jax.Array,
+    z_lo: jax.Array,
     alpha: jax.Array,
     beta: Optional[jax.Array] = None,
     residual: Optional[jax.Array] = None,  # (B, N) f32 added in-kernel
@@ -232,6 +290,7 @@ def fused_requant_gemv(
         bn = n if n < bn else 128
     assert n % bn == 0
     nspk = k // span
+    assert s_hi.shape == (nspk, n), (s_hi.shape, nspk, n)
     if beta is None:
         beta = jnp.zeros((n,), jnp.float32)
     if residual is None:
@@ -248,8 +307,7 @@ def fused_requant_gemv(
             pl.BlockSpec((b8, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((k2, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((16 * nspk, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((16 * nspk, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
+            *_plane_specs(nspk, bn, lambda j: (0, j)),
             pl.BlockSpec((1, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((b8, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
@@ -263,7 +321,7 @@ def fused_requant_gemv(
         interpret=interpret,
     )(
         x.astype(jnp.float32), jnp.reshape(in_scale, (1,)).astype(jnp.float32),
-        qweight, wscales, wzeros,
+        qweight, s_hi, s_lo, z_hi, z_lo,
         alpha.reshape(1, n).astype(jnp.float32), beta.reshape(1, n).astype(jnp.float32),
         residual.astype(jnp.float32),
     )
@@ -280,15 +338,19 @@ def _mlp_kernel(
     lnb_ref,  # (1, D) f32
     hscale_ref,  # (1,) f32 SMEM: down-proj input requant scale
     qwg_ref,  # (D//2, bf) int8 — gate columns of the fused gate_up weight
-    sg_ref,  # (16*nspd, bf) int8
-    zg_ref,
+    shg_ref,  # (nspd, bf) int8 compact plane scales (gate)
+    slg_ref,
+    zhg_ref,
+    zlg_ref,
     ag_ref,  # (1, bf) f32 gate alpha
     qwu_ref,  # (D//2, bf) int8 — up columns
-    su_ref,
-    zu_ref,
+    shu_ref,
+    slu_ref,
+    zhu_ref,
+    zlu_ref,
     au_ref,
     qwd_ref,  # (bf//2, D) int8 — down rows for this intermediate block
-    sd_ref,  # (16*nspf, D) int8
+    sd_ref,  # (16*nspf, D) int8 replicated down scales (this block's rows)
     zd_ref,
     ad_ref,  # (1, D) f32 down alpha
     bd_ref,  # (1, D) f32 down bias
@@ -311,17 +373,15 @@ def _mlp_kernel(
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     xq = xq_ref[:]
-    g32 = _unpack_dot(xq, qwg_ref, sg_ref[:].astype(jnp.int32),
-                      zg_ref[:].astype(jnp.int32), 0, nspd, span)
-    u32 = _unpack_dot(xq, qwu_ref, su_ref[:].astype(jnp.int32),
-                      zu_ref[:].astype(jnp.int32), 0, nspd, span)
+    g32 = _plane_dot(xq, qwg_ref, shg_ref, slg_ref, zhg_ref, zlg_ref, nspd, span)
+    u32 = _plane_dot(xq, qwu_ref, shu_ref, slu_ref, zhu_ref, zlu_ref, nspd, span)
     g = g32.astype(jnp.float32) * ag_ref[:]
     u = u32.astype(jnp.float32) * au_ref[:]
     h = (g * jax.nn.sigmoid(g)) * u  # SiLU(gate) * up
     h_s8 = jnp.clip(jnp.round(h / hscale_ref[0]), -128.0, 127.0).astype(jnp.int8)
 
     acc_ref[:] += _unpack_dot(h_s8, qwd_ref, sd_ref[:].astype(jnp.int32),
-                              zd_ref[:].astype(jnp.int32), 0, nspf, span)
+                              zd_ref[:].astype(jnp.int32), nspf, span)
 
     @pl.when(f == nf - 1)
     def _():
@@ -340,12 +400,14 @@ def fused_mlp_decode(
     ln_w: jax.Array,  # (D,) f32
     ln_b: Optional[jax.Array],
     gu_qweight: jax.Array,  # (D//2, 2F) int8 — [gate | up] fused columns
-    gu_wscales: jax.Array,  # (8G, 2F) int8 replicated
-    gu_wzeros: jax.Array,
+    gu_s_hi: jax.Array,  # (G//2, 2F) int8 compact plane scales
+    gu_s_lo: jax.Array,
+    gu_z_hi: jax.Array,
+    gu_z_lo: jax.Array,
     gu_alpha: jax.Array,  # (2F,) f32
     down_scale: jax.Array,  # () f32 down-proj input requant scale
     d_qweight: jax.Array,  # (F//2, D) int8
-    d_wscales: jax.Array,  # (8Gf, D) int8 replicated
+    d_wscales: jax.Array,  # (8*Gf, D) int8 replicated (see _unpack_dot)
     d_wzeros: jax.Array,
     d_alpha: jax.Array,  # (D,) f32
     d_beta: Optional[jax.Array] = None,  # (D,) f32 down bias
@@ -383,6 +445,8 @@ def fused_mlp_decode(
     nf = fdim // bf
     nspd = d // span
     nspf = bf // span
+    assert gu_s_hi.shape == (nspd, n2f), (gu_s_hi.shape, nspd, n2f)
+    assert d_wscales.shape == (8 * fdim // (span // 2), d), (d_wscales.shape, fdim, span)
     if ln_b is None:
         ln_b = jnp.zeros((d,), jnp.float32)
     if d_beta is None:
@@ -401,13 +465,11 @@ def fused_mlp_decode(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             # gate columns [f*bf, (f+1)*bf)
             pl.BlockSpec((d2, bf), lambda f: (0, f), memory_space=pltpu.VMEM),
-            pl.BlockSpec((16 * nspd, bf), lambda f: (0, f), memory_space=pltpu.VMEM),
-            pl.BlockSpec((16 * nspd, bf), lambda f: (0, f), memory_space=pltpu.VMEM),
+            *_plane_specs(nspd, bf, lambda f: (0, f)),
             pl.BlockSpec((1, bf), lambda f: (0, f), memory_space=pltpu.VMEM),
             # up columns [F + f*bf, ...)
             pl.BlockSpec((d2, bf), lambda f: (0, fb + f), memory_space=pltpu.VMEM),
-            pl.BlockSpec((16 * nspd, bf), lambda f: (0, fb + f), memory_space=pltpu.VMEM),
-            pl.BlockSpec((16 * nspd, bf), lambda f: (0, fb + f), memory_space=pltpu.VMEM),
+            *_plane_specs(nspd, bf, lambda f: (0, fb + f)),
             pl.BlockSpec((1, bf), lambda f: (0, fb + f), memory_space=pltpu.VMEM),  # up alpha
             # down rows [f*bf/2, ...)
             pl.BlockSpec((bf // 2, d), lambda f: (f, 0), memory_space=pltpu.VMEM),
@@ -430,9 +492,9 @@ def fused_mlp_decode(
         x.astype(jnp.float32), ln_w.reshape(1, d).astype(jnp.float32),
         ln_b.reshape(1, d).astype(jnp.float32),
         jnp.reshape(down_scale, (1,)).astype(jnp.float32),
-        gu_qweight, gu_wscales, gu_wzeros,
+        gu_qweight, gu_s_hi, gu_s_lo, gu_z_hi, gu_z_lo,
         gu_alpha.reshape(1, n2f).astype(jnp.float32),
-        gu_qweight, gu_wscales, gu_wzeros,
+        gu_qweight, gu_s_hi, gu_s_lo, gu_z_hi, gu_z_lo,
         gu_alpha.reshape(1, n2f).astype(jnp.float32),
         d_qweight, d_wscales, d_wzeros,
         d_alpha.reshape(1, d).astype(jnp.float32),

@@ -49,15 +49,18 @@ def _spec_for_path(path) -> P:
     Stacked layer leaves carry a leading L axis (always unsharded).
     """
     names = [getattr(p, "name", getattr(p, "key", None)) for p in path]
+    # 2D-per-layer linear buffers: packed weight + replicated scales +
+    # compact plane scales (all (L, rows, N) stacked)
+    _2d = ("qweight", "wscales", "wzeros", "s_hi", "s_lo", "z_hi", "z_lo")
     for i, nm in enumerate(names):
         if nm in _COL_LINEARS:
             field = names[i + 1]
-            if field == "qweight" or field in ("wscales", "wzeros"):
+            if field in _2d:
                 return P(None, None, "tp")  # (L, K//2|G, N) shard N
             return P(None, "tp")  # alpha/bias (L, N)
         if nm in _ROW_LINEARS:
             field = names[i + 1]
-            if field == "qweight" or field in ("wscales", "wzeros"):
+            if field in _2d:
                 return P(None, "tp", None)  # (L, K//2|G, N) shard K
             return P(None, None)  # alpha/bias replicated (psum'd output)
     if names and names[0] in ("ln1_weight", "ln2_weight"):
@@ -112,12 +115,20 @@ def _permute_fused(lin: EngineLinear, sizes, tp: int) -> EngineLinear:
     if tp <= 1:
         return lin
     perm = _rank_block_perm(sizes, tp)
+
+    def _p(a):
+        return None if a is None else a[..., perm]
+
     return EngineLinear(
-        qweight=lin.qweight[..., perm],
-        wscales=lin.wscales[..., perm],
-        wzeros=lin.wzeros[..., perm],
-        alpha=lin.alpha[..., perm],
-        bias=None if lin.bias is None else lin.bias[..., perm],
+        qweight=_p(lin.qweight),
+        wscales=_p(lin.wscales),
+        wzeros=_p(lin.wzeros),
+        alpha=_p(lin.alpha),
+        bias=_p(lin.bias),
+        s_hi=_p(lin.s_hi),
+        s_lo=_p(lin.s_lo),
+        z_hi=_p(lin.z_hi),
+        z_lo=_p(lin.z_lo),
     )
 
 

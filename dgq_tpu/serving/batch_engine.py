@@ -121,10 +121,10 @@ def _decode_block_batched(ecfg: EngineConfig, layer, x, k_cache, v_cache, length
     if fused:
         from dgq_tpu.ops.fused_decode import fused_norm_gemv
 
+        qp = layer.qkv_proj
         qkv = fused_norm_gemv(
             x[:, 0, :], layer.ln1_weight, layer.ln1_bias,
-            layer.qkv_proj.qweight, layer.qkv_proj.wscales,
-            layer.qkv_proj.wzeros, layer.qkv_proj.alpha, layer.qkv_proj.bias,
+            qp.qweight, qp.s_hi, qp.s_lo, qp.z_hi, qp.z_lo, qp.alpha, qp.bias,
             span=2 * _lin_groupsize(layer.qkv_proj), eps=cfg.rms_norm_eps,
             interpret=ecfg.interpret,
         )[:, None, :]
@@ -193,10 +193,11 @@ def _decode_block_batched(ecfg: EngineConfig, layer, x, k_cache, v_cache, length
         from dgq_tpu.ops.fused_decode import fused_mlp_decode, fused_requant_gemv
 
         tp = ecfg.tp_axis
+        op = layer.o_proj
         attn_out = fused_requant_gemv(
             ctx[:, 0, :], layer.out_input_scale,
-            layer.o_proj.qweight, layer.o_proj.wscales, layer.o_proj.wzeros,
-            layer.o_proj.alpha, layer.o_proj.bias,
+            op.qweight, op.s_hi, op.s_lo, op.z_hi, op.z_lo,
+            op.alpha, op.bias,
             residual=None if tp is not None else x[:, 0, :],
             span=2 * _lin_groupsize(layer.o_proj), qmin=-127.0,
             fuse_residual=tp is None, interpret=ecfg.interpret,
@@ -208,13 +209,12 @@ def _decode_block_batched(ecfg: EngineConfig, layer, x, k_cache, v_cache, length
 
         span_m = 2 * _lin_groupsize(layer.gate_up_proj)
         fdim = 2 * layer.down_proj.qweight.shape[0]
+        gu, dn = layer.gate_up_proj, layer.down_proj
         mlp_out = fused_mlp_decode(
             x[:, 0, :], layer.ln2_weight, layer.ln2_bias,
-            layer.gate_up_proj.qweight, layer.gate_up_proj.wscales,
-            layer.gate_up_proj.wzeros, layer.gate_up_proj.alpha,
+            gu.qweight, gu.s_hi, gu.s_lo, gu.z_hi, gu.z_lo, gu.alpha,
             layer.down_input_scale,
-            layer.down_proj.qweight, layer.down_proj.wscales,
-            layer.down_proj.wzeros, layer.down_proj.alpha, layer.down_proj.bias,
+            dn.qweight, dn.wscales, dn.wzeros, dn.alpha, dn.bias,
             span=span_m, bf=_mlp_bf(span_m, fdim), eps=cfg.rms_norm_eps,
             fuse_residual=tp is None, interpret=ecfg.interpret,
         )[:, None, :]

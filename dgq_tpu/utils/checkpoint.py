@@ -270,12 +270,24 @@ def load_engine(path: str):
     cfg = LlamaConfig(**manifest["model_config"])
 
     def lin(prefix: str) -> EngineLinear:
+        ws = tensors[f"{prefix}/wscales"]
+        wz = tensors[f"{prefix}/wzeros"]
+        # compact per-plane scale rows for the plane-dot decode kernels:
+        # derive from the 8x-replicated copies when the checkpoint predates
+        # them (group g sits at replicated rows 8g..8g+7, so even planes are
+        # rows 0::16 and odd planes rows 8::16); int8 scales only — the
+        # fp-scale representation has no plane-dot path
+        derive = ws.dtype == jnp.int8 if hasattr(ws, "dtype") else False
         return EngineLinear(
             qweight=tensors[f"{prefix}/qweight"],
-            wscales=tensors[f"{prefix}/wscales"],
-            wzeros=tensors[f"{prefix}/wzeros"],
+            wscales=ws,
+            wzeros=wz,
             alpha=tensors[f"{prefix}/alpha"],
             bias=tensors.get(f"{prefix}/bias"),
+            s_hi=tensors.get(f"{prefix}/s_hi", ws[..., 0::16, :] if derive else None),
+            s_lo=tensors.get(f"{prefix}/s_lo", ws[..., 8::16, :] if derive else None),
+            z_hi=tensors.get(f"{prefix}/z_hi", wz[..., 0::16, :] if derive else None),
+            z_lo=tensors.get(f"{prefix}/z_lo", wz[..., 8::16, :] if derive else None),
         )
 
     layers = EngineLayer(

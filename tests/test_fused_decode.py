@@ -21,6 +21,8 @@ SPAN, G = 256, 128
 
 
 def _mk(k, n, seed):
+    """(qw, planes, replicated, alpha, w_s8): planes = compact (G/2, N)
+    hi/lo plane scale rows, replicated = the 8x prefill layout."""
     r = np.random.default_rng(seed)
     codes = r.integers(0, 16, size=(k, n)).astype(np.int8)
     qw = pack_nibbles(jnp.asarray(codes), span=SPAN)
@@ -28,7 +30,9 @@ def _mk(k, n, seed):
     zr = r.integers(0, 16, size=(k // G, n)).astype(np.int8)
     al = r.random(n).astype(np.float32) * 0.01
     w_s8 = ((codes.astype(np.int32) - np.repeat(zr, G, 0)) * np.repeat(sc, G, 0)).astype(np.int8)
-    return qw, jnp.repeat(jnp.asarray(sc), 8, 0), jnp.repeat(jnp.asarray(zr), 8, 0), jnp.asarray(al), w_s8
+    planes = tuple(jnp.asarray(a) for a in (sc[0::2], sc[1::2], zr[0::2], zr[1::2]))
+    repl = (jnp.repeat(jnp.asarray(sc), 8, 0), jnp.repeat(jnp.asarray(zr), 8, 0))
+    return qw, planes, repl, jnp.asarray(al), w_s8
 
 
 def _rmsq(x, w, b, eps=1e-6):
@@ -51,24 +55,24 @@ def setup():
 
 def test_fused_norm_gemv_golden(setup):
     rng, D, N, x, lnw, lnb, beta = setup
-    qw, sc, zr, al, w_s8 = _mk(D, N, 1)
+    qw, planes, _, al, w_s8 = _mk(D, N, 1)
     xq = _rmsq(x, lnw, lnb)
     want = xq.astype(np.int32) @ w_s8.astype(np.int32) * al[None] + beta[None]
     got = np.asarray(fused_norm_gemv(
         jnp.asarray(x), jnp.asarray(lnw), jnp.asarray(lnb),
-        qw, sc, zr, al, jnp.asarray(beta), bn=256, interpret=True))
+        qw, *planes, al, jnp.asarray(beta), bn=256, interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
 
 
 def test_fused_requant_gemv_golden(setup):
     rng, D, N, x, lnw, lnb, beta = setup
-    qw, sc, zr, al, w_s8 = _mk(D, N, 1)
+    qw, planes, _, al, w_s8 = _mk(D, N, 1)
     scale = np.float32(0.07)
     resid = rng.normal(size=(x.shape[0], N)).astype(np.float32)
     xq = np.clip(np.round(x / scale), -127, 127).astype(np.int8)
     want = xq.astype(np.int32) @ w_s8.astype(np.int32) * al[None] + beta[None] + resid
     got = np.asarray(fused_requant_gemv(
-        jnp.asarray(x), jnp.asarray(scale), qw, sc, zr, al,
+        jnp.asarray(x), jnp.asarray(scale), qw, *planes, al,
         jnp.asarray(beta), jnp.asarray(resid), bn=256, interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
 
@@ -76,8 +80,8 @@ def test_fused_requant_gemv_golden(setup):
 def test_fused_mlp_decode_golden(setup):
     rng, D, N, x, lnw, lnb, beta = setup
     F = 1024
-    qwg, scg, zrg, alg, wg_s8 = _mk(D, 2 * F, 2)  # [gate | up]
-    qwd, scd, zrd, ald, wd_s8 = _mk(F, D, 3)
+    qwg, planesg, _, alg, wg_s8 = _mk(D, 2 * F, 2)  # [gate | up]
+    qwd, _, repld, ald, wd_s8 = _mk(F, D, 3)
     hscale = np.float32(0.05)
     dbias = rng.normal(size=(D,)).astype(np.float32) * 0.1
 
@@ -89,8 +93,8 @@ def test_fused_mlp_decode_golden(setup):
     want = h_s8.astype(np.int32) @ wd_s8.astype(np.int32) * ald[None] + dbias[None] + x
     got = np.asarray(fused_mlp_decode(
         jnp.asarray(x), jnp.asarray(lnw), jnp.asarray(lnb),
-        qwg, scg, zrg, alg, jnp.asarray(hscale),
-        qwd, scd, zrd, ald, jnp.asarray(dbias),
+        qwg, *planesg, alg, jnp.asarray(hscale),
+        qwd, *repld, ald, jnp.asarray(dbias),
         bf=512, interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
 
@@ -99,17 +103,17 @@ def test_fused_mlp_no_residual(setup):
     """fuse_residual=False returns the bare MLP output (the TP partial)."""
     rng, D, N, x, lnw, lnb, beta = setup
     F = 512
-    qwg, scg, zrg, alg, _ = _mk(D, 2 * F, 4)
-    qwd, scd, zrd, ald, _ = _mk(F, D, 5)
+    qwg, planesg, _, alg, _ = _mk(D, 2 * F, 4)
+    qwd, _, repld, ald, _ = _mk(F, D, 5)
     hscale = np.float32(0.05)
     with_res = np.asarray(fused_mlp_decode(
         jnp.asarray(x), jnp.asarray(lnw), jnp.asarray(lnb),
-        qwg, scg, zrg, alg, jnp.asarray(hscale),
-        qwd, scd, zrd, ald, None, bf=512, interpret=True))
+        qwg, *planesg, alg, jnp.asarray(hscale),
+        qwd, *repld, ald, None, bf=512, interpret=True))
     without = np.asarray(fused_mlp_decode(
         jnp.asarray(x), jnp.asarray(lnw), jnp.asarray(lnb),
-        qwg, scg, zrg, alg, jnp.asarray(hscale),
-        qwd, scd, zrd, ald, None, bf=512, fuse_residual=False, interpret=True))
+        qwg, *planesg, alg, jnp.asarray(hscale),
+        qwd, *repld, ald, None, bf=512, fuse_residual=False, interpret=True))
     np.testing.assert_allclose(with_res - without, x, rtol=1e-4, atol=1e-4)
 
 
