@@ -278,6 +278,36 @@ def engine_decode_batched(
     return logits, BatchedKVCache(k=new_k, v=new_v, lengths=cache.lengths + adv)
 
 
+@partial(jax.jit, static_argnames=("ecfg", "steps"))
+def engine_decode_multi(
+    ecfg: EngineConfig,
+    params: EngineParams,
+    tokens: jax.Array,  # (B,) int32
+    cache: BatchedKVCache,
+    active: jax.Array,  # (B,) bool
+    steps: int,
+) -> Tuple[jax.Array, BatchedKVCache]:
+    """``steps`` greedy decode steps for every active slot in ONE device
+    program -> (tokens (steps, B), cache).
+
+    Dispatch amortization for serving: a host->device round trip costs
+    ~6.3 ms through the axon tunnel (per-launch probe) vs a ~14 ms 7B
+    device step, so per-step dispatch taxes decode ~45%.  The scheduler
+    calls this when every active request is greedy and has capacity;
+    tokens emitted after a slot's EOS are discarded host-side (the slot's
+    cache advances harmlessly — slot reuse re-prefills from position 0)."""
+
+    def body(carry, _):
+        t, c = carry
+        logits, c = engine_decode_batched(ecfg, params, t, c, active)
+        nt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nt = jnp.where(active, nt, t)
+        return (nt, c), nt
+
+    (_, cache), toks = jax.lax.scan(body, (tokens, cache), None, length=steps)
+    return toks, cache
+
+
 @partial(jax.jit, static_argnames=("ecfg",))
 def engine_prefill_chunk(
     ecfg: EngineConfig,

@@ -24,6 +24,7 @@ from dgq_tpu.models.engine import EngineConfig, EngineParams
 from dgq_tpu.serving.batch_engine import (
     BatchedKVCache,
     engine_decode_batched,
+    engine_decode_multi,
     engine_prefill_batched,
     engine_prefill_chunk,
     engine_prefill_slot,
@@ -54,12 +55,18 @@ class ContinuousBatcher:
         prefill_pad: int = 128,
         prefill_chunk: int = 0,
         admit_batch: int = 1,
+        decode_steps: int = 1,
     ):
         """``prefill_chunk`` > 0 prefills prompts longer than the chunk in
         chunk-sized pieces, one chunk per scheduler step, so a long prompt
         no longer stalls decode of the other active slots (head-of-line
         latency is bounded by one chunk).  ``admit_batch`` > 1 admits up to
-        that many short queued prompts in ONE batched prefill call."""
+        that many short queued prompts in ONE batched prefill call.
+        ``decode_steps`` > 1 runs that many greedy decode steps per
+        dispatch in one on-device scan (engine_decode_multi) whenever the
+        queue is empty, nothing is mid-prefill, every active request is
+        greedy, and all slots have capacity — amortizing the per-dispatch
+        host round trip; EOS overshoot tokens are discarded host-side."""
         self.ecfg = ecfg
         self.params = params
         self.num_slots = num_slots
@@ -67,6 +74,7 @@ class ContinuousBatcher:
         self.prefill_pad = prefill_pad
         self.prefill_chunk = prefill_chunk
         self.admit_batch = max(1, admit_batch)
+        self.decode_steps = max(1, decode_steps)
         self.cache = init_batched_cache(ecfg.cfg, num_slots, max_len)
         self.queue: Deque[Request] = deque()
         self.slots: List[Optional[Request]] = [None] * num_slots
@@ -113,7 +121,23 @@ class ContinuousBatcher:
             r is not None and s not in self.pending
             for s, r in enumerate(self.slots)
         ):
-            self._decode_step()
+            if self._can_decode_multi():
+                self._decode_multi(self.decode_steps)
+            else:
+                self._decode_step()
+
+    def _can_decode_multi(self) -> bool:
+        if self.decode_steps <= 1 or self.pending or self.queue:
+            return False
+        active = [r for r in self.slots if r is not None]
+        if any(r.sampling is not None and not r.sampling.greedy for r in active):
+            return False
+        # every active slot must have cache room for decode_steps more tokens
+        lens = np.asarray(self.cache.lengths)
+        for s, r in enumerate(self.slots):
+            if r is not None and int(lens[s]) + self.decode_steps >= self.max_len:
+                return False
+        return True
 
     def run(self) -> List[Request]:
         while self.has_work:
@@ -247,6 +271,31 @@ class ContinuousBatcher:
             req.output_ids.append(tok)
             self.next_tokens[slot] = tok
             self._maybe_finish(slot)
+
+    def _decode_multi(self, n: int):
+        """n greedy decode steps in one dispatch (engine_decode_multi);
+        per-slot tokens applied in order, extras after done discarded."""
+        active_mask = np.asarray([r is not None for r in self.slots])
+        toks, self.cache = engine_decode_multi(
+            self.ecfg,
+            self.params,
+            jnp.asarray(self.next_tokens),
+            self.cache,
+            jnp.asarray(active_mask),
+            n,
+        )
+        toks = np.asarray(toks)  # (n, B)
+        for slot in range(self.num_slots):
+            req = self.slots[slot]
+            if req is None:
+                continue
+            for i in range(n):
+                if req.done:
+                    break
+                tok = int(toks[i, slot])
+                req.output_ids.append(tok)
+                self.next_tokens[slot] = tok
+                self._maybe_finish(slot)
 
     def _pick_token(self, req, logits_row) -> int:
         """Per-request sampling (greedy when unspecified)."""

@@ -309,3 +309,34 @@ def test_batched_decode_fused_kernel_matches_xla(serving_setup):
         np.asarray(l_k)[sel], np.asarray(l_xla)[sel], rtol=5e-3, atol=5e-3
     )
     np.testing.assert_array_equal(np.asarray(c_k.lengths), np.asarray(c_xla.lengths))
+
+
+def test_decode_steps_multi_matches_single(serving_setup):
+    """decode_steps=4 (multi-step on-device scan) produces byte-identical
+    outputs to per-step dispatch for greedy requests, including EOS
+    overshoot discard and max_new_tokens truncation."""
+    cfg, eng, ecfg = serving_setup
+    rng = np.random.default_rng(11)
+
+    def mk_reqs():
+        return [
+            Request(uid=i,
+                    prompt_ids=rng.integers(0, cfg.vocab_size, size=ln).astype(np.int32),
+                    max_new_tokens=mx)
+            for i, (ln, mx) in enumerate([(5, 6), (7, 3), (3, 9)])
+        ]
+
+    rng = np.random.default_rng(11)
+    plain = ContinuousBatcher(ecfg, eng, num_slots=2, max_len=64, prefill_pad=8)
+    for r in mk_reqs():
+        plain.add_request(r)
+    done_plain = {r.uid: r.output_ids for r in plain.run()}
+
+    rng = np.random.default_rng(11)
+    multi = ContinuousBatcher(ecfg, eng, num_slots=2, max_len=64, prefill_pad=8,
+                              decode_steps=4)
+    for r in mk_reqs():
+        multi.add_request(r)
+    done_multi = {r.uid: r.output_ids for r in multi.run()}
+
+    assert done_plain == done_multi, (done_plain, done_multi)
