@@ -56,6 +56,7 @@ class ContinuousBatcher:
         prefill_chunk: int = 0,
         admit_batch: int = 1,
         decode_steps: int = 1,
+        max_recoveries: int = 3,
     ):
         """``prefill_chunk`` > 0 prefills prompts longer than the chunk in
         chunk-sized pieces, one chunk per scheduler step, so a long prompt
@@ -75,6 +76,8 @@ class ContinuousBatcher:
         self.prefill_chunk = prefill_chunk
         self.admit_batch = max(1, admit_batch)
         self.decode_steps = max(1, decode_steps)
+        self.max_recoveries = max_recoveries
+        self._recoveries = 0
         self.cache = init_batched_cache(ecfg.cfg, num_slots, max_len)
         self.queue: Deque[Request] = deque()
         self.slots: List[Optional[Request]] = [None] * num_slots
@@ -114,7 +117,24 @@ class ContinuousBatcher:
     def step(self):
         """Admit queued requests into free slots (prefill), advance at most
         one in-progress chunked prefill by one chunk, then one batched
-        decode step for all fully-prefilled active slots."""
+        decode step for all fully-prefilled active slots.
+
+        Device failures (backend resets, preemptions — e.g. TPU
+        FAILED_PRECONDITION) are caught and recovered: the cache is
+        rebuilt and every live slot re-prefilled from its request's full
+        token history (prompt + generated so far), then the step retries.
+        Bounded by ``max_recoveries``; the reference has no serving layer
+        to compare (SURVEY §2.3: serving is a new TPU-first capability)."""
+        try:
+            self._step_inner()
+        except Exception:  # noqa: BLE001 — backend errors are not typed
+            self._recoveries += 1
+            if self._recoveries > self.max_recoveries:
+                raise
+            self._recover()
+            self._step_inner()
+
+    def _step_inner(self):
         self._admit()
         self._advance_pending()
         if any(
@@ -125,6 +145,36 @@ class ContinuousBatcher:
                 self._decode_multi(self.decode_steps)
             else:
                 self._decode_step()
+
+    def _recover(self):
+        """Rebuild device state from host-side request history: fresh cache,
+        re-prefill every live slot with prompt + consumed tokens.
+
+        Cache invariant restored exactly: the cache holds the prompt plus
+        every token the decode loop has CONSUMED (all generated tokens but
+        the last); the last generated token is the pending next_token.
+        Slots mid-chunked-prefill have no history to preserve — their
+        requests go back to the queue head and restart."""
+        self.cache = init_batched_cache(self.ecfg.cfg, self.num_slots, self.max_len)
+        for slot in list(self.pending):
+            req = self.slots[slot]
+            self.slots[slot] = None
+            self.queue.appendleft(req)
+        self.pending.clear()
+        for slot, req in enumerate(self.slots):
+            if req is None:
+                continue
+            assert req.output_ids, "live non-pending slot must have a token"
+            hist = np.concatenate([
+                np.asarray(req.prompt_ids, np.int32),
+                np.asarray(req.output_ids[:-1], np.int32),
+            ])
+            _, self.cache = engine_prefill_slot(
+                self.ecfg, self.params, jnp.asarray(slot, jnp.int32),
+                jnp.asarray(self._pad_prompt(hist)),
+                jnp.asarray(len(hist), jnp.int32), self.cache,
+            )
+            self.next_tokens[slot] = req.output_ids[-1]
 
     def _can_decode_multi(self) -> bool:
         if self.decode_steps <= 1 or self.pending or self.queue:
@@ -180,7 +230,22 @@ class ContinuousBatcher:
 
     def _prefill_group(self, group: List[tuple]):
         """Prefill 1..admit_batch prompts; a group of one keeps the original
-        single-slot program, larger groups run ONE batched program."""
+        single-slot program, larger groups run ONE batched program.
+
+        Transactional under device failure (errors surface lazily at the
+        first host fetch): on any exception the group's requests go back to
+        the queue head untouched, so _recover sees a consistent picture."""
+        try:
+            self._prefill_group_inner(group)
+        except Exception:
+            for slot, req, _ in reversed(group):
+                if req.done or req.output_ids:
+                    continue  # fully processed before the error surfaced
+                self.slots[slot] = None
+                self.queue.appendleft(req)
+            raise
+
+    def _prefill_group_inner(self, group: List[tuple]):
         if len(group) == 1:
             slot, req, padded = group[0]
             logits, self.cache = engine_prefill_slot(

@@ -340,3 +340,44 @@ def test_decode_steps_multi_matches_single(serving_setup):
     done_multi = {r.uid: r.output_ids for r in multi.run()}
 
     assert done_plain == done_multi, (done_plain, done_multi)
+
+
+def test_batcher_recovers_from_device_failure(serving_setup, monkeypatch):
+    """A transient device error mid-decode (surfacing lazily, as TPU backend
+    errors do) triggers _recover: cache rebuilt, live slots re-prefilled
+    from history, and the final outputs match an undisturbed run."""
+    import dgq_tpu.serving.scheduler as sched_mod
+
+    cfg, eng, ecfg = serving_setup
+    rng = np.random.default_rng(21)
+    prompts = [rng.integers(0, cfg.vocab_size, size=ln).astype(np.int32)
+               for ln in [5, 7]]
+
+    def mk_reqs():
+        return [Request(uid=i, prompt_ids=p.copy(), max_new_tokens=6)
+                for i, p in enumerate(prompts)]
+
+    plain = ContinuousBatcher(ecfg, eng, num_slots=2, max_len=64, prefill_pad=8)
+    for r in mk_reqs():
+        plain.add_request(r)
+    want = {r.uid: r.output_ids for r in plain.run()}
+
+    # inject: third decode call raises once
+    real_decode = sched_mod.engine_decode_batched
+    calls = {"n": 0}
+
+    def flaky(*args, **kw):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("FAILED_PRECONDITION: device rebooted (injected)")
+        return real_decode(*args, **kw)
+
+    monkeypatch.setattr(sched_mod, "engine_decode_batched", flaky)
+    flaky_b = ContinuousBatcher(ecfg, eng, num_slots=2, max_len=64, prefill_pad=8)
+    for r in mk_reqs():
+        flaky_b.add_request(r)
+    got = {r.uid: r.output_ids for r in flaky_b.run()}
+
+    assert calls["n"] > 3  # the failure actually fired and work continued
+    assert flaky_b._recoveries == 1
+    assert got == want, (got, want)
