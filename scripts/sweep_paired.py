@@ -19,20 +19,21 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from dgq_tpu.ops.quant_matmul import w4a8_matmul_packed
+from dgq_tpu.ops.quant_matmul import w4a8_matmul_packed, w4a8_matmul_wres
 from dgq_tpu.utils.benchmarking import gemm_tops
 
 M, N, K, G = 2048, 4096, 4096, 128
 PEAK = 394.7
 
-CONTROL = (2048, 512, 256, None)
-# (bm, bn, bk, vmem_limit) — vmem_limit None keeps Mosaic's default budget
+CONTROL = (512, 512, 4096, None)  # round-2 stored winner (autotune_defaults)
+# (bm, bn, bk, vmem_limit); bk="wres" selects the dequant-once w-resident
+# kernel (w4a8_matmul_wres) — vmem_limit None keeps Mosaic's default budget
 CANDIDATES = [
-    (512, 512, 4096, None),   # resident-x winner of rounds A/B
-    (1024, 512, 1024, None),  # fewer K steps (probe: s8 analogue ran 1.23x)
-    (1024, 512, 512, None),
-    (512, 512, 1024, None),
-    (1024, 512, 2048, None),
+    (512, 512, "wres", None),   # dequant amortized 4x over m blocks
+    (1024, 512, "wres", None),  # dequant amortized 2x, fatter dot
+    (512, 256, "wres", None),
+    (2048, 512, 256, None),     # round-1 fat-M winner (for the record)
+    (512, 512, 4096, 100 * 2**20),  # raised Mosaic VMEM budget
 ]
 PAIRS = 4
 
@@ -50,7 +51,10 @@ def main():
     def run(cfg):
         bm, bn, bk = cfg[:3]
         vmem = cfg[3] if len(cfg) > 3 else None
-        fn = functools.partial(w4a8_matmul_packed, bm=bm, bn=bn, bk=bk, vmem_limit=vmem)
+        if bk == "wres":
+            fn = functools.partial(w4a8_matmul_wres, bm=bm, bn=bn, vmem_limit=vmem)
+        else:
+            fn = functools.partial(w4a8_matmul_packed, bm=bm, bn=bn, bk=bk, vmem_limit=vmem)
         _, tops = gemm_tops(fn, args, M, N, K, **kw)
         return tops
 

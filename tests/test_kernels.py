@@ -212,3 +212,29 @@ def test_decode_attention_high_gqa_ratio():
     want = np.asarray(int8_decode_attention_xla(*args))
     got = np.asarray(int8_decode_attention(*args, interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_wres_kernel_matches_blocked_kernel():
+    """Dequant-once w-resident GEMM (w4a8_matmul_wres) is bit-identical to
+    the k-blocked kernel on f32 and int8 outputs, including M padding."""
+    from dgq_tpu.ops.quant_matmul import w4a8_matmul_wres
+
+    rng = np.random.default_rng(7)
+    M, K, N, G = 192, 1024, 768, 128
+    x = jnp.asarray(rng.integers(-127, 128, (M, K)), jnp.int8)
+    qw = jnp.asarray(rng.integers(-128, 128, (K // 2, N)), jnp.int8)
+    ws = jnp.asarray(rng.integers(1, 4, (K // G, N)), jnp.int8)
+    wz = jnp.asarray(rng.integers(0, 16, (K // G, N)), jnp.int8)
+    al = jnp.asarray(rng.random(N), jnp.float32)
+    bt = jnp.asarray(rng.random(N), jnp.float32)
+
+    ref = w4a8_matmul_packed(x, qw, ws, wz, al, bt, bm=64, bn=256, bk=256,
+                             interpret=True)
+    got = w4a8_matmul_wres(x, qw, ws, wz, al, bt, bm=64, bn=256, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6, atol=1e-5)
+
+    ref8 = w4a8_matmul_packed(x, qw, ws, wz, al, bt, bm=64, bn=256, bk=256,
+                              out_dtype=jnp.int8, interpret=True)
+    got8 = w4a8_matmul_wres(x, qw, ws, wz, al, bt, bm=64, bn=256,
+                            out_dtype=jnp.int8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got8), np.asarray(ref8))
