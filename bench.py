@@ -65,7 +65,7 @@ def worker_round():
     import jax.numpy as jnp
     import numpy as np
 
-    from dgq_tpu.ops.quant_matmul import w4a8_matmul_packed
+    from dgq_tpu.ops.quant_matmul import w4a8_matmul_packed, w4a8_matmul_wres
     from dgq_tpu.utils.benchmarking import gemm_tops
 
     on_tpu = jax.default_backend() not in ("cpu",)
@@ -90,9 +90,14 @@ def worker_round():
         else dict(iters=3, base_iters=1, repeats=1)
     )
 
-    fused = functools.partial(
-        w4a8_matmul_packed, bm=bm, bn=bn, bk=bk, interpret=not on_tpu
-    )
+    if bk == -1:  # autotune.WRES_BK — dequant-once w-resident kernel
+        fused = functools.partial(
+            w4a8_matmul_wres, bm=bm, bn=bn, interpret=not on_tpu
+        )
+    else:
+        fused = functools.partial(
+            w4a8_matmul_packed, bm=bm, bn=bn, bk=bk, interpret=not on_tpu
+        )
 
     def xla_s8(x_, w_):
         return jax.lax.dot_general(

@@ -382,6 +382,14 @@ def _linear_s8(lin: EngineLinear, x_s8: jax.Array, *, use_kernel: bool, groupsiz
                 groupsize=groupsize, span=span, bm=bm, bn=bn, bk=span,
                 interpret=interpret,
             )
+        elif bk == -1:  # autotune.WRES_BK: dequant-once w-resident kernel
+            from dgq_tpu.ops.quant_matmul import w4a8_matmul_wres
+
+            y = w4a8_matmul_wres(
+                x2, lin.qweight, lin.wscales, lin.wzeros, lin.alpha, lin.bias,
+                groupsize=groupsize, span=span, bm=bm, bn=bn,
+                interpret=interpret, scales_replicated=True,
+            )
         else:
             y = w4a8_matmul_packed(
                 x2, lin.qweight, lin.wscales, lin.wzeros, lin.alpha, lin.bias,

@@ -54,6 +54,9 @@ DEFAULT_CANDIDATES = (
 _DECODE_TEMP_BUDGET = 1 << 23
 _PREFILL_TEMP_BUDGET = 1 << 22
 
+# sentinel bk: use the dequant-once w-resident kernel (w4a8_matmul_wres)
+WRES_BK = -1
+
 
 def _next_pow2(x: int) -> int:
     return 1 << max(x - 1, 1).bit_length()
@@ -74,24 +77,29 @@ def decode_blocks(n: int, k: int, span: int) -> Tuple[int, int]:
 
 
 def prefill_blocks(m: int, n: int, k: int, span: int, bm_hint: int = 256) -> Tuple[int, int, int]:
-    """(bm, bn, bk) for prefill GEMMs.
+    """(bm, bn, bk) for prefill GEMMs.  bk == -1 selects the dequant-once
+    w-resident kernel (w4a8_matmul_wres).
 
-    Preferred: the full-K "resident-x" tiling (bm=512, bn=512, bk=K) — the
-    x block's index map is constant across the inner N steps, so Pallas
-    fetches x once per M block instead of once per (M, N) block, cutting x
-    HBM traffic 8x on the 7B M=2048 shape.  Round-2 paired sweeps
-    (scripts/sweep_paired.py, min-diff estimator): 1.13-1.27x the round-1
-    fat-M winner (2048, 512, 256) with 8/8 pair wins across two sweeps.
+    Preferred: the dequant-once w-resident tiling (bm=512, bn=512,
+    bk=WRES_BK): grid (N, M) with m innermost, the dequantized (K, bn)
+    int8 block held in VMEM scratch across all m steps — VPU dequant
+    amortizes M/bm-fold.  Round-2 paired sweep (scripts/sweep_paired.py):
+    1.09x median over the resident-x (512, 512, bk=K) tiling with the
+    highest absolute ever recorded (381.1 TOPS = 96.5% of the v5e INT8
+    roofline, M=2048 7B shape).
 
-    Falls back to the round-1 fat-M rule when full-K doesn't fit VMEM
-    (x block bm*k capped at 4 MB) or shapes misalign."""
-    if (
-        m >= 512
-        and k % span == 0
-        and 512 * k <= (4 << 20)
-        and n % 512 == 0
-    ):
-        return 512, 512, k
+    Second choice: full-K "resident-x" tiling (bm=512, bn=512, bk=K) — x
+    fetched once per M block (round-2 sweeps: 1.13-1.27x the round-1
+    fat-M winner).  Falls back to the round-1 fat-M rule when full-K
+    doesn't fit VMEM or shapes misalign."""
+    if m >= 512 and k % span == 0 and n % 512 == 0:
+        # wres VMEM estimate: x 2x(bm,k) + scratch (k,bn) + packed 2x(k/2,bn)
+        # + out 2x(bm,bn)x4B; keep under ~13 MB of the 16 MB core budget
+        vmem = 2 * 512 * k + 2 * k * 512 + 2 * 512 * 512 * 4
+        if vmem <= (13 << 20):
+            return 512, 512, WRES_BK
+        if 512 * k <= (4 << 20):
+            return 512, 512, k
     bm = min(2048, max(bm_hint, _next_pow2(m)))
     bn = next((c for c in (512, 256, 128) if n % c == 0), n)
     if bm >= 1024:
@@ -182,7 +190,10 @@ def get_blocks(
         bm = min(bm, max(_next_pow2(m), 256))
     if n % bn != 0:
         bn = next((c for c in (512, 256, 128) if n % c == 0), n)
-    if k % bk != 0 or bk % span != 0:
+    if bk == WRES_BK:
+        if k % span != 0:  # wres dequants whole spans
+            bk = span
+    elif k % bk != 0 or bk % span != 0:
         bk = span
     return bm, bn, bk
 

@@ -40,10 +40,16 @@ def test_get_blocks_decode_is_fat_nk():
     assert bk * bn * 4 <= (1 << 23)
 
 
-def test_get_blocks_prefill_full_k_resident_x():
-    # 7B prefill shapes: full-K resident-x tiling (r2 sweep winner)
+def test_get_blocks_prefill_wres_winner():
+    # 7B prefill shapes: dequant-once w-resident kernel (r2 sweep winner,
+    # 381 TOPS = 96.5% roofline; WRES_BK sentinel)
+    from dgq_tpu.ops.autotune import WRES_BK
+
     bm, bn, bk = get_blocks(2048, 4096, 4096, groupsize=128)
-    assert (bm, bn, bk) == (512, 512, 4096)
+    assert (bm, bn, bk) == (512, 512, WRES_BK)
+    # K too big for the wres VMEM budget but fine for resident-x
+    bm, bn, bk = get_blocks(2048, 4096, 6656, groupsize=128)
+    assert (bm, bn, bk) == (512, 512, 6656)
 
 
 def test_get_blocks_prefill_fat_m_fallback():
@@ -54,10 +60,15 @@ def test_get_blocks_prefill_fat_m_fallback():
 
 def test_get_blocks_always_legal():
     # every (bm, bn, bk) must satisfy the kernel's divisibility contract
+    from dgq_tpu.ops.autotune import WRES_BK
+
     for m in (1, 8, 33, 200, 2048, 4096):
         for n, k in ((4096, 4096), (12288, 4096), (4096, 11264), (768, 768)):
             bm, bn, bk = get_blocks(m, n, k, groupsize=128)
-            assert bk % 256 == 0 and k % bk == 0, (m, n, k, bm, bn, bk)
+            if bk == WRES_BK:  # w-resident kernel: needs whole spans only
+                assert k % 256 == 0, (m, n, k, bm, bn, bk)
+            else:
+                assert bk % 256 == 0 and k % bk == 0, (m, n, k, bm, bn, bk)
             assert n % bn == 0 or n < bn, (m, n, k, bm, bn, bk)
 
 
@@ -73,5 +84,13 @@ def test_defaults_file_covers_llama_family():
 
 
 def test_legacy_two_element_cache_entries_upgrade():
+    from dgq_tpu.ops.autotune import WRES_BK
+
     triple = autotune._as_triple([1024, 512], 2048, 4096, 4096, 256)
-    assert triple[:2] == (1024, 512) and triple[2] % 256 == 0
+    # legacy (bm, bn) entries re-derive bk from the current heuristic, which
+    # may pick the wres sentinel at shapes where the w-resident kernel wins
+    assert triple[:2] == (1024, 512)
+    assert triple[2] == WRES_BK or triple[2] % 256 == 0
+    # a shape too big for the wres VMEM budget still derives a real bk
+    triple = autotune._as_triple([1024, 512], 2048, 4096, 17920, 256)
+    assert triple[2] != WRES_BK and triple[2] % 256 == 0
