@@ -85,10 +85,11 @@ def worker_round():
 
     bm, bn, bk = get_blocks(m, n, k, groupsize=g) if on_tpu else (128, 128, 256)
     kw = (
-        dict(iters=96, base_iters=24, repeats=2)
+        dict(iters=96, base_iters=24, repeats=1)
         if on_tpu
         else dict(iters=3, base_iters=1, repeats=1)
     )
+    pairs = 3 if on_tpu else 1
 
     if bk == -1:  # autotune.WRES_BK — dequant-once w-resident kernel
         fused = functools.partial(
@@ -107,16 +108,30 @@ def worker_round():
     out = {"ok": True, "backend": jax.default_backend(),
            "device": jax.devices()[0].device_kind,
            "shape_mnk": [m, n, k], "block_mn": [bm, bn, bk]}
-    dt, tops = gemm_tops(fused, (x, qw, ws, wz, al), m, n, k, **kw)
-    out["fused_tops"] = round(tops, 1)
-    out["fused_us"] = round(dt * 1e6, 1)
-    # the XLA s8 reference is informational; don't let it sink the round
-    try:
-        dtr, topsr = gemm_tops(xla_s8, (x, w8), m, n, k, **kw)
-        out["xla_s8_tops"] = round(topsr, 1)
-        out["xla_s8_us"] = round(dtr * 1e6, 1)
-    except Exception as e:  # noqa: BLE001
-        out["xla_s8_error"] = repr(e)[:200]
+    # fused and XLA-s8 measured back-to-back in pairs: the tunnel's absolute
+    # throughput drifts in minutes-long windows, so a single (fused, xla)
+    # sequence can report a drift artifact as a ratio; the median of
+    # per-pair ratios cancels slow drift (same protocol as
+    # scripts/sweep_paired.py)
+    fused_best, fused_dt, ratios, xla_best, xla_dt = -1.0, None, [], -1.0, None
+    for _ in range(pairs):
+        dt, tops = gemm_tops(fused, (x, qw, ws, wz, al), m, n, k, **kw)
+        if tops > fused_best:
+            fused_best, fused_dt = tops, dt
+        # the XLA s8 reference is informational; don't let it sink the round
+        try:
+            dtr, topsr = gemm_tops(xla_s8, (x, w8), m, n, k, **kw)
+            if topsr > xla_best:
+                xla_best, xla_dt = topsr, dtr
+            ratios.append(tops / topsr)
+        except Exception as e:  # noqa: BLE001
+            out["xla_s8_error"] = repr(e)[:200]
+    out["fused_tops"] = round(fused_best, 1)
+    out["fused_us"] = round(fused_dt * 1e6, 1)
+    if ratios:
+        out["xla_s8_tops"] = round(xla_best, 1)
+        out["xla_s8_us"] = round(xla_dt * 1e6, 1)
+        out["fused_vs_xla_paired"] = round(sorted(ratios)[len(ratios) // 2], 3)
     print(json.dumps(out), flush=True)
 
 
@@ -284,7 +299,9 @@ def main():
                 "xla_s8_tops": best.get("xla_s8_tops"),
                 "xla_s8_us": best.get("xla_s8_us"),
                 "fused_vs_xla_s8": (
-                    round(tops / best["xla_s8_tops"], 3)
+                    best.get("fused_vs_xla_paired")
+                    if best.get("fused_vs_xla_paired") is not None
+                    else round(tops / best["xla_s8_tops"], 3)
                     if best.get("xla_s8_tops") else None
                 ),
                 "shape_mnk": best.get("shape_mnk"),
