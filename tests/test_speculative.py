@@ -1,0 +1,120 @@
+"""Speculative decoding: prompt-lookup drafting + exact greedy verification.
+
+The contract is bitwise equality with plain greedy decoding — speculation
+may only change HOW MANY dispatches produce the tokens, never the tokens.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dgq_tpu.models.engine import EngineConfig, generate
+from dgq_tpu.models.llama import LlamaConfig
+from dgq_tpu.models.synthetic import build_llama_engine
+from dgq_tpu.serving.speculative import (
+    generate_speculative,
+    ngram_propose,
+    spec_verify_step,
+)
+
+
+def _tiny():
+    cfg = LlamaConfig(vocab_size=128, hidden_size=256, intermediate_size=512,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=4, max_position_embeddings=256)
+    return cfg, build_llama_engine(cfg, seed=3)
+
+
+def test_ngram_propose_finds_repeat():
+    # ... 7 8 9 [5 6] X Y Z [5 6] -> draft should continue with X Y Z-like
+    h = [7, 8, 9, 5, 6, 11, 12, 13, 5, 6]
+    d = ngram_propose(h, 3, max_ngram=2)
+    assert list(d) == [11, 12, 13]
+
+
+def test_ngram_propose_most_recent_match_wins():
+    h = [5, 6, 1, 1, 5, 6, 2, 2, 5, 6]
+    d = ngram_propose(h, 2, max_ngram=2)
+    assert list(d) == [2, 2]
+
+
+def test_ngram_propose_fallback_no_repeat():
+    d = ngram_propose([1, 2, 3, 4], 3, max_ngram=3)
+    assert d.shape == (3,)  # degenerate draft (repeats last); just legal
+
+
+def test_ngram_propose_continuation_may_cover_suffix():
+    # the earlier occurrence's continuation runs through the present
+    # suffix region — standard prompt-lookup behavior
+    h = [5, 6, 9, 5, 6]
+    d = ngram_propose(h, 3, max_ngram=2)
+    assert list(d) == [9, 5, 6]
+
+
+def test_ngram_propose_short_continuation_padded():
+    # overlapping self-match: [5,5] at position 1 has a 1-token
+    # continuation -> padded to k by repeating it
+    h = [9, 5, 5, 5]
+    d = ngram_propose(h, 3, max_ngram=2)
+    assert list(d) == [5, 5, 5]
+
+
+def test_spec_generate_matches_plain_greedy():
+    cfg, eng = _tiny()
+    ecfg = EngineConfig(cfg=cfg, use_kernel=False)
+    prompt = jnp.asarray(np.random.default_rng(0).integers(0, 128, (1, 16)),
+                         jnp.int32)
+    ref = generate(ecfg, eng, prompt, max_new_tokens=24, max_len=128)
+    out, stats = generate_speculative(ecfg, eng, prompt, max_new_tokens=24,
+                                      max_len=128, spec_k=4)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+    assert stats["tokens"] == 24
+
+
+def test_spec_generate_accepts_on_repetitive_model():
+    """A random tiny model quickly falls into a token loop; prompt-lookup
+    must then accept drafts (tokens_per_step > 1) while staying exact."""
+    cfg, eng = _tiny()
+    ecfg = EngineConfig(cfg=cfg, use_kernel=False)
+    prompt = jnp.asarray([[3, 5, 3, 5, 3, 5, 3, 5]], jnp.int32)
+    ref = generate(ecfg, eng, prompt, max_new_tokens=32, max_len=128)
+    out, stats = generate_speculative(ecfg, eng, prompt, max_new_tokens=32,
+                                      max_len=128, spec_k=4)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+    # random-weight models loop hard; if this ever flakes the exactness
+    # test above still holds the core contract
+    assert stats["tokens_per_step"] > 1.2, stats
+
+
+def test_spec_verify_step_rollback_length():
+    cfg, eng = _tiny()
+    ecfg = EngineConfig(cfg=cfg, use_kernel=False)
+    from dgq_tpu.models.engine import engine_forward, init_kv_cache
+
+    prompt = jnp.asarray([[1, 2, 3, 4]], jnp.int32)
+    cache = init_kv_cache(cfg, 1, 64)
+    logits, cache = engine_forward(ecfg, eng, prompt, cache)
+    tok = jnp.argmax(logits[:, -1:, :], -1).astype(jnp.int32)
+    # garbage drafts: nothing accepted -> n_out == 1, length advances by 1
+    drafts = (tok[0, 0] + 1 + jnp.arange(4, dtype=jnp.int32))[None, :] % 128
+    out, n_out, nxt, cache2 = spec_verify_step(ecfg, eng, tok, drafts, cache)
+    n = int(n_out)
+    assert 1 <= n <= 5
+    assert int(cache2.length) == 4 + n  # prompt + tok + accepted drafts
+    # emitted tokens must equal what plain decode would produce
+    ref = generate(ecfg, eng, prompt, max_new_tokens=n + 1, max_len=64)
+    np.testing.assert_array_equal(
+        np.asarray(ref[0, 1:n + 1]), np.asarray(out[0, :n]))
+
+
+def test_spec_generate_capacity_edge_falls_back():
+    """max_len with no spec headroom: must still produce exact output via
+    single-token fallback steps."""
+    cfg, eng = _tiny()
+    ecfg = EngineConfig(cfg=cfg, use_kernel=False)
+    prompt = jnp.asarray([[3, 5, 3, 5]], jnp.int32)
+    # prompt 4 + 12 new = 16 = max_len: every spec step would overrun
+    ref = generate(ecfg, eng, prompt, max_new_tokens=12, max_len=16)
+    out, _ = generate_speculative(ecfg, eng, prompt, max_new_tokens=12,
+                                  max_len=16, spec_k=4)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
