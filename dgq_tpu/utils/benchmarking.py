@@ -38,6 +38,7 @@ def device_time(
     iters: int = 96,
     base_iters: int = 24,
     repeats: int = 3,
+    min_dt: float = 0.0,
 ) -> float:
     """Seconds per invocation of fn(x, *rest).
 
@@ -46,7 +47,15 @@ def device_time(
     one-sided (they only ever inflate a sample), so min-of-each-length
     converges on the true device time where a paired median does not —
     round-2 measured paired ratios spreading 0.08x-2.0x and a "223% of
-    roofline" control under the old per-pair median."""
+    roofline" control under the old per-pair median.
+
+    ``min_dt``: physical floor (e.g. the op's time at hardware peak).  The
+    differenced minima can still cross a tunnel-window transition — the
+    short chain stalling while the long chain lands in a clean window
+    yields a dt BELOW what the silicon can do (round-2 observed "171% of
+    roofline").  A sub-floor difference is discarded in favor of the long
+    chain alone, an upper bound on dt (fixed flush cost amortized over
+    ``iters``), never reported below the floor."""
     feedback = feedback or _same_shape_feedback
     step = jax.jit(lambda a, *r: feedback(fn(a, *r), a))
 
@@ -67,8 +76,8 @@ def device_time(
         run(iters)
         longs.append(time.perf_counter() - t0)
     dt = (min(longs) - min(shorts)) / (iters - base_iters)
-    if dt <= 0:  # both minima stalled; fall back to the long chain alone
-        dt = min(longs) / iters
+    if dt <= min_dt:  # window-crossed or stalled difference: not physical
+        dt = max(min(longs) / iters, min_dt)
     return dt
 
 
@@ -85,8 +94,15 @@ def int8_gemm_feedback(m: int, k: int):
     return fb
 
 
-def gemm_tops(fn: Callable, args, m: int, n: int, k: int, **kw) -> Tuple[float, float]:
-    """(seconds, TOPS) for a GEMM-shaped fn(*args)."""
+def gemm_tops(
+    fn: Callable, args, m: int, n: int, k: int,
+    peak_tops: Optional[float] = None, **kw,
+) -> Tuple[float, float]:
+    """(seconds, TOPS) for a GEMM-shaped fn(*args).  Pass the hardware peak
+    (``peak_tops``) so the estimator can reject window-crossing artifacts
+    that would report more TOPS than the silicon has."""
     kw.setdefault("feedback", int8_gemm_feedback(m, k))
+    if peak_tops:
+        kw.setdefault("min_dt", 2.0 * m * n * k / (peak_tops * 1e12))
     dt = device_time(fn, *args, **kw)
     return dt, 2.0 * m * n * k / dt / 1e12
