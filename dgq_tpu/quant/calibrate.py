@@ -71,6 +71,15 @@ def _channel_absmax(x: jax.Array) -> jax.Array:
     return jnp.max(jnp.abs(flat), axis=0).astype(jnp.float32)
 
 
+def _per_sample_channel_absmax(x: jax.Array) -> jax.Array:
+    """(B, ..., D) -> (B, D): per-sample per-channel absmax.  Min-over-batch
+    statistics (reference: quantizer_helper.py:37-47 — each calib sample is
+    one 'batch') must reduce per-sample FIRST so a chunked/dp-sharded pass
+    computes exactly what the sequential one does."""
+    red = tuple(range(1, x.ndim - 1))
+    return jnp.max(jnp.abs(x), axis=red).astype(jnp.float32)
+
+
 def _channel_max(x):
     return jnp.max(x.reshape(-1, x.shape[-1]), axis=0).astype(jnp.float32)
 
@@ -87,8 +96,11 @@ class _Pass1State(NamedTuple):
 
 
 def _merge_pass1(adapter, collect, st: Optional[_Pass1State], meanact: bool) -> _Pass1State:
+    # max stats are associative (chunk-of-B == B sequential merges); the kv
+    # min-over-batch stats reduce per-sample first (see _per_sample_channel_absmax)
     mx = {k: _channel_absmax(collect[k]) for k in adapter.max_absmax_keys}
-    kv = {k: _channel_absmax(collect[k]) for k in adapter.kv_keys}
+    kv = {k: jnp.min(_per_sample_channel_absmax(collect[k]), axis=0)
+          for k in adapter.kv_keys}
     cmx = {k: _channel_max(collect[k]) for k in adapter.minmax_keys} if meanact else {}
     cmn = {k: _channel_min(collect[k]) for k in adapter.minmax_keys} if meanact else {}
     if st is None:
@@ -196,6 +208,8 @@ def ptq(
     report=None,  # Optional[dgq_tpu.utils.metrics.QuantReport]
     offload: bool = False,
     resume_dir: Optional[str] = None,
+    mesh=None,  # Optional[jax.sharding.Mesh] with a data-parallel axis
+    dp_axis: str = "dp",
 ) -> PTQResult:
     """Quantize a params pytree layer-sequentially (any supported arch).
 
@@ -209,9 +223,57 @@ def ptq(
     running activations) is checkpointed after each block and a crashed run
     resumes from the last completed layer — capability the reference lacks
     (SURVEY §5: "No mid-calibration resume").
+
+    With ``mesh`` (an axis named ``dp_axis``), calibration is data-parallel:
+    the three replay passes run ``dp`` samples per call with the batch axis
+    sharded over the mesh (layer weights replicated), and each search grid
+    runs with the weight's output-channel axis sharded when divisible.  The
+    per-sample stat reductions make the result mathematically identical to
+    the sequential run — the reference has no counterpart (single "cuda:0",
+    SURVEY §2.3); this is what makes 30B+ calibration practical on a pod
+    slice.  Works with the virtual CPU mesh for testing.
     """
     adapter = get_adapter(arch, cfg)
     nsamples, seqlen = calib_ids.shape
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        dp = mesh.shape[dp_axis]
+        _batch_sh = NamedSharding(mesh, PartitionSpec(dp_axis))
+        _repl_sh = NamedSharding(mesh, PartitionSpec())
+        _row_sh = NamedSharding(mesh, PartitionSpec(dp_axis))
+    else:
+        dp = 1
+        _batch_sh = _repl_sh = _row_sh = None
+
+    def sample_chunks():
+        j = 0
+        while j < nsamples:
+            g = dp if j + dp <= nsamples else nsamples - j
+            yield j, g
+            j += g
+
+    def place_chunk(x):
+        # full chunks are batch-sharded; the remainder chunk runs unsharded
+        if _batch_sh is not None and x.shape[0] == dp > 1:
+            return jax.device_put(x, _batch_sh)
+        return x
+
+    def place_replicated(tree):
+        if _repl_sh is None:
+            return tree
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(jnp.asarray(x), _repl_sh), tree
+        )
+
+    def shard_weight_rows(lin):
+        # shard the search grid over output channels: search_quantize is
+        # per-row decomposable, so GSPMD parallelizes the jitted grid with
+        # no code change (the TPU analog of sharding GPTQ/search over dp)
+        if _row_sh is None or lin["weight"].shape[0] % dp != 0 or dp == 1:
+            return lin
+        return {**lin, "weight": jax.device_put(lin["weight"], _row_sh)}
 
     def to_dev(tree):
         return jax.tree_util.tree_map(jnp.asarray, tree)
@@ -270,10 +332,12 @@ def ptq(
             print(f"[ptq:{arch}] layer {li}")
         if offload:
             layer = to_dev(layer)
+        if mesh is not None:
+            layer = place_replicated(layer)
         # ---- pass 1: stats ----
         st: Optional[_Pass1State] = None
-        for j in range(nsamples):
-            _, collect = block_stats(layer, inps[j][None], fp_qs, None)
+        for j, g in sample_chunks():
+            _, collect = block_stats(layer, place_chunk(inps[j:j + g]), fp_qs, None)
             st = _merge_pass1(adapter, collect, st, qcfg.meanact)
 
         # ---- transforms ----
@@ -288,18 +352,23 @@ def ptq(
         absmaxes: Dict[str, jax.Array] = {}
         hessians: Dict[str, Any] = {}
         last_inputs = None
-        for j in range(nsamples):
-            _, collect = block_stats(layer, inps[j][None], kv_on_qs, kv_scales)
+        for j, g in sample_chunks():
+            _, collect = block_stats(layer, place_chunk(inps[j:j + g]), kv_on_qs, kv_scales)
             for name, (_, fam) in adapter.linears.items():
-                am = _channel_absmax(collect[fam])
+                # min-over-batch of per-SAMPLE channel absmax (reference:
+                # quantizer_helper.py:37-47) — per-sample reduce first so
+                # chunked == sequential
+                am = jnp.min(_per_sample_channel_absmax(collect[fam]), axis=0)
                 prev = absmaxes.get(name)
                 absmaxes[name] = am if prev is None else jnp.minimum(prev, am)
             if need_hessian:
                 for fam in adapter.hessian_fams:
                     if fam not in hessians:
                         hessians[fam] = init_hessian(collect[fam].shape[-1])
-                    hessians[fam] = update_hessian(*hessians[fam], collect[fam])
-            last_inputs = {fam: collect[fam] for fam in adapter.hessian_fams}
+                    hessians[fam] = update_hessian(*hessians[fam], collect[fam], batches=g)
+            # the reference keeps only the LAST sample's inputs as inp1
+            # (quantizer_helper.py:52)
+            last_inputs = {fam: collect[fam][-1:] for fam in adapter.hessian_fams}
 
         # ---- quantize + pack each linear ----
         layer = jax.tree_util.tree_map(lambda x: x, layer)
@@ -331,10 +400,10 @@ def ptq(
 
         # ---- pass 3: quantized re-forward feeds the next block ----
         outs = []
-        for j in range(nsamples):
-            out = block_plain(layer, inps[j][None], quant_qs, kv_scales)
-            outs.append(out[0])
-        inps = jnp.stack(outs)
+        for j, g in sample_chunks():
+            out = block_plain(layer, place_chunk(inps[j:j + g]), quant_qs, kv_scales)
+            outs.append(out)
+        inps = jnp.concatenate(outs, axis=0)
 
         new_layers.append(to_host(layer) if offload else layer)
 

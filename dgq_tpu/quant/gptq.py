@@ -50,14 +50,18 @@ def init_hessian(k: int) -> tuple[jax.Array, jax.Array]:
     return jnp.zeros((k, k), jnp.float32), jnp.zeros((), jnp.float32)
 
 
-@jax.jit
-def update_hessian(H: jax.Array, nsamples: jax.Array, inp: jax.Array):
-    """Running Hessian update for one batch of activations inp (..., K).
+@partial(jax.jit, static_argnames=("batches",))
+def update_hessian(H: jax.Array, nsamples: jax.Array, inp: jax.Array,
+                   batches: int = 1):
+    """Running Hessian update for activations inp (..., K).
 
     reference: quantizer_helper.py:49-66 — H *= n/(n+b); H += 2/(n+b) X X^T.
+    The reference counts batches (leading dim), one per call; a chunked
+    caller (dp-sharded calibration) passes ``batches`` = samples in inp so
+    the weighted running average stays exactly the sequential one.
     """
     x = inp.reshape(-1, inp.shape[-1]).astype(jnp.float32)
-    b = jnp.asarray(1.0, jnp.float32)  # reference counts batches (leading dim), one per call
+    b = jnp.asarray(float(batches), jnp.float32)
     new_n = nsamples + b
     H = H * (nsamples / new_n)
     x = jnp.sqrt(2.0 / new_n) * x
