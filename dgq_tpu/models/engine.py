@@ -484,12 +484,21 @@ class EngineConfig:
     # +SiLU, +residual) sub-blocks into single pallas_calls at s==1
     # (ops/fused_decode.py).  Falls back per-layer when shapes don't fit.
     fused_decode: bool = True
+    # INT8 p @ V in decode attention (the reference attempted and abandoned
+    # int8 softmax output, opt_a8w4.py:176-179; the retry here uses per-row
+    # prob scales — ops/attention._quantize_probs).  V stays int8 in VMEM
+    # (4x smaller V tile -> VMEM headroom for long contexts); quality-gated
+    # in tests/test_quant_pv.py.  Default OFF: measured 2x slower than fp
+    # p@V at Smax=2048 on v5e (scripts/tpu_quant_pv_smoke.py — the per-row
+    # quantize costs more VPU time than the V dequant it removes), so it is
+    # a memory knob, not a speed knob.
+    quant_pv: bool = False
 
     def __hash__(self):
         return hash(
             (self.cfg, self.use_kernel, self.interpret, self.bm_prefill,
              self.bm_decode, self.tp_axis, self.flash_prefill, self.fp_scales,
-             self.decode_attn_chunk, self.fused_decode)
+             self.decode_attn_chunk, self.fused_decode, self.quant_pv)
         )
 
 
@@ -599,7 +608,7 @@ def _block(ecfg: EngineConfig, layer: EngineLayer, x: jax.Array,
             ctx = int8_decode_attention_chunked(
                 q_s8[:, :, 0, :], k_cache, v_cache, cache_len + 1,
                 layer.q_scale, layer.k_scale, layer.v_scale,
-                chunk=chunk, interpret=ecfg.interpret,
+                chunk=chunk, interpret=ecfg.interpret, quant_pv=ecfg.quant_pv,
             )
         else:
             from dgq_tpu.ops.attention import int8_decode_attention
@@ -613,6 +622,7 @@ def _block(ecfg: EngineConfig, layer: EngineLayer, x: jax.Array,
                 layer.k_scale,
                 layer.v_scale,
                 interpret=ecfg.interpret,
+                quant_pv=ecfg.quant_pv,
             )  # (B, H, Dh) f32
         ctx = ctx.reshape(b, 1, h * dh)
     elif ecfg.use_kernel and ecfg.flash_prefill and s > 1 and k_cache.shape[-1] % 128 == 0:
@@ -645,8 +655,17 @@ def _block(ecfg: EngineConfig, layer: EngineLayer, x: jax.Array,
         scores = _attention_scores(qg, k_cache, layer.q_scale, layer.k_scale, dh)
         scores = scores.reshape(b, hk, rep, s, -1) + mask[None, None, None, :, :]
         probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
-        vf = v_cache.astype(jnp.float32) * layer.v_scale
-        ctx = jnp.einsum("bgrqk,bgkd->bgrqd", probs, vf)  # (B, Hkv, rep, S, Dh)
+        if ecfg.quant_pv and s == 1:
+            # mirror the kernel's INT8 p @ V on the fallback decode path
+            pmax = jnp.max(probs, axis=-1, keepdims=True)
+            pscale = jnp.maximum(pmax, 1e-30) / 127.0
+            qp = jnp.round(probs / pscale).astype(jnp.int8)
+            acc = jnp.einsum("bgrqk,bgkd->bgrqd", qp, v_cache,
+                             preferred_element_type=jnp.int32)
+            ctx = acc.astype(jnp.float32) * (pscale * layer.v_scale)
+        else:
+            vf = v_cache.astype(jnp.float32) * layer.v_scale
+            ctx = jnp.einsum("bgrqk,bgkd->bgrqd", probs, vf)  # (B, Hkv, rep, S, Dh)
         ctx = ctx.transpose(0, 3, 1, 2, 4).reshape(b, s, h * dh)
 
     if fused:

@@ -31,6 +31,21 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _quantize_probs(p):
+    """Per-query-row INT8 quantization of softmax probs/exp-weights.
+
+    The reference attempted (and abandoned) int8 softmax output with a
+    global scale (reference: opt_a8w4.py:176-179 comment).  The retry here
+    uses a per-ROW scale — p's row max is ~1, so codes span the full [0,127]
+    range and the worst-case relative error on the dominant components is
+    ~0.4% — letting p @ V run s8 x s8 -> s32 on the MXU with V kept int8
+    (no fp32 V materialization in VMEM: 4x VMEM saved on the V tile)."""
+    pmax = jnp.max(p, axis=1, keepdims=True)
+    pscale = jnp.maximum(pmax, 1e-30) / 127.0
+    qp = jnp.round(p / pscale).astype(jnp.int8)
+    return qp, pscale
+
+
 def _decode_kernel(
     len_ref,  # SMEM (B,) int32: per-slot valid cache length (incl. current token)
     q_ref,  # (1, 1, rep, Dh) int8
@@ -38,6 +53,8 @@ def _decode_kernel(
     v_ref,  # (1, 1, Smax, Dh) int8
     scale_ref,  # SMEM (3,) f32: qk_scale (= q_scale*k_scale/sqrt(dh)), v_scale
     out_ref,  # (1, 1, rep, Dh) f32
+    *,
+    quant_pv: bool = False,
 ):
     rep, dh = q_ref.shape[2], q_ref.shape[3]
     smax = kt_ref.shape[3]
@@ -60,13 +77,21 @@ def _decode_kernel(
     p = e / denom  # (rep, Smax) f32
 
     v_scale = scale_ref[1]
-    vf = v_ref[0, 0].astype(jnp.float32) * v_scale  # (Smax, Dh) f32, in VMEM
-    out_ref[0, 0] = jax.lax.dot_general(
-        p, vf, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    if quant_pv:
+        qp, pscale = _quantize_probs(p)
+        acc = jax.lax.dot_general(
+            qp, v_ref[0, 0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        out_ref[0, 0] = acc.astype(jnp.float32) * (pscale * v_scale)
+    else:
+        vf = v_ref[0, 0].astype(jnp.float32) * v_scale  # (Smax, Dh) f32, in VMEM
+        out_ref[0, 0] = jax.lax.dot_general(
+            p, vf, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "apply_sqrt_dh"))
+@functools.partial(jax.jit, static_argnames=("interpret", "apply_sqrt_dh", "quant_pv"))
 def int8_decode_attention(
     q_s8: jax.Array,  # (B, H, Dh) int8 — current token's quantized queries
     kt_cache: jax.Array,  # (B, Hkv, Dh, Smax) int8
@@ -78,6 +103,7 @@ def int8_decode_attention(
     *,
     apply_sqrt_dh: bool = True,  # OPT absorbs 1/sqrt(dh) into q (opt_a8w4.py:60-61)
     interpret: bool = False,
+    quant_pv: bool = False,  # INT8 p @ V (see _quantize_probs)
 ) -> jax.Array:
     """Single-token attention over the INT8 cache -> (B, H, Dh) f32."""
     b, h, dh = q_s8.shape
@@ -103,7 +129,8 @@ def int8_decode_attention(
     )
 
     def kernel(len_ref, scale_ref, q_ref, kt_ref, v_ref, out_ref):
-        _decode_kernel(len_ref, q_ref, kt_ref, v_ref, scale_ref, out_ref)
+        _decode_kernel(len_ref, q_ref, kt_ref, v_ref, scale_ref, out_ref,
+                       quant_pv=quant_pv)
 
     out = pl.pallas_call(
         kernel,
@@ -249,9 +276,11 @@ def int8_prefill_attention_xla(
 
 
 def int8_decode_attention_xla(
-    q_s8, kt_cache, v_cache, length, q_scale, k_scale, v_scale, apply_sqrt_dh=True
+    q_s8, kt_cache, v_cache, length, q_scale, k_scale, v_scale,
+    apply_sqrt_dh=True, quant_pv=False,
 ) -> jax.Array:
-    """XLA golden model for the decode kernel."""
+    """XLA golden model for the decode kernel (also the use_kernel=False
+    engine path; quant_pv mirrors the kernel's INT8 p @ V bit-for-bit)."""
     b, h, dh = q_s8.shape
     _, hk, _, smax = kt_cache.shape
     rep = h // hk
@@ -265,8 +294,16 @@ def int8_decode_attention_xla(
     pos = jnp.arange(smax)[None, None, None, :]
     s = jnp.where(pos < lengths[:, None, None, None], s, jnp.finfo(jnp.float32).min)
     p = jax.nn.softmax(s, axis=-1)
-    vf = v_cache.astype(jnp.float32) * v_scale
-    out = jnp.einsum("bgrs,bgsd->bgrd", p, vf)
+    if quant_pv:
+        pmax = jnp.max(p, axis=-1, keepdims=True)
+        pscale = jnp.maximum(pmax, 1e-30) / 127.0
+        qp = jnp.round(p / pscale).astype(jnp.int8)
+        acc = jnp.einsum("bgrs,bgsd->bgrd", qp, v_cache,
+                         preferred_element_type=jnp.int32)
+        out = acc.astype(jnp.float32) * (pscale * v_scale)
+    else:
+        vf = v_cache.astype(jnp.float32) * v_scale
+        out = jnp.einsum("bgrs,bgsd->bgrd", p, vf)
     return out.reshape(b, h, dh)
 
 
@@ -279,6 +316,8 @@ def _decode_chunk_kernel(
     acc_ref,  # (1, 1, rep, Dh) f32 partial numerator
     m_ref,  # (1, 1, rep, 128) f32 partial max (col 0)
     l_ref,  # (1, 1, rep, 128) f32 partial sum (col 0)
+    *,
+    quant_pv: bool = False,
 ):
     rep, dh = q_ref.shape[2], q_ref.shape[3]
     ch = kt_ref.shape[3]
@@ -303,10 +342,20 @@ def _decode_chunk_kernel(
     m_safe = jnp.where(m <= neg / 2, 0.0, m)
     p = jnp.exp(s - m_safe)
     l = jnp.sum(p, axis=1, keepdims=True)
-    vf = v_ref[0, 0].astype(jnp.float32) * v_scale
-    acc = jax.lax.dot_general(
-        p, vf, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    if quant_pv:
+        # exp-weights are in [0, 1] with the in-chunk max at exactly 1, so
+        # the per-row scale spans the full int8 code range per chunk
+        qp, pscale = _quantize_probs(p)
+        acc32 = jax.lax.dot_general(
+            qp, v_ref[0, 0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        acc = acc32.astype(jnp.float32) * (pscale * v_scale)
+    else:
+        vf = v_ref[0, 0].astype(jnp.float32) * v_scale
+        acc = jax.lax.dot_general(
+            p, vf, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
     acc_ref[0, 0] = acc
     m_ref[0, 0] = jnp.broadcast_to(m_safe, (rep, 128))
     l_ref[0, 0] = jnp.broadcast_to(l, (rep, 128))
@@ -330,7 +379,7 @@ def auto_decode_chunk(smax: int) -> int:
     return 0  # odd smax: whole-cache kernel (caller may still OOM VMEM)
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "apply_sqrt_dh", "interpret"))
+@functools.partial(jax.jit, static_argnames=("chunk", "apply_sqrt_dh", "interpret", "quant_pv"))
 def int8_decode_attention_chunked(
     q_s8: jax.Array,  # (B, H, Dh) int8
     kt_cache: jax.Array,  # (B, Hkv, Dh, Smax) int8
@@ -343,6 +392,7 @@ def int8_decode_attention_chunked(
     chunk: int = 2048,
     apply_sqrt_dh: bool = True,
     interpret: bool = False,
+    quant_pv: bool = False,  # INT8 p @ V per chunk (see _quantize_probs)
 ) -> jax.Array:
     """Long-context decode attention: the cache is processed in
     VMEM-bounded chunks (grid over chunks), each emitting flash partials
@@ -378,7 +428,7 @@ def int8_decode_attention_chunked(
     )
 
     acc, m, l = pl.pallas_call(
-        _decode_chunk_kernel,
+        functools.partial(_decode_chunk_kernel, quant_pv=quant_pv),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((b * nc, hk, rep, dh), jnp.float32),

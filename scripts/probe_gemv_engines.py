@@ -136,19 +136,24 @@ def main():
         lead = out[0] if isinstance(out, (list, tuple)) else out
         return (lead[:1, :K].astype(jnp.int32) & 0x7F).astype(jnp.int8) * jnp.int8(1) + xin * jnp.int8(0)
 
-    for name, f in (
-        ("mxu bn=512", lambda a: mxu_gemv(a, w)),
-        ("mxu bn=1024", lambda a: mxu_gemv(a, w, bn=1024)),
-        ("vpu nk=8", lambda a: vpu_gemv(a, w)),
-        ("vpu nk=4", lambda a: vpu_gemv(a, w, nk=4)),
-        ("mix 50/50", lambda a: mix_gemv(a, w)),
+    cands = (
+        ("mxu bn=512 ", lambda a: mxu_gemv(a, w)),
+        ("vpu nk=8   ", lambda a: vpu_gemv(a, w)),
+        ("mix 50/50  ", lambda a: mix_gemv(a, w)),
         ("mix 2/3 mxu", lambda a: mix_gemv(a, w, frac=0.67)),
-    ):
-        try:
-            t = device_time(f, x, feedback=fb, iters=64, base_iters=16)
-            print(f"{name:14s}: {t*1e6:7.1f} us -> {K*N/t/1e9:6.0f} G elem/s", flush=True)
-        except Exception as e:
-            print(f"{name:14s}: FAILED {type(e).__name__}: {str(e)[:200]}", flush=True)
+    )
+    # interleaved reps: tunnel windows drift over minutes, so only
+    # same-round-robin-pass comparisons are meaningful
+    for rep in range(3):
+        for name, f in cands:
+            try:
+                t = device_time(f, x, feedback=fb, iters=48, base_iters=12,
+                                repeats=2)
+                print(f"[{rep}] {name}: {t*1e6:7.1f} us -> {K*N/t/1e9:6.0f} G elem/s",
+                      flush=True)
+            except Exception as e:
+                print(f"[{rep}] {name}: FAILED {type(e).__name__}: {str(e)[:200]}",
+                      flush=True)
 
 
 if __name__ == "__main__":
