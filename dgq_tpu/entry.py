@@ -62,6 +62,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="convert to the real-quant INT8 engine after load")
     p.add_argument("--eval_samples", type=int, default=None, help="cap ppl windows")
     p.add_argument("--data_path", type=str, default=None)
+    p.add_argument("--calib_dp", type=int, default=1,
+                   help="data-parallel calibration over N devices (replay "
+                        "passes batch-sharded, search grids row-sharded; "
+                        "identical result to --calib_dp 1)")
     # accepted-but-inert reference flags (parity)
     for flag in ("--benchmark", "--check", "--sym", "--true-sequential",
                  "--observe", "--nearest"):
@@ -232,8 +236,14 @@ def main(argv=None):
         )
         from dgq_tpu.quant.calibrate import ptq
 
+        mesh = None
+        if args.calib_dp > 1:
+            from dgq_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(dp=args.calib_dp, tp=1,
+                             devices=jax.devices()[: args.calib_dp])
         tick = time.time()
-        res = ptq(params, cfg, jnp.asarray(calib), qcfg, arch=arch)
+        res = ptq(params, cfg, jnp.asarray(calib), qcfg, arch=arch, mesh=mesh)
         print(f"[dgq_tpu] PTQ took {time.time() - tick:.1f}s")
         params, kv_scales = res.params, res.kv_scales
         out_path = args.save_safetensors or args.save

@@ -1,0 +1,71 @@
+"""7B speculative-decoding A/B on the real TPU.
+
+Plain per-step greedy decode vs prompt-lookup speculative decode
+(serving/speculative.py) on repetitive text (the favorable case — code and
+structured text behave like this; worst case degrades to ~plain).  Both
+paths dispatch per step from the host, so the comparison includes the
+tunnel dispatch constant both ways; output equality is asserted.
+
+Usage: python scripts/bench_speculative.py [--layers N] [--tokens N]
+"""
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from dgq_tpu.models.engine import EngineConfig, generate  # noqa: E402
+from dgq_tpu.models.llama import LlamaConfig  # noqa: E402
+from dgq_tpu.models.synthetic import build_llama_engine  # noqa: E402
+from dgq_tpu.serving.speculative import generate_speculative  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--layers", type=int, default=32)
+    ap.add_argument("--tokens", type=int, default=48)
+    ap.add_argument("--spec-k", type=int, default=4)
+    args = ap.parse_args()
+
+    cfg = LlamaConfig(num_hidden_layers=args.layers)
+    ecfg = EngineConfig(cfg=cfg)
+    eng = build_llama_engine(cfg)
+    # period-3 repetitive prompt: random-weight models loop, prompt-lookup accepts
+    pat = [11, 523, 7042]
+    prompt = jnp.asarray([(pat * 12)[:32]], jnp.int32)
+    max_len = 32 + args.tokens + args.spec_k + 2
+
+    print("compiling + warmup (plain)...", flush=True)
+    t0 = time.time()
+    ref = generate(ecfg, eng, prompt, max_new_tokens=args.tokens, max_len=max_len)
+    jax.device_get(ref)
+    print(f"  plain warm path done in {time.time()-t0:.0f}s", flush=True)
+    t0 = time.time()
+    ref = generate(ecfg, eng, prompt, max_new_tokens=args.tokens, max_len=max_len)
+    jax.device_get(ref)
+    t_plain = time.time() - t0
+
+    print("compiling + warmup (speculative)...", flush=True)
+    t0 = time.time()
+    out, stats = generate_speculative(ecfg, eng, prompt, max_new_tokens=args.tokens,
+                                      max_len=max_len, spec_k=args.spec_k)
+    print(f"  spec warm path done in {time.time()-t0:.0f}s", flush=True)
+    t0 = time.time()
+    out, stats = generate_speculative(ecfg, eng, prompt, max_new_tokens=args.tokens,
+                                      max_len=max_len, spec_k=args.spec_k)
+    t_spec = time.time() - t0
+
+    assert np.array_equal(np.asarray(ref), np.asarray(out)), "spec output != greedy"
+    print(f"plain : {args.tokens/t_plain:6.1f} tok/s  ({t_plain*1e3/args.tokens:.1f} ms/tok)")
+    print(f"spec  : {args.tokens/t_spec:6.1f} tok/s  ({t_spec*1e3/args.tokens:.1f} ms/tok)  "
+          f"accepted {stats['tokens_per_step']:.2f} tok/step over {stats['steps']} steps")
+    print(f"speedup {t_plain/t_spec:.2f}x (bitwise-identical output)")
+
+
+if __name__ == "__main__":
+    main()
