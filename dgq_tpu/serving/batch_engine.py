@@ -308,6 +308,118 @@ def engine_decode_multi(
     return toks, cache
 
 
+def _verify_block_batched(ecfg: EngineConfig, layer, x, k_cache, v_cache,
+                          lengths, pos_cos, pos_sin):
+    """One decoder block for a K+1-token speculative-verification window per
+    slot.  x (B, K1, D); caches (B, Hkv, ...); lengths (B,) — each slot's
+    window appends at its own offset; attention is causal within the window
+    on top of the slot's full history.  Attention runs the XLA int8 path:
+    the window is tiny (K1 ~ 5) and the step stays weight-feed-bound, which
+    is exactly why verification is ~the price of one decode step."""
+    cfg = ecfg.cfg
+    b, k1, _ = x.shape
+    dh = cfg.head_dim
+    kwl = dict(use_kernel=ecfg.use_kernel, bm=ecfg.bm_decode,
+               interpret=ecfg.interpret, fp_scales=ecfg.fp_scales)
+
+    x_s8 = _rms_norm_q(x, layer.ln1_weight, cfg.rms_norm_eps, layer.ln1_bias)
+    qkv = _linear_s8(layer.qkv_proj, x_s8, **kwl)  # (B, K1, (h+2hk)*dh)
+    rep = cfg.num_attention_heads // cfg.num_key_value_heads
+    hk = qkv.shape[-1] // dh // (rep + 2)
+    h = rep * hk
+    q, k, v = jnp.split(qkv, [h * dh, (h + hk) * dh], axis=-1)
+    q = q.reshape(b, k1, h, dh).transpose(0, 2, 1, 3)  # (B, H, K1, Dh)
+    k = k.reshape(b, k1, hk, dh).transpose(0, 2, 1, 3)
+    v = v.reshape(b, k1, hk, dh).transpose(0, 2, 1, 3)
+
+    cos = pos_cos[:, None, :, :]  # (B, 1, K1, Dh)
+    sin = pos_sin[:, None, :, :]
+    q = q * cos + rotate_half(q) * sin
+    k = k * cos + rotate_half(k) * sin
+
+    q_s8 = _requant(q, layer.q_scale)
+    k_s8 = _requant(k, layer.k_scale)
+    v_s8 = _requant(v, layer.v_scale)
+
+    def upd_k(kc, knew, ln):
+        return jax.lax.dynamic_update_slice(kc, knew, (0, 0, ln))
+
+    def upd_v(vc, vnew, ln):
+        return jax.lax.dynamic_update_slice(vc, vnew, (0, ln, 0))
+
+    k_cache = jax.vmap(upd_k)(k_cache, k_s8.transpose(0, 1, 3, 2), lengths)
+    v_cache = jax.vmap(upd_v)(v_cache, v_s8, lengths)
+
+    smax = k_cache.shape[-1]
+    qk = layer.q_scale * layer.k_scale / (dh ** 0.5)
+    qg = q_s8.reshape(b, hk, rep * k1, dh)
+    s32 = jnp.einsum("bgrd,bgds->bgrs", qg, k_cache,
+                     preferred_element_type=jnp.int32)
+    scores = s32.astype(jnp.float32).reshape(b, hk, rep, k1, smax) * qk
+    # query i of a slot attends its history plus window tokens 0..i
+    kpos = jnp.arange(smax)[None, None, None, None, :]
+    qpos = lengths[:, None, None, None, None] + jnp.arange(k1)[None, None, None, :, None]
+    scores = jnp.where(kpos <= qpos, scores, jnp.finfo(jnp.float32).min)
+    p = jax.nn.softmax(scores, axis=-1)
+    vf = v_cache.astype(jnp.float32) * layer.v_scale
+    ctx = jnp.einsum("bgrqs,bgsd->bgrqd", p, vf)  # (B, Hkv, rep, K1, Dh)
+    ctx = ctx.transpose(0, 3, 1, 2, 4).reshape(b, k1, h * dh)
+
+    ctx_s8 = _requant(ctx, layer.out_input_scale, qmin=-127.0)
+    attn_out = _linear_s8(layer.o_proj, ctx_s8, **kwl)
+    if ecfg.tp_axis is not None:
+        attn_out = jax.lax.psum(attn_out, ecfg.tp_axis)
+    x = x + attn_out.astype(x.dtype)
+
+    x_s8 = _rms_norm_q(x, layer.ln2_weight, cfg.rms_norm_eps, layer.ln2_bias)
+    gate_up = _linear_s8(layer.gate_up_proj, x_s8, **kwl)
+    gate, up = jnp.split(gate_up, 2, axis=-1)
+    hidden = jax.nn.silu(gate) * up
+    h_s8 = _requant(hidden, layer.down_input_scale)
+    mlp_out = _linear_s8(layer.down_proj, h_s8, **kwl)
+    if ecfg.tp_axis is not None:
+        mlp_out = jax.lax.psum(mlp_out, ecfg.tp_axis)
+    x = x + mlp_out.astype(x.dtype)
+    return x, k_cache, v_cache
+
+
+@partial(jax.jit, static_argnames=("ecfg",))
+def engine_verify_batched(
+    ecfg: EngineConfig,
+    params: EngineParams,
+    tokens: jax.Array,  # (B, K1) int32 — [pending token, K drafts] per slot
+    cache: BatchedKVCache,
+) -> Tuple[jax.Array, BatchedKVCache]:
+    """Speculative verification step for every slot -> (logits (B, K1, V),
+    cache with the window's K/V written at each slot's offset but lengths
+    UNCHANGED — the scheduler sets per-slot lengths after computing
+    acceptance host-side; entries past a slot's length are masked by every
+    attention path and overwritten by later appends, so rejected drafts
+    leave no trace.  (serving counterpart of speculative.spec_verify_step;
+    no reference counterpart — SURVEY §2.3.)"""
+    cfg = ecfg.cfg
+    b, k1 = tokens.shape
+    x = params.embed_tokens[tokens].astype(jnp.float32)  # (B, K1, D)
+
+    pos_cos, pos_sin = jax.vmap(
+        lambda ln: rope_cos_sin(ln + jnp.arange(k1), cfg.head_dim,
+                                cfg.rope_theta, jnp.float32)
+    )(cache.lengths)  # each (B, K1, Dh)
+
+    def scan_body(xc, layer_and_cache):
+        layer, k_c, v_c = layer_and_cache
+        xc, k_c, v_c = _verify_block_batched(
+            ecfg, layer, xc, k_c, v_c, cache.lengths, pos_cos, pos_sin
+        )
+        return xc, (k_c, v_c)
+
+    x, (new_k, new_v) = jax.lax.scan(scan_body, x, (params.layers, cache.k, cache.v))
+
+    x = rms_norm(x, params.norm_weight.astype(x.dtype), cfg.rms_norm_eps)
+    logits = jnp.einsum("bkd,vd->bkv", x, params.lm_head.astype(x.dtype))
+    return logits, BatchedKVCache(k=new_k, v=new_v, lengths=cache.lengths)
+
+
 @partial(jax.jit, static_argnames=("ecfg",))
 def engine_prefill_chunk(
     ecfg: EngineConfig,

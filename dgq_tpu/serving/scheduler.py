@@ -28,6 +28,7 @@ from dgq_tpu.serving.batch_engine import (
     engine_prefill_batched,
     engine_prefill_chunk,
     engine_prefill_slot,
+    engine_verify_batched,
     init_batched_cache,
 )
 
@@ -56,6 +57,8 @@ class ContinuousBatcher:
         prefill_chunk: int = 0,
         admit_batch: int = 1,
         decode_steps: int = 1,
+        spec_k: int = 0,
+        spec_max_ngram: int = 3,
         max_recoveries: int = 3,
     ):
         """``prefill_chunk`` > 0 prefills prompts longer than the chunk in
@@ -67,7 +70,14 @@ class ContinuousBatcher:
         dispatch in one on-device scan (engine_decode_multi) whenever the
         queue is empty, nothing is mid-prefill, every active request is
         greedy, and all slots have capacity — amortizing the per-dispatch
-        host round trip; EOS overshoot tokens are discarded host-side."""
+        host round trip; EOS overshoot tokens are discarded host-side.
+        ``spec_k`` > 0 turns on prompt-lookup speculative decoding: each
+        decode step feeds [pending token, K drafts] per slot through ONE
+        batched verification forward (engine_verify_batched) and every
+        accepted draft token is a free extra token (decode is
+        weight-feed-bound, so K+1 tokens cost ~1 token's step); engaged
+        whenever every active request is greedy and has spec headroom,
+        otherwise the step falls back to plain decode."""
         self.ecfg = ecfg
         self.params = params
         self.num_slots = num_slots
@@ -76,6 +86,9 @@ class ContinuousBatcher:
         self.prefill_chunk = prefill_chunk
         self.admit_batch = max(1, admit_batch)
         self.decode_steps = max(1, decode_steps)
+        self.spec_k = max(0, spec_k)
+        self.spec_max_ngram = spec_max_ngram
+        self.spec_stats = {"steps": 0, "tokens": 0}
         self.max_recoveries = max_recoveries
         self._recoveries = 0
         self.cache = init_batched_cache(ecfg.cfg, num_slots, max_len)
@@ -141,7 +154,9 @@ class ContinuousBatcher:
             r is not None and s not in self.pending
             for s, r in enumerate(self.slots)
         ):
-            if self._can_decode_multi():
+            if self._can_decode_spec():
+                self._decode_spec()
+            elif self._can_decode_multi():
                 self._decode_multi(self.decode_steps)
             else:
                 self._decode_step()
@@ -188,6 +203,81 @@ class ContinuousBatcher:
             if r is not None and int(lens[s]) + self.decode_steps >= self.max_len:
                 return False
         return True
+
+    def _can_decode_spec(self) -> bool:
+        if self.spec_k <= 0 or self.pending:
+            return False
+        active = [(s, r) for s, r in enumerate(self.slots) if r is not None]
+        if not active:
+            return False
+        if any(r.sampling is not None and not r.sampling.greedy for _, r in active):
+            return False  # speculation verifies greedily; sampling slots opt the batch out
+        lens = np.asarray(self.cache.lengths)
+        for s, r in active:
+            # the window writes K+1 K/V entries at the slot's offset — it
+            # must fit, and the request must want >= 2 more tokens for
+            # speculation to possibly pay
+            if int(lens[s]) + self.spec_k + 1 >= self.max_len:
+                return False
+            if r.max_new_tokens - len(r.output_ids) < 2:
+                return False
+        return True
+
+    def _decode_spec(self):
+        """One speculative step for every active slot: prompt-lookup drafts
+        host-side, ONE batched verification forward, per-slot acceptance.
+        Every emitted token is the greedy argmax of the verification
+        forward (see serving/speculative.py for the exactness contract)."""
+        from dgq_tpu.serving.speculative import ngram_propose
+
+        k = self.spec_k
+        ids = np.zeros((self.num_slots, k + 1), np.int32)
+        drafts = np.zeros((self.num_slots, k), np.int32)
+        for s, r in enumerate(self.slots):
+            if r is None:
+                continue
+            hist = np.concatenate([
+                np.asarray(r.prompt_ids, np.int64),
+                np.asarray(r.output_ids, np.int64),
+            ])
+            drafts[s] = ngram_propose(hist, k, max_ngram=self.spec_max_ngram)
+            ids[s, 0] = self.next_tokens[s]
+            ids[s, 1:] = drafts[s]
+
+        logits, self.cache = engine_verify_batched(
+            self.ecfg, self.params, jnp.asarray(ids), self.cache
+        )
+        greedy = np.asarray(jnp.argmax(logits, axis=-1), np.int32)  # (B, K+1)
+
+        new_lengths = np.asarray(self.cache.lengths).copy()
+        for s in range(self.num_slots):
+            req = self.slots[s]
+            if req is None:
+                continue
+            n_acc = 0
+            while n_acc < k and drafts[s, n_acc] == greedy[s, n_acc]:
+                n_acc += 1
+            emit = [int(t) for t in drafts[s, :n_acc]] + [int(greedy[s, n_acc])]
+            self.spec_stats["steps"] += 1
+            finished = False
+            for tok in emit:
+                req.output_ids.append(tok)
+                self.next_tokens[s] = tok
+                self.spec_stats["tokens"] += 1
+                hit_eos = req.eos_token_id is not None and tok == req.eos_token_id
+                if hit_eos or len(req.output_ids) >= req.max_new_tokens:
+                    finished = True
+                    break
+            if finished:
+                req.done = True
+                self.finished.append(req)
+                self.slots[s] = None  # freed; next admit re-prefills from 0
+            else:
+                # cache covers prompt + consumed tokens: the previously
+                # pending token plus the accepted drafts were fed; the
+                # correction is the new pending token (not yet fed)
+                new_lengths[s] += 1 + n_acc
+        self.cache = self.cache._replace(lengths=jnp.asarray(new_lengths))
 
     def run(self) -> List[Request]:
         while self.has_work:

@@ -7,8 +7,17 @@ is MXU stationary-feed-bound (the weight operand streams into the MXU at a
 fixed elem/s regardless of M — scripts/probe_mxu_feed.py), so verifying
 K+1 tokens in one forward costs roughly the same as decoding 1.  Every
 accepted draft token is therefore a ~free extra token: tok/s multiplies by
-the mean accepted length with no draft model, no extra memory, and bitwise
-IDENTICAL output to plain greedy decoding.
+the mean accepted length with no draft model and no extra memory.
+
+Exactness contract: every emitted token is the greedy argmax of the
+model's verification forward, so the output is always a valid greedy
+decode of the model.  It is bitwise identical to ``generate(...)`` when
+decode and verify run the same numeric path (the XLA fallback / interpret
+modes — pinned by tests/test_speculative.py); on the TPU kernel path the
+s=1 fused-GEMV decode and the s=K+1 prefill-GEMM verify round fp
+differently, so near-tie argmaxes can legitimately flip (observable on
+random-weight models, vanishingly rare on trained weights with peaked
+logits — scripts/bench_speculative.py reports the first divergence).
 
 Drafting is host-side prompt-lookup (the "assisted generation" n-gram
 scheme): the longest suffix n-gram of the generated-so-far sequence is
@@ -138,8 +147,10 @@ def generate_speculative(
             continue
         drafts = jnp.asarray(ngram_propose(history, spec_k, max_ngram=max_ngram))[None, :]
         out, n_out, next_tok, cache = spec_verify_step(ecfg, params, next_tok, drafts, cache)
-        n = int(n_out)
-        new = [int(t) for t in np.asarray(out[0, :n])]
+        # ONE host round trip per step: out + n_out fetched together
+        # (next_tok's value is new[-1]; the device array stays resident)
+        out_h, n = jax.device_get((out, n_out))
+        new = [int(t) for t in out_h[0, : int(n)]]
         toks.extend(new)
         history.extend(new)
         steps += 1
