@@ -317,13 +317,31 @@ def _verify_block_batched(ecfg: EngineConfig, layer, x, k_cache, v_cache,
     the window is tiny (K1 ~ 5) and the step stays weight-feed-bound, which
     is exactly why verification is ~the price of one decode step."""
     cfg = ecfg.cfg
-    b, k1, _ = x.shape
+    b, k1, d = x.shape
     dh = cfg.head_dim
     kwl = dict(use_kernel=ecfg.use_kernel, bm=ecfg.bm_decode,
                interpret=ecfg.interpret, fp_scales=ecfg.fp_scales)
 
-    x_s8 = _rms_norm_q(x, layer.ln1_weight, cfg.rms_norm_eps, layer.ln1_bias)
-    qkv = _linear_s8(layer.qkv_proj, x_s8, **kwl)  # (B, K1, (h+2hk)*dh)
+    # the fused decode kernels act on independent rows: flatten the (B, K1)
+    # window onto the row axis so verification rides the same single-launch
+    # kernels as decode (engine._block does the same for s <= 8)
+    from dgq_tpu.models.engine import _decode_fusable, _lin_groupsize, _mlp_bf
+
+    fused = (ecfg.use_kernel and not ecfg.fp_scales and ecfg.fused_decode
+             and b * k1 <= 32 and _decode_fusable(layer))
+    if fused:
+        from dgq_tpu.ops.fused_decode import fused_norm_gemv
+
+        qp = layer.qkv_proj
+        qkv = fused_norm_gemv(
+            x.reshape(b * k1, d), layer.ln1_weight, layer.ln1_bias,
+            qp.qweight, qp.s_hi, qp.s_lo, qp.z_hi, qp.z_lo, qp.alpha, qp.bias,
+            span=2 * _lin_groupsize(layer.qkv_proj), eps=cfg.rms_norm_eps,
+            interpret=ecfg.interpret,
+        ).reshape(b, k1, -1)
+    else:
+        x_s8 = _rms_norm_q(x, layer.ln1_weight, cfg.rms_norm_eps, layer.ln1_bias)
+        qkv = _linear_s8(layer.qkv_proj, x_s8, **kwl)  # (B, K1, (h+2hk)*dh)
     rep = cfg.num_attention_heads // cfg.num_key_value_heads
     hk = qkv.shape[-1] // dh // (rep + 2)
     h = rep * hk
@@ -364,6 +382,41 @@ def _verify_block_batched(ecfg: EngineConfig, layer, x, k_cache, v_cache,
     vf = v_cache.astype(jnp.float32) * layer.v_scale
     ctx = jnp.einsum("bgrqs,bgsd->bgrqd", p, vf)  # (B, Hkv, rep, K1, Dh)
     ctx = ctx.transpose(0, 3, 1, 2, 4).reshape(b, k1, h * dh)
+
+    if fused:
+        from dgq_tpu.ops.fused_decode import fused_mlp_decode, fused_requant_gemv
+
+        tp = ecfg.tp_axis
+        op = layer.o_proj
+        attn_out = fused_requant_gemv(
+            ctx.reshape(b * k1, -1), layer.out_input_scale,
+            op.qweight, op.s_hi, op.s_lo, op.z_hi, op.z_lo,
+            op.alpha, op.bias,
+            residual=None if tp is not None else x.reshape(b * k1, d),
+            span=2 * _lin_groupsize(layer.o_proj), qmin=-127.0,
+            fuse_residual=tp is None, interpret=ecfg.interpret,
+        ).reshape(b, k1, -1)
+        if tp is not None:
+            x = x + jax.lax.psum(attn_out, tp).astype(x.dtype)
+        else:
+            x = attn_out.astype(x.dtype)
+
+        span_m = 2 * _lin_groupsize(layer.gate_up_proj)
+        fdim = 2 * layer.down_proj.qweight.shape[0]
+        gu, dn = layer.gate_up_proj, layer.down_proj
+        mlp_out = fused_mlp_decode(
+            x.reshape(b * k1, d), layer.ln2_weight, layer.ln2_bias,
+            gu.qweight, gu.s_hi, gu.s_lo, gu.z_hi, gu.z_lo, gu.alpha,
+            layer.down_input_scale,
+            dn.qweight, dn.wscales, dn.wzeros, dn.alpha, dn.bias,
+            span=span_m, bf=_mlp_bf(span_m, fdim), eps=cfg.rms_norm_eps,
+            fuse_residual=tp is None, interpret=ecfg.interpret,
+        ).reshape(b, k1, -1)
+        if tp is not None:
+            x = x + jax.lax.psum(mlp_out, tp).astype(x.dtype)
+        else:
+            x = mlp_out.astype(x.dtype)
+        return x, k_cache, v_cache
 
     ctx_s8 = _requant(ctx, layer.out_input_scale, qmin=-127.0)
     attn_out = _linear_s8(layer.o_proj, ctx_s8, **kwl)

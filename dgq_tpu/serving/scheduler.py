@@ -127,6 +127,39 @@ class ContinuousBatcher:
     def has_work(self) -> bool:
         return bool(self.queue) or any(r is not None for r in self.slots)
 
+    def metrics(self) -> dict:
+        """Structured serving metrics (SURVEY §5: "structured logging +
+        metrics from day 1" — the reference has print() only).  JSON-able;
+        cheap to call between steps."""
+        import time as _time
+
+        now = _time.time()
+        if not hasattr(self, "_t0"):
+            self._t0 = now
+        gen = sum(len(r.output_ids) for r in self.finished) + sum(
+            len(r.output_ids) for r in self.slots if r is not None
+        )
+        occ = sum(r is not None for r in self.slots)
+        out = {
+            "wall_s": round(now - self._t0, 3),
+            "tokens_generated": gen,
+            "tokens_per_s": round(gen / max(now - self._t0, 1e-9), 2),
+            "requests_finished": len(self.finished),
+            "requests_queued": len(self.queue),
+            "slots_active": occ,
+            "slot_occupancy": round(occ / self.num_slots, 3),
+            "prefills_pending": len(self.pending),
+            "recoveries": self._recoveries,
+        }
+        if self.spec_k > 0:
+            st = self.spec_stats
+            out["spec_steps"] = st["steps"]
+            out["spec_tokens"] = st["tokens"]
+            out["spec_tokens_per_step"] = round(
+                st["tokens"] / max(st["steps"], 1), 3
+            )
+        return out
+
     def step(self):
         """Admit queued requests into free slots (prefill), advance at most
         one in-progress chunked prefill by one chunk, then one batched

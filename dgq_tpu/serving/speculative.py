@@ -111,6 +111,81 @@ def spec_verify_step(
     return out, n_out, corr, cache_rb
 
 
+def device_ngram_propose(
+    buf: jax.Array,  # (L,) int32 — prompt + emitted tokens, first `length` valid
+    length: jax.Array,  # () int32
+    k: int,
+    max_ngram: int = 3,
+) -> jax.Array:
+    """Device-side prompt lookup: the jnp mirror of ``ngram_propose`` over a
+    fixed-capacity token buffer (static shapes, scan-safe).  For each n in
+    max_ngram..1 a vectorized all-positions window compare finds the most
+    recent earlier occurrence of the length-n suffix; the longest n with a
+    match wins.  Tokens sliced past ``length`` are stale buffer contents —
+    legal drafts (verification rejects or, if they happen to equal the
+    greedy token, correctly accepts them)."""
+    L = buf.shape[0]
+    idx = jnp.arange(L)
+    best_p = jnp.int32(-1)
+    best_found = jnp.bool_(False)
+    for n in range(max_ngram, 0, -1):  # static unroll; first (longest) match wins
+        match = jnp.ones((L,), bool)
+        for i in range(n):
+            s_i = buf[length - n + i]  # suffix token i (dynamic index)
+            match &= jnp.roll(buf, -i) == s_i  # position p tests buf[p+i]
+        # valid starts: continuation exists (p + n < length) — this also
+        # excludes the suffix occurrence itself (p = length - n)
+        match &= (idx + n) < length
+        p = jnp.max(jnp.where(match, idx, -1))
+        found = p >= 0
+        use = found & ~best_found
+        best_p = jnp.where(use, p + n, best_p)  # store continuation start
+        best_found |= found
+    # fallback: repeat the last token (degenerate draft; verification rejects)
+    start = jnp.where(best_found, best_p, length - 1)
+    return jax.lax.dynamic_slice(buf, (start,), (k,))
+
+
+@partial(jax.jit, static_argnames=("ecfg", "steps", "spec_k", "max_ngram"))
+def spec_decode_scan(
+    ecfg: EngineConfig,
+    params: EngineParams,
+    buf: jax.Array,  # (L,) int32 — prompt + emitted (incl. pending), first buf_len valid
+    buf_len: jax.Array,  # () int32
+    tok: jax.Array,  # (1, 1) int32 — pending token (== buf[buf_len-1])
+    cache: KVCache,
+    steps: int,
+    spec_k: int = 4,
+    max_ngram: int = 3,
+):
+    """``steps`` speculative steps in ONE device program — drafting
+    (device_ngram_propose), verification, acceptance and the token-buffer
+    append all run inside a lax.scan, so there are ZERO host round trips
+    per step (the host-in-the-loop variant pays a blocking device_get per
+    step, which through a tunneled backend erases the acceptance win —
+    scripts/bench_speculative.py documents the measurement).
+
+    Returns (buf, buf_len, tok, cache, outs (steps, K+1), n_outs (steps,)).
+    The caller must guarantee capacity: buf_len + steps*(spec_k+1) <= L and
+    cache capacity likewise (generate_speculative(ondevice=True) chunks
+    accordingly).  This is TPU-native speculative decoding: the entire
+    loop compiles to one XLA program, pipelining like plain decode."""
+
+    def body(carry, _):
+        b, bl, t, c = carry
+        drafts = device_ngram_propose(b, bl, spec_k, max_ngram)[None, :]
+        out, n_out, t2, c2 = spec_verify_step(ecfg, params, t, drafts, c)
+        # append the emitted tokens; entries past n_out are scratch that the
+        # next step's write (at bl + n_out <= bl + K+1) overwrites
+        b2 = jax.lax.dynamic_update_slice(b, out[0], (bl,))
+        return (b2, bl + n_out, t2, c2), (out[0], n_out)
+
+    (buf, buf_len, tok, cache), (outs, n_outs) = jax.lax.scan(
+        body, (buf, buf_len, tok, cache), None, length=steps
+    )
+    return buf, buf_len, tok, cache, outs, n_outs
+
+
 def generate_speculative(
     ecfg: EngineConfig,
     params: EngineParams,
@@ -120,13 +195,22 @@ def generate_speculative(
     *,
     spec_k: int = 4,
     max_ngram: int = 3,
+    ondevice: bool = False,
+    chunk_steps: int = 8,
 ) -> Tuple[jax.Array, dict]:
     """Greedy generation with prompt-lookup speculative decoding.
 
     Output is bitwise identical to ``generate(..., greedy)``; the win is
     fewer forward dispatches (stats returned: steps, tokens, mean accepted).
     Near the cache-capacity edge it falls back to plain single-token steps
-    so drafts never overrun ``max_len``."""
+    so drafts never overrun ``max_len``.
+
+    ``ondevice=True`` runs drafting+verification+acceptance inside
+    chunk-sized lax.scans (spec_decode_scan): one host round trip per
+    ``chunk_steps`` speculative steps instead of one per step — the mode to
+    use over a high-latency dispatch path (and strictly less host work
+    everywhere).  Drafts come from device_ngram_propose; emitted tokens are
+    greedy argmaxes of the same verify forward either way."""
     b, s = prompt_ids.shape
     assert b == 1, "speculative generate is per-sequence (use the batcher for B>1)"
     cache = init_kv_cache(ecfg.cfg, b, max_len)
@@ -135,6 +219,33 @@ def generate_speculative(
     history: List[int] = list(np.asarray(prompt_ids[0])) + [int(next_tok[0, 0])]
     toks: List[int] = [int(next_tok[0, 0])]
     steps = 0
+    if ondevice:
+        buf = jnp.zeros((max_len,), jnp.int32)
+        buf = jax.lax.dynamic_update_slice(buf, jnp.asarray(history, jnp.int32), (0,))
+        buf_len = jnp.asarray(len(history), jnp.int32)
+        while len(toks) < max_new_tokens:
+            length_now = s + len(toks)
+            worst = chunk_steps * (spec_k + 1)
+            if (length_now + worst + spec_k + 1 > max_len
+                    or len(toks) + 1 >= max_new_tokens):
+                # capacity edge / single token left: plain decode tail
+                logits, cache = engine_forward(ecfg, params, next_tok, cache)
+                next_tok = jnp.argmax(logits[:, -1:, :], axis=-1).astype(jnp.int32)
+                toks.append(int(next_tok[0, 0]))
+                steps += 1
+                continue
+            buf, buf_len, next_tok, cache, outs, n_outs = spec_decode_scan(
+                ecfg, params, buf, buf_len, next_tok, cache, chunk_steps,
+                spec_k=spec_k, max_ngram=max_ngram,
+            )
+            outs_h, n_h = jax.device_get((outs, n_outs))  # one fetch per chunk
+            for i in range(chunk_steps):
+                toks.extend(int(t) for t in outs_h[i, : int(n_h[i])])
+            steps += chunk_steps
+        toks = toks[:max_new_tokens]
+        stats = {"steps": steps + 1, "tokens": len(toks),
+                 "tokens_per_step": len(toks) / max(steps, 1)}
+        return jnp.asarray(toks, jnp.int32)[None, :], stats
     while len(toks) < max_new_tokens:
         length_now = s + len(toks)  # tokens fed so far is length_now (prompt + accepted); next step feeds <= spec_k + 1 more
         if length_now + spec_k + 1 > max_len or len(toks) + 1 >= max_new_tokens:

@@ -38,6 +38,7 @@ def main():
     ap.add_argument("--layers", type=int, default=32)
     ap.add_argument("--tokens", type=int, default=48)
     ap.add_argument("--spec-k", type=int, default=4)
+    ap.add_argument("--chunk-steps", type=int, default=8)
     args = ap.parse_args()
 
     cfg = LlamaConfig(num_hidden_layers=args.layers)
@@ -68,6 +69,19 @@ def main():
                                       max_len=max_len, spec_k=args.spec_k)
     t_spec = time.time() - t0
 
+    print("compiling + warmup (speculative, on-device scan)...", flush=True)
+    max_len_d = 32 + args.tokens + args.chunk_steps * (args.spec_k + 1) + args.spec_k + 2
+    t0 = time.time()
+    out_d, stats_d = generate_speculative(
+        ecfg, eng, prompt, max_new_tokens=args.tokens, max_len=max_len_d,
+        spec_k=args.spec_k, ondevice=True, chunk_steps=args.chunk_steps)
+    print(f"  on-device warm path done in {time.time()-t0:.0f}s", flush=True)
+    t0 = time.time()
+    out_d, stats_d = generate_speculative(
+        ecfg, eng, prompt, max_new_tokens=args.tokens, max_len=max_len_d,
+        spec_k=args.spec_k, ondevice=True, chunk_steps=args.chunk_steps)
+    t_spec_dev = time.time() - t0
+
     ref_np, out_np = np.asarray(ref)[0], np.asarray(out)[0]
     if np.array_equal(ref_np, out_np):
         print("outputs identical (greedy-exact)")
@@ -77,10 +91,12 @@ def main():
               f"plain {ref_np[max(0,div-2):div+3]} vs spec {out_np[max(0,div-2):div+3]}")
         print("(kernel-path decode (fused GEMV) and verify (prefill GEMM) differ "
               "in fp rounding; near-tie argmax flips are expected on random weights)")
-    print(f"plain : {args.tokens/t_plain:6.1f} tok/s  ({t_plain*1e3/args.tokens:.1f} ms/tok)")
-    print(f"spec  : {args.tokens/t_spec:6.1f} tok/s  ({t_spec*1e3/args.tokens:.1f} ms/tok)  "
+    print(f"plain    : {args.tokens/t_plain:6.1f} tok/s  ({t_plain*1e3/args.tokens:.1f} ms/tok)")
+    print(f"spec host: {args.tokens/t_spec:6.1f} tok/s  ({t_spec*1e3/args.tokens:.1f} ms/tok)  "
           f"accepted {stats['tokens_per_step']:.2f} tok/step over {stats['steps']} steps")
-    print(f"speedup {t_plain/t_spec:.2f}x (bitwise-identical output)")
+    print(f"spec scan: {args.tokens/t_spec_dev:6.1f} tok/s  ({t_spec_dev*1e3/args.tokens:.1f} ms/tok)  "
+          f"accepted {stats_d['tokens_per_step']:.2f} tok/step over {stats_d['steps']} steps")
+    print(f"speedups vs plain: host {t_plain/t_spec:.2f}x, on-device scan {t_plain/t_spec_dev:.2f}x")
 
 
 if __name__ == "__main__":

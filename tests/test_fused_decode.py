@@ -154,3 +154,38 @@ def test_engine_fused_decode_matches_unfused():
 
     for a, b in zip(chain(fused), chain(unfused)):
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
+
+
+def test_engine_fused_short_window_matches_unfused():
+    """s <= 8 multi-token windows (speculative verification) ride the fused
+    row kernels via the (B, S, D) -> (B*S, D) flatten; logits must match
+    the unfused kernel path (both interpret mode)."""
+    from dgq_tpu.config import ActQuantConfig, QuantConfig, WtQuantConfig
+    from dgq_tpu.models.engine import EngineConfig, engine_forward, from_ptq, init_kv_cache
+    from dgq_tpu.models.llama import init_llama_params, tiny_llama_config
+    from dgq_tpu.quant.calibrate import ptq_llama
+    from dgq_tpu.utils.datautils import synthetic_stream
+
+    cfg = tiny_llama_config(hidden_size=256, intermediate_size=512, num_hidden_layers=2,
+                            num_attention_heads=4, num_key_value_heads=4)
+    params = init_llama_params(cfg, jax.random.PRNGKey(0))
+    calib = jnp.asarray(synthetic_stream(cfg.vocab_size, 2 * 32).reshape(2, 32))
+    qcfg = QuantConfig(act_quant=ActQuantConfig(), wt_quant=WtQuantConfig(groupsize=128),
+                       kvquant=True)
+    res = ptq_llama(params, cfg, calib, qcfg, verbose=False)
+    eng = from_ptq(res.params, res.kv_scales, cfg)
+
+    fused = EngineConfig(cfg=cfg, use_kernel=True, interpret=True,
+                         bm_prefill=128, bm_decode=128)
+    unfused = dataclasses.replace(fused, fused_decode=False)
+
+    prompt = jnp.asarray(synthetic_stream(cfg.vocab_size, 8, seed=9).reshape(1, 8))
+    window = jnp.asarray(synthetic_stream(cfg.vocab_size, 5, seed=4).reshape(1, 5))
+
+    def run(ecfg):
+        cache = init_kv_cache(cfg, 1, 32)
+        _, cache = engine_forward(ecfg, eng, prompt, cache)
+        lg, _ = engine_forward(ecfg, eng, window, cache)  # s=5 verify-shaped
+        return np.asarray(lg)
+
+    np.testing.assert_allclose(run(fused), run(unfused), rtol=2e-4, atol=2e-4)

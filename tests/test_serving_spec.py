@@ -124,6 +124,22 @@ def test_batcher_spec_sampling_slot_falls_back(setup):
     assert b.spec_stats["steps"] == 0  # never engaged with a sampling slot live
 
 
+def test_batcher_metrics(setup):
+    import json
+
+    cfg, eng, ecfg = setup
+    b = ContinuousBatcher(ecfg, eng, num_slots=2, max_len=64, prefill_pad=16,
+                          spec_k=3)
+    b.add_request(Request(uid=0, prompt_ids=np.asarray([3, 5] * 3, np.int32),
+                          max_new_tokens=8))
+    b.run()
+    m = b.metrics()
+    json.dumps(m)  # must be JSON-able
+    assert m["requests_finished"] == 1 and m["tokens_generated"] == 8
+    assert m["slots_active"] == 0 and m["recoveries"] == 0
+    assert m["spec_tokens_per_step"] >= 1.0
+
+
 def test_batcher_spec_near_capacity_falls_back(setup):
     """Slots without spec headroom force plain decode; output still exact."""
     cfg, eng, ecfg = setup

@@ -86,6 +86,60 @@ def test_spec_generate_accepts_on_repetitive_model():
     assert stats["tokens_per_step"] > 1.2, stats
 
 
+def test_device_ngram_matches_host():
+    """device_ngram_propose == ngram_propose whenever the matched
+    continuation is fully inside the valid region (the only case where the
+    host version doesn't pad)."""
+    from dgq_tpu.serving.speculative import device_ngram_propose
+
+    cases = [
+        [7, 8, 9, 5, 6, 11, 12, 13, 5, 6],
+        [5, 6, 1, 1, 5, 6, 2, 2, 5, 6],
+        [5, 6, 9, 5, 6],
+        [3, 5, 3, 5, 3, 5, 3, 5, 9, 3, 5],
+    ]
+    for h in cases:
+        buf = jnp.zeros((32,), jnp.int32)
+        buf = buf.at[: len(h)].set(jnp.asarray(h, jnp.int32))
+        d_dev = device_ngram_propose(buf, jnp.asarray(len(h), jnp.int32), 3, max_ngram=2)
+        d_host = ngram_propose(h, 3, max_ngram=2)
+        np.testing.assert_array_equal(np.asarray(d_dev), d_host, err_msg=str(h))
+
+
+def test_device_ngram_no_match_fallback():
+    from dgq_tpu.serving.speculative import device_ngram_propose
+
+    buf = jnp.zeros((16,), jnp.int32).at[:4].set(jnp.asarray([1, 2, 3, 4]))
+    d = device_ngram_propose(buf, jnp.asarray(4, jnp.int32), 3, max_ngram=3)
+    assert d.shape == (3,)  # degenerate draft; content is legal-garbage
+
+
+def test_spec_generate_ondevice_matches_plain_greedy():
+    """The scan-based (zero host round trips per step) mode is exact too."""
+    cfg, eng = _tiny()
+    ecfg = EngineConfig(cfg=cfg, use_kernel=False)
+    prompt = jnp.asarray([[3, 5, 3, 5, 9, 3, 5, 3]], jnp.int32)
+    ref = generate(ecfg, eng, prompt, max_new_tokens=28, max_len=128)
+    out, stats = generate_speculative(ecfg, eng, prompt, max_new_tokens=28,
+                                      max_len=128, spec_k=4, ondevice=True,
+                                      chunk_steps=4)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+    assert stats["tokens"] == 28
+
+
+def test_spec_generate_ondevice_capacity_edge():
+    cfg, eng = _tiny()
+    ecfg = EngineConfig(cfg=cfg, use_kernel=False)
+    prompt = jnp.asarray([[3, 5, 3, 5]], jnp.int32)
+    # max_len 24 with chunk_steps=4, spec_k=4: no chunk headroom at all ->
+    # plain-tail path must still produce the exact output
+    ref = generate(ecfg, eng, prompt, max_new_tokens=18, max_len=24)
+    out, _ = generate_speculative(ecfg, eng, prompt, max_new_tokens=18,
+                                  max_len=24, spec_k=4, ondevice=True,
+                                  chunk_steps=4)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+
 def test_spec_verify_step_rollback_length():
     cfg, eng = _tiny()
     ecfg = EngineConfig(cfg=cfg, use_kernel=False)
