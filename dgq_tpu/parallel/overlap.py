@@ -14,7 +14,16 @@ These flags must be set before the first backend initialization.
 from __future__ import annotations
 
 import os
+import subprocess
+import sys
 
+# The historical flag set (jax <= ~0.4 era).  Probed on this stack
+# (jax 0.9.0, 2026-08): the XLA_FLAGS parser rejects EVERY one of these —
+# async collective fusion and the latency-hiding scheduler graduated from
+# flags to default-on behavior, so there is nothing to set.  The list is
+# kept as the validated-legacy reference; enable_latency_hiding_scheduler
+# probes before committing anything into XLA_FLAGS (an unknown flag is a
+# process-fatal parse error at backend init, not a warning).
 LATENCY_HIDING_FLAGS = (
     "--xla_tpu_enable_async_collective_fusion=true "
     "--xla_tpu_enable_async_collective_fusion_fuse_all_gather=true "
@@ -25,14 +34,47 @@ LATENCY_HIDING_FLAGS = (
     "--xla_tpu_enable_latency_hiding_scheduler=true"
 )
 
+_PROBE = (
+    "import os,sys\n"
+    "os.environ['JAX_PLATFORMS']='cpu'\n"
+    "import jax\n"
+    "jax.config.update('jax_platforms','cpu')\n"
+    "jax.devices()\n"
+    "print('FLAGOK')\n"
+)
+
+
+def supported_overlap_flags(flags: str = LATENCY_HIDING_FLAGS) -> list:
+    """Return the subset of ``flags`` this jaxlib's XLA_FLAGS parser
+    accepts, determined by subprocess probes (an unknown flag aborts the
+    probe process, never the caller).  Cached per process."""
+    cache = getattr(supported_overlap_flags, "_cache", None)
+    if cache is not None and cache[0] == flags:
+        return cache[1]
+    ok = []
+    for f in flags.split():
+        env = dict(os.environ, XLA_FLAGS=f, JAX_PLATFORMS="cpu")
+        try:
+            p = subprocess.run([sys.executable, "-c", _PROBE], env=env,
+                               capture_output=True, text=True, timeout=120)
+            if "FLAGOK" in p.stdout:
+                ok.append(f)
+        except Exception:  # noqa: BLE001 — treat probe failure as unsupported
+            pass
+    supported_overlap_flags._cache = (flags, ok)
+    return ok
+
 
 def enable_latency_hiding_scheduler() -> None:
-    """Append the overlap flags to XLA_FLAGS (call before importing/using
-    jax devices; no-op if already present)."""
+    """Append whichever overlap flags this stack still accepts to
+    XLA_FLAGS (call before backend init; no-op when already present or —
+    the modern case — when the scheduler is built-in and no flag exists)."""
     flags = os.environ.get("XLA_FLAGS", "")
     if "latency_hiding_scheduler" in flags:
         return
-    os.environ["XLA_FLAGS"] = (flags + " " + LATENCY_HIDING_FLAGS).strip()
+    ok = supported_overlap_flags()
+    if ok:
+        os.environ["XLA_FLAGS"] = (flags + " " + " ".join(ok)).strip()
 
 
 def multihost_initialize(coordinator_address: str = None, num_processes: int = None, process_id: int = None):

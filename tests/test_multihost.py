@@ -48,6 +48,18 @@ def test_two_process_distributed_smoke():
         assert f"MULTIHOST_WORKER_OK pid={i}" in out, out[-3000:]
 
 
+def test_overlap_flag_probe_mechanism():
+    """The subprocess probe must accept a flag every jaxlib knows and
+    reject one that no jaxlib knows — validating the mechanism that keeps
+    enable_latency_hiding_scheduler from committing a process-fatal flag."""
+    from dgq_tpu.parallel.overlap import supported_overlap_flags
+
+    ok = supported_overlap_flags(
+        "--xla_force_host_platform_device_count=2 --xla_no_such_flag_ever=1"
+    )
+    assert ok == ["--xla_force_host_platform_device_count=2"]
+
+
 def test_overlap_flags_wellformed():
     from dgq_tpu.parallel.overlap import LATENCY_HIDING_FLAGS
 
@@ -55,14 +67,19 @@ def test_overlap_flags_wellformed():
     assert len(flags) >= 5
     for f in flags:
         assert f.startswith("--xla_") and "=" in f, f
-    # idempotent append
+    # idempotent append (appends only probed-supported flags — possibly
+    # none on stacks where the scheduler is built-in)
     from dgq_tpu.parallel import overlap
 
-    os.environ.pop("XLA_FLAGS", None)
+    saved = os.environ.pop("XLA_FLAGS", None)
     try:
         overlap.enable_latency_hiding_scheduler()
-        once = os.environ["XLA_FLAGS"]
+        once = os.environ.get("XLA_FLAGS", "")
         overlap.enable_latency_hiding_scheduler()
-        assert os.environ["XLA_FLAGS"] == once
+        assert os.environ.get("XLA_FLAGS", "") == once
+        for f in once.split():
+            assert f.startswith("--xla_")
     finally:
         os.environ.pop("XLA_FLAGS", None)
+        if saved is not None:
+            os.environ["XLA_FLAGS"] = saved
