@@ -34,14 +34,21 @@ def test_get_loaders_synthetic():
 
 
 def test_latency_hiding_flags_appended(monkeypatch):
+    """Probe-validated semantics: existing flags preserved, only flags the
+    current jaxlib ACCEPTS get appended (none on this stack — the scheduler
+    graduated to default-on; overlap.supported_overlap_flags probes), and
+    repeated calls are idempotent."""
     monkeypatch.setenv("XLA_FLAGS", "--existing_flag=1")
     enable_latency_hiding_scheduler()
     flags = os.environ["XLA_FLAGS"]
     assert "--existing_flag=1" in flags
-    assert "latency_hiding_scheduler" in flags
+    from dgq_tpu.parallel.overlap import supported_overlap_flags
+
+    for f in supported_overlap_flags():
+        assert f in flags
     # idempotent
     enable_latency_hiding_scheduler()
-    assert os.environ["XLA_FLAGS"].count("latency_hiding_scheduler") == 1
+    assert os.environ["XLA_FLAGS"] == flags
 
 
 def test_roofline_model_7b():
