@@ -98,6 +98,13 @@ class ContinuousBatcher:
         self.pending: dict = {}
         self.next_tokens = np.zeros((num_slots,), np.int32)
         self.finished: List[Request] = []
+        # cumulative counters for metrics(): `finished` may be drained by a
+        # consumer (serving/server.py), so never derive totals from it
+        self._finished_count = 0
+        self._finished_tokens = 0
+        import time as _time
+
+        self._t0 = _time.time()
         self._seed = 0
 
     # -- public API ---------------------------------------------------------
@@ -134,9 +141,7 @@ class ContinuousBatcher:
         import time as _time
 
         now = _time.time()
-        if not hasattr(self, "_t0"):
-            self._t0 = now
-        gen = sum(len(r.output_ids) for r in self.finished) + sum(
+        gen = self._finished_tokens + sum(
             len(r.output_ids) for r in self.slots if r is not None
         )
         occ = sum(r is not None for r in self.slots)
@@ -144,7 +149,7 @@ class ContinuousBatcher:
             "wall_s": round(now - self._t0, 3),
             "tokens_generated": gen,
             "tokens_per_s": round(gen / max(now - self._t0, 1e-9), 2),
-            "requests_finished": len(self.finished),
+            "requests_finished": self._finished_count,
             "requests_queued": len(self.queue),
             "slots_active": occ,
             "slot_occupancy": round(occ / self.num_slots, 3),
@@ -304,6 +309,8 @@ class ContinuousBatcher:
             if finished:
                 req.done = True
                 self.finished.append(req)
+                self._finished_count += 1
+                self._finished_tokens += len(req.output_ids)
                 self.slots[s] = None  # freed; next admit re-prefills from 0
             else:
                 # cache covers prompt + consumed tokens: the previously
@@ -507,4 +514,6 @@ class ContinuousBatcher:
         if hit_eos or hit_max or hit_cap:
             req.done = True
             self.finished.append(req)
+            self._finished_count += 1
+            self._finished_tokens += len(req.output_ids)
             self.slots[slot] = None  # slot freed; next admit overwrites it

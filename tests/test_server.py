@@ -1,0 +1,82 @@
+"""JSON-lines serving daemon (serving/server.py) over a tiny engine."""
+
+import json
+import socket
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dgq_tpu.config import ActQuantConfig, QuantConfig, WtQuantConfig
+from dgq_tpu.models.engine import EngineConfig, from_ptq
+from dgq_tpu.models.llama import init_llama_params, tiny_llama_config
+from dgq_tpu.quant.calibrate import ptq_llama
+from dgq_tpu.serving.scheduler import ContinuousBatcher, Request
+from dgq_tpu.serving.server import BatcherServer
+from dgq_tpu.utils.datautils import synthetic_stream
+
+
+@pytest.fixture(scope="module")
+def engine():
+    cfg = tiny_llama_config(hidden_size=256, intermediate_size=512, num_hidden_layers=2,
+                            num_attention_heads=4, num_key_value_heads=4)
+    params = init_llama_params(cfg, jax.random.PRNGKey(0))
+    calib = jnp.asarray(synthetic_stream(cfg.vocab_size, 2 * 32).reshape(2, 32))
+    qcfg = QuantConfig(act_quant=ActQuantConfig(), wt_quant=WtQuantConfig(groupsize=128))
+    res = ptq_llama(params, cfg, calib, qcfg, verbose=False)
+    return cfg, from_ptq(res.params, res.kv_scales, cfg)
+
+
+def _batcher(cfg, eng, **kw):
+    return ContinuousBatcher(EngineConfig(cfg=cfg, use_kernel=False), eng,
+                             num_slots=2, max_len=64, prefill_pad=16, **kw)
+
+
+def _rpc(sock_file, sock, obj):
+    sock.sendall((json.dumps(obj) + "\n").encode())
+    return json.loads(sock_file.readline())
+
+
+def test_server_round_trip_matches_direct(engine):
+    cfg, eng = engine
+    prompt = [3, 5, 3, 5, 3, 5]
+
+    # direct batcher reference output
+    ref_b = _batcher(cfg, eng)
+    ref_b.add_request(Request(uid=0, prompt_ids=np.asarray(prompt, np.int32),
+                              max_new_tokens=8))
+    ref = ref_b.run()[0].output_ids
+
+    with BatcherServer(_batcher(cfg, eng)) as srv:
+        with socket.create_connection((srv.host, srv.port), timeout=60) as s:
+            f = s.makefile("r")
+            resp = _rpc(f, s, {"prompt_ids": prompt, "max_new_tokens": 8})
+            assert resp["done"] and resp["output_ids"] == ref
+            m = _rpc(f, s, {"op": "metrics"})
+            assert m["requests_finished"] == 1 and m["tokens_generated"] == 8
+
+
+def test_server_pipelined_and_sampled(engine):
+    cfg, eng = engine
+    with BatcherServer(_batcher(cfg, eng)) as srv:
+        with socket.create_connection((srv.host, srv.port), timeout=120) as s:
+            f = s.makefile("r")
+            # two pipelined requests: one greedy, one sampled
+            s.sendall((json.dumps({"prompt_ids": [3, 5, 3, 5], "max_new_tokens": 6}) + "\n").encode())
+            s.sendall((json.dumps({"prompt_ids": [7, 7, 2, 7], "max_new_tokens": 6,
+                                   "temperature": 0.8, "top_k": 8}) + "\n").encode())
+            got = [json.loads(f.readline()), json.loads(f.readline())]
+            uids = sorted(r["uid"] for r in got)
+            assert uids == [0, 1]
+            assert all(len(r["output_ids"]) == 6 for r in got)
+
+
+def test_server_bad_request(engine):
+    cfg, eng = engine
+    with BatcherServer(_batcher(cfg, eng)) as srv:
+        with socket.create_connection((srv.host, srv.port), timeout=30) as s:
+            f = s.makefile("r")
+            assert "error" in _rpc(f, s, {"max_new_tokens": 4})
+            s.sendall(b"not json\n")
+            assert "error" in json.loads(f.readline())
