@@ -1,0 +1,73 @@
+"""Serving daemon CLI: ``python -m dgq_tpu.serve ENGINE_CKPT [flags]``.
+
+Starts the JSON-lines TCP server (serving/server.py) over a
+ContinuousBatcher loaded straight from a ``save_engine`` checkpoint.
+The reference has no serving entry point at all (SURVEY §0).
+
+Example:
+    python -m dgq_tpu.entry /models/llama-7b ptb --wt_fun search --w4w8 \
+        --kvquant --smoothquant --save_safetensors q.st
+    python - <<'PY'   # one-time engine conversion
+    from dgq_tpu.utils.checkpoint import load_quantized, save_engine
+    from dgq_tpu.models.engine import from_ptq
+    params, cfg, qcfg, kv = load_quantized("q.st")
+    save_engine("eng.st", from_ptq(params, kv, cfg), cfg, arch="llama")
+    PY
+    python -m dgq_tpu.serve eng.st --port 8471 --slots 8 --spec-k 4
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="dgq_tpu serving daemon")
+    p.add_argument("checkpoint", help="engine checkpoint (save_engine output)")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8471)
+    p.add_argument("--slots", type=int, default=8)
+    p.add_argument("--max-len", type=int, default=2048)
+    p.add_argument("--prefill-chunk", type=int, default=512,
+                   help="chunked prefill size (bounds head-of-line latency)")
+    p.add_argument("--prefill-pad", type=int, default=128,
+                   help="prompt padding granularity (<= max-len)")
+    p.add_argument("--admit-batch", type=int, default=4)
+    p.add_argument("--decode-steps", type=int, default=1)
+    p.add_argument("--spec-k", type=int, default=0,
+                   help="prompt-lookup speculative decoding draft length")
+    return p
+
+
+def build_server(args):
+    from dgq_tpu.serving.scheduler import ContinuousBatcher
+    from dgq_tpu.serving.server import BatcherServer
+
+    batcher = ContinuousBatcher.from_checkpoint(
+        args.checkpoint, num_slots=args.slots, max_len=args.max_len,
+        prefill_pad=min(args.prefill_pad, args.max_len),
+        prefill_chunk=args.prefill_chunk, admit_batch=args.admit_batch,
+        decode_steps=args.decode_steps, spec_k=args.spec_k,
+    )
+    return BatcherServer(batcher, host=args.host, port=args.port)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    srv = build_server(args)
+    print(f"[dgq_tpu.serve] listening on {srv.host}:{srv.port} "
+          f"(slots={args.slots}, max_len={args.max_len}, spec_k={args.spec_k})",
+          flush=True)
+    try:
+        import time
+
+        while True:
+            time.sleep(30)
+            print(f"[dgq_tpu.serve] {srv.batcher.metrics()}", flush=True)
+    except KeyboardInterrupt:
+        print("[dgq_tpu.serve] shutting down")
+        srv.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -41,6 +41,7 @@ class BatcherServer:
         self._uid = itertools.count()
         self._done: Dict[int, Request] = {}
         self._done_cv = threading.Condition()
+        self._fatal: Optional[str] = None
         self._stop = threading.Event()
         self._idle_sleep_s = idle_sleep_s
         self._sock = socket.create_server((host, port))
@@ -67,7 +68,12 @@ class BatcherServer:
 
     def wait(self, uid: int, timeout: Optional[float] = None) -> Request:
         with self._done_cv:
-            if not self._done_cv.wait_for(lambda: uid in self._done, timeout):
+            ok = self._done_cv.wait_for(
+                lambda: uid in self._done or self._fatal is not None, timeout
+            )
+            if self._fatal is not None and uid not in self._done:
+                raise RuntimeError(f"serving loop died: {self._fatal}")
+            if not ok:
                 raise TimeoutError(f"request {uid} not finished in {timeout}s")
             return self._done.pop(uid)
 
@@ -88,17 +94,23 @@ class BatcherServer:
     def _scheduler_loop(self):
         while not self._stop.is_set():
             stepped = False
-            with self._lock:
-                if self.batcher.has_work:
-                    self.batcher.step()
-                    stepped = True
-                finished = self.batcher.finished
-                if finished:
-                    with self._done_cv:
-                        for r in finished:
-                            self._done[r.uid] = r
-                        self._done_cv.notify_all()
-                    self.batcher.finished = []
+            try:
+                with self._lock:
+                    if self.batcher.has_work:
+                        self.batcher.step()
+                        stepped = True
+                    finished = self.batcher.finished
+                    if finished:
+                        with self._done_cv:
+                            for r in finished:
+                                self._done[r.uid] = r
+                            self._done_cv.notify_all()
+                        self.batcher.finished = []
+            except Exception as e:  # noqa: BLE001 — a dead loop must not strand waiters
+                with self._done_cv:
+                    self._fatal = repr(e)
+                    self._done_cv.notify_all()
+                return
             if not stepped:
                 self._stop.wait(self._idle_sleep_s)
 

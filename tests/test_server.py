@@ -72,6 +72,28 @@ def test_server_pipelined_and_sampled(engine):
             assert all(len(r["output_ids"]) == 6 for r in got)
 
 
+def test_serve_cli_from_checkpoint(engine, tmp_path):
+    """python -m dgq_tpu.serve path: checkpoint -> live socket end-to-end."""
+    from dgq_tpu.serve import build_parser, build_server
+    from dgq_tpu.utils.checkpoint import save_engine
+
+    cfg, eng = engine
+    ckpt = str(tmp_path / "eng.safetensors")
+    save_engine(ckpt, eng, cfg, arch="llama")
+
+    args = build_parser().parse_args(
+        [ckpt, "--port", "0", "--slots", "2", "--max-len", "64",
+         "--prefill-pad", "16", "--prefill-chunk", "0", "--spec-k", "3"]
+    )
+    with build_server(args) as srv:
+        # from_checkpoint picks use_kernel by backend; tests run on CPU
+        assert not srv.batcher.ecfg.use_kernel
+        with socket.create_connection((srv.host, srv.port), timeout=120) as s:
+            f = s.makefile("r")
+            resp = _rpc(f, s, {"prompt_ids": [3, 5, 3, 5], "max_new_tokens": 6})
+            assert resp["done"] and len(resp["output_ids"]) == 6
+
+
 def test_server_bad_request(engine):
     cfg, eng = engine
     with BatcherServer(_batcher(cfg, eng)) as srv:
