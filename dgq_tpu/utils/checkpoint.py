@@ -267,6 +267,16 @@ def load_engine(path: str):
         from dgq_tpu.models.bloom_engine import BloomEngineParams
 
         return _rebuild_namedtuple(BloomEngineParams, tensors), BloomConfig(**manifest["model_config"])
+    if arch == "mpt":
+        from dgq_tpu.models.mpt import MPTConfig
+        from dgq_tpu.models.mpt_engine import MPTEngineParams
+
+        return _rebuild_namedtuple(MPTEngineParams, tensors), MPTConfig(**manifest["model_config"])
+    if arch == "falcon":
+        from dgq_tpu.models.falcon import FalconConfig
+        from dgq_tpu.models.falcon_engine import FalconEngineParams
+
+        return _rebuild_namedtuple(FalconEngineParams, tensors), FalconConfig(**manifest["model_config"])
     cfg = LlamaConfig(**manifest["model_config"])
 
     def lin(prefix: str) -> EngineLinear:
