@@ -200,6 +200,14 @@ def _engine_eval_fns(arch: str):
         from dgq_tpu.models.bloom_engine import bloom_engine_forward, init_bloom_kv_cache
 
         return bloom_engine_forward, init_bloom_kv_cache
+    if arch == "mpt":
+        from dgq_tpu.models.mpt_engine import init_mpt_kv_cache, mpt_engine_forward
+
+        return mpt_engine_forward, init_mpt_kv_cache
+    if arch == "falcon":
+        from dgq_tpu.models.falcon_engine import falcon_engine_forward, init_falcon_kv_cache
+
+        return falcon_engine_forward, init_falcon_kv_cache
     from dgq_tpu.models.engine import engine_forward, init_kv_cache
 
     return engine_forward, init_kv_cache
@@ -266,6 +274,14 @@ def main(argv=None):
             from dgq_tpu.models.bloom_engine import BloomEngineConfig, from_ptq_bloom
 
             engine_state = (BloomEngineConfig(cfg=cfg, use_kernel=on_tpu), from_ptq_bloom(params, kv_scales, cfg))
+        elif arch == "mpt":
+            from dgq_tpu.models.mpt_engine import MPTEngineConfig, from_ptq_mpt
+
+            engine_state = (MPTEngineConfig(cfg=cfg, use_kernel=on_tpu), from_ptq_mpt(params, kv_scales, cfg))
+        elif arch == "falcon":
+            from dgq_tpu.models.falcon_engine import FalconEngineConfig, from_ptq_falcon
+
+            engine_state = (FalconEngineConfig(cfg=cfg, use_kernel=on_tpu), from_ptq_falcon(params, kv_scales, cfg))
         else:
             print(f"[dgq_tpu] no INT8 engine for {arch} (fake-quant only)")
         if engine_state is not None:

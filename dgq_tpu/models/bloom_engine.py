@@ -76,7 +76,10 @@ def _qkv_int8_out(pl_: PackedLinear, input_scale, q_s, k_s, v_s, cfg: BloomConfi
     """Fused query_key_value with per-component output scales: the alpha for
     channel n uses q/k/v's scale according to the interleaved (h, 3, dh)
     layout."""
-    assert pl_.w4w8 and pl_.span == 2 * pl_.groupsize
+    assert pl_.w4w8 and pl_.span == 2 * pl_.groupsize, (
+        "engine conversion needs w4w8 span-packed linears "
+        "(quantize with --w4w8 and a groupsize, e.g. 128)"
+    )
     h, dh = cfg.num_attention_heads, cfg.head_dim
     out_scales = jnp.stack([q_s, k_s, v_s])  # (3,)
     per_channel_out = jnp.tile(
@@ -96,7 +99,10 @@ def _qkv_int8_out(pl_: PackedLinear, input_scale, q_s, k_s, v_s, cfg: BloomConfi
 
 
 def _f32_out(pl_: PackedLinear, input_scale) -> EngineLinear:
-    assert pl_.w4w8 and pl_.span == 2 * pl_.groupsize
+    assert pl_.w4w8 and pl_.span == 2 * pl_.groupsize, (
+        "engine conversion needs w4w8 span-packed linears "
+        "(quantize with --w4w8 and a groupsize, e.g. 128)"
+    )
     return EngineLinear(
         qweight=pl_.qweight,
         wscales=jnp.repeat(pl_.wscales, 8, axis=0),

@@ -73,7 +73,10 @@ def init_falcon_kv_cache(cfg: FalconConfig, batch: int, max_len: int) -> FalconK
 
 
 def _f32_out(pl_: PackedLinear, input_scale) -> EngineLinear:
-    assert pl_.w4w8 and pl_.span == 2 * pl_.groupsize
+    assert pl_.w4w8 and pl_.span == 2 * pl_.groupsize, (
+        "engine conversion needs w4w8 span-packed linears "
+        "(quantize with --w4w8 and a groupsize, e.g. 128)"
+    )
     return EngineLinear(
         qweight=pl_.qweight,
         wscales=jnp.repeat(pl_.wscales, 8, axis=0),

@@ -72,7 +72,10 @@ def init_mpt_kv_cache(cfg: MPTConfig, batch: int, max_len: int) -> MPTKVCache:
 def _qkv_int8_out_concat(pl_: PackedLinear, input_scale, q_s, k_s, v_s, d: int) -> EngineLinear:
     """Fused Wqkv with per-component output scales for the CONCATENATED
     [q(d) | k(d) | v(d)] layout (MPT; BLOOM interleaves instead)."""
-    assert pl_.w4w8 and pl_.span == 2 * pl_.groupsize
+    assert pl_.w4w8 and pl_.span == 2 * pl_.groupsize, (
+        "engine conversion needs w4w8 span-packed linears "
+        "(quantize with --w4w8 and a groupsize, e.g. 128)"
+    )
     per_channel_out = jnp.concatenate([
         jnp.full((d,), 1.0) * q_s, jnp.full((d,), 1.0) * k_s, jnp.full((d,), 1.0) * v_s,
     ]).astype(jnp.float32)
@@ -90,7 +93,10 @@ def _qkv_int8_out_concat(pl_: PackedLinear, input_scale, q_s, k_s, v_s, d: int) 
 
 
 def _f32_out(pl_: PackedLinear, input_scale) -> EngineLinear:
-    assert pl_.w4w8 and pl_.span == 2 * pl_.groupsize
+    assert pl_.w4w8 and pl_.span == 2 * pl_.groupsize, (
+        "engine conversion needs w4w8 span-packed linears "
+        "(quantize with --w4w8 and a groupsize, e.g. 128)"
+    )
     return EngineLinear(
         qweight=pl_.qweight,
         wscales=jnp.repeat(pl_.wscales, 8, axis=0),
