@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from dgq_tpu.models.bloom import BloomConfig, alibi_slopes
-from dgq_tpu.models.engine import EngineLinear, _linear_s8
+from dgq_tpu.models.engine import EngineLinear, _linear_s8, f32_out_linear
 from dgq_tpu.models.opt_engine import _layer_norm_q, _linear_s8_int8out
 from dgq_tpu.quant.packing import PackedLinear
 
@@ -98,20 +98,6 @@ def _qkv_int8_out(pl_: PackedLinear, input_scale, q_s, k_s, v_s, cfg: BloomConfi
     )
 
 
-def _f32_out(pl_: PackedLinear, input_scale) -> EngineLinear:
-    assert pl_.w4w8 and pl_.span == 2 * pl_.groupsize, (
-        "engine conversion needs w4w8 span-packed linears "
-        "(quantize with --w4w8 and a groupsize, e.g. 128)"
-    )
-    return EngineLinear(
-        qweight=pl_.qweight,
-        wscales=jnp.repeat(pl_.wscales, 8, axis=0),
-        wzeros=jnp.repeat(pl_.wzeros, 8, axis=0),
-        alpha=pl_.wscales8.astype(jnp.float32) * input_scale.astype(jnp.float32),
-        bias=None if pl_.bias is None else pl_.bias.astype(jnp.float32),
-    )
-
-
 def from_ptq_bloom(params, kv_scales, cfg: BloomConfig) -> BloomEngineParams:
     per_layer = []
     for li, layer in enumerate(params["layers"]):
@@ -131,13 +117,13 @@ def from_ptq_bloom(params, kv_scales, cfg: BloomConfig) -> BloomEngineParams:
                     at["query_key_value"], attn_input_scale,
                     kv.q_scale, kv.k_scale, kv.v_scale, cfg,
                 ),
-                dense=_f32_out(at["dense"], dense_input_scale),
+                dense=f32_out_linear(at["dense"], dense_input_scale),
                 ln2_weight=layer["post_attention_layernorm"]["weight"].astype(jnp.float32)
                 / fc1_input_scale,
                 ln2_bias=layer["post_attention_layernorm"]["bias"].astype(jnp.float32)
                 / fc1_input_scale,
-                fc1=_f32_out(layer["mlp"]["dense_h_to_4h"], fc1_input_scale),
-                fc2=_f32_out(layer["mlp"]["dense_4h_to_h"], fc2_input_scale),
+                fc1=f32_out_linear(layer["mlp"]["dense_h_to_4h"], fc1_input_scale),
+                fc2=f32_out_linear(layer["mlp"]["dense_4h_to_h"], fc2_input_scale),
                 q_scale=kv.q_scale.astype(jnp.float32),
                 k_scale=kv.k_scale.astype(jnp.float32),
                 v_scale=kv.v_scale.astype(jnp.float32),

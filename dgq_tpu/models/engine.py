@@ -60,6 +60,24 @@ class EngineLinear(NamedTuple):
     z_lo: Optional[jax.Array] = None  # (G/2, N) int8 odd-plane zeros
 
 
+def f32_out_linear(pl_, input_scale) -> "EngineLinear":
+    """Shared PackedLinear -> f32-out EngineLinear conversion for the
+    sister-family engines (bloom/mpt/falcon): alpha = wscales8 *
+    input_scale, fp bias carried through the epilogue.  (The LLaMA
+    from_ptq builds richer linears with plane-dot scale rows itself.)"""
+    assert pl_.w4w8 and pl_.span == 2 * pl_.groupsize, (
+        "engine conversion needs w4w8 span-packed linears "
+        "(quantize with --w4w8 and a groupsize, e.g. 128)"
+    )
+    return EngineLinear(
+        qweight=pl_.qweight,
+        wscales=jnp.repeat(pl_.wscales, 8, axis=0),
+        wzeros=jnp.repeat(pl_.wzeros, 8, axis=0),
+        alpha=pl_.wscales8.astype(jnp.float32) * input_scale.astype(jnp.float32),
+        bias=None if pl_.bias is None else pl_.bias.astype(jnp.float32),
+    )
+
+
 class EngineLayer(NamedTuple):
     """One stacked engine layer.
 
@@ -533,6 +551,107 @@ def _decode_fusable(layer: EngineLayer) -> bool:
     return fdim % bf == 0 and bf % span == 0
 
 
+def _use_fused_rows(ecfg: EngineConfig, layer: EngineLayer, b: int, s: int) -> bool:
+    """Gate for the fused decode-launch kernels (VERDICT r1 #3): the fused
+    kernels act on independent ROWS, so short multi-token windows (s <= 8 —
+    speculative verification) flatten (B, S, D) -> (B*S, D) and ride the
+    same kernels as s=1 decode; only attention needs sequence structure.
+    Keeps a verify step at ~decode-step cost instead of the unfused path's
+    ~160 extra launches."""
+    return (s <= 8 and ecfg.use_kernel and not ecfg.fp_scales
+            and ecfg.fused_decode and b * s <= 32 and _decode_fusable(layer))
+
+
+def _qkv_rows(ecfg: EngineConfig, layer: EngineLayer, x: jax.Array,
+              bm: int, fused: bool) -> jax.Array:
+    """(B, S, D) -> qkv projections (B, S, N): fused norm+GEMV row kernel
+    or the unfused RMSNormQ + GEMM path.  SHARED by engine._block and the
+    serving decode/verify blocks so the numeric paths cannot diverge."""
+    cfg = ecfg.cfg
+    b, s, d = x.shape
+    if fused:
+        from dgq_tpu.ops.fused_decode import fused_norm_gemv
+
+        qp = layer.qkv_proj
+        return fused_norm_gemv(
+            x.reshape(b * s, d), layer.ln1_weight, layer.ln1_bias,
+            qp.qweight, qp.s_hi, qp.s_lo, qp.z_hi, qp.z_lo, qp.alpha, qp.bias,
+            span=2 * _lin_groupsize(layer.qkv_proj), eps=cfg.rms_norm_eps,
+            interpret=ecfg.interpret,
+        ).reshape(b, s, -1)
+    x_s8 = _rms_norm_q(x, layer.ln1_weight, cfg.rms_norm_eps, layer.ln1_bias)
+    return _linear_s8(layer.qkv_proj, x_s8, use_kernel=ecfg.use_kernel, bm=bm,
+                      interpret=ecfg.interpret, fp_scales=ecfg.fp_scales)
+
+
+def _block_tail(ecfg: EngineConfig, layer: EngineLayer, x: jax.Array,
+                ctx: jax.Array, bm: int, fused: bool) -> jax.Array:
+    """Attention context -> o_proj (+psum) + residual -> MLP (+psum) +
+    residual, fused or unfused.  SHARED by engine._block and the serving
+    decode/verify blocks (x, ctx are (B, S, D)-shaped; fused kernels see
+    flattened rows)."""
+    cfg = ecfg.cfg
+    b, s, d = x.shape
+    kwl = dict(use_kernel=ecfg.use_kernel, bm=bm, interpret=ecfg.interpret,
+               fp_scales=ecfg.fp_scales)
+    tp = ecfg.tp_axis
+    if fused:
+        from dgq_tpu.ops.fused_decode import fused_mlp_decode, fused_requant_gemv
+
+        op = layer.o_proj
+        attn_out = fused_requant_gemv(
+            ctx.reshape(b * s, -1), layer.out_input_scale,  # llama_a8w4.py:158 clamps -127
+            op.qweight, op.s_hi, op.s_lo, op.z_hi, op.z_lo,
+            op.alpha, op.bias,
+            residual=None if tp is not None else x.reshape(b * s, d),
+            span=2 * _lin_groupsize(layer.o_proj), qmin=-127.0,
+            fuse_residual=tp is None, interpret=ecfg.interpret,
+        ).reshape(b, s, -1)
+        if tp is not None:
+            x = x + jax.lax.psum(attn_out, tp).astype(x.dtype)
+        else:
+            x = attn_out.astype(x.dtype)  # residual fused in-kernel
+
+        # ---- mlp: ONE launch (norm + gate/up + SiLU + requant + down) ----
+        span_m = 2 * _lin_groupsize(layer.gate_up_proj)
+        fdim = 2 * layer.down_proj.qweight.shape[0]
+        gu, dn = layer.gate_up_proj, layer.down_proj
+        mlp_out = fused_mlp_decode(
+            x.reshape(b * s, d), layer.ln2_weight, layer.ln2_bias,
+            gu.qweight, gu.s_hi, gu.s_lo, gu.z_hi, gu.z_lo, gu.alpha,
+            layer.down_input_scale,
+            dn.qweight, dn.wscales, dn.wzeros, dn.alpha, dn.bias,
+            span=span_m, bf=_mlp_bf(span_m, fdim), eps=cfg.rms_norm_eps,
+            fuse_residual=tp is None, interpret=ecfg.interpret,
+        ).reshape(b, s, -1)
+        if tp is not None:
+            x = x + jax.lax.psum(mlp_out, tp).astype(x.dtype)
+        else:
+            x = mlp_out.astype(x.dtype)
+        return x
+
+    ctx_s8 = _requant(ctx, layer.out_input_scale, qmin=-127.0)  # llama_a8w4.py:158 clamps -127
+    attn_out = _linear_s8(layer.o_proj, ctx_s8, **kwl)
+    if tp is not None:
+        # row-parallel o_proj: all-reduce the fp32 partial sums *after* the
+        # per-channel epilogue (int32 psum would overflow the alpha-scaling
+        # contract — SURVEY §7 "multi-host INT8 collectives")
+        attn_out = jax.lax.psum(attn_out, tp)
+    x = x + attn_out.astype(x.dtype)
+
+    # ---- mlp ----
+    x_s8 = _rms_norm_q(x, layer.ln2_weight, cfg.rms_norm_eps, layer.ln2_bias)
+    gate_up = _linear_s8(layer.gate_up_proj, x_s8, **kwl)
+    gate, up = jnp.split(gate_up, 2, axis=-1)
+    hidden = jax.nn.silu(gate) * up
+    h_s8 = _requant(hidden, layer.down_input_scale)
+    mlp_out = _linear_s8(layer.down_proj, h_s8, **kwl)
+    if tp is not None:
+        mlp_out = jax.lax.psum(mlp_out, tp)
+    x = x + mlp_out.astype(x.dtype)
+    return x
+
+
 def _block(ecfg: EngineConfig, layer: EngineLayer, x: jax.Array,
            k_cache, v_cache, cache_len, pos_cos, pos_sin, mask, bm: int):
     """One engine decoder block on (B, S, D) fp activations.
@@ -545,30 +664,8 @@ def _block(ecfg: EngineConfig, layer: EngineLayer, x: jax.Array,
     dh = cfg.head_dim
 
     # ---- attention ----
-    # decode launch fusion: norm/requant prologues + GEMV (+ SiLU + residual)
-    # run as single pallas_calls — see ops/fused_decode.py (VERDICT r1 #3).
-    # The fused kernels act on independent ROWS, so short multi-token
-    # windows (s <= 8 — speculative verification) flatten (B, S, D) ->
-    # (B*S, D) and ride the same kernels; only attention needs sequence
-    # structure.  Keeps a verify step at ~decode-step cost instead of the
-    # unfused path's ~160 extra launches.
-    fused = (s <= 8 and ecfg.use_kernel and not ecfg.fp_scales
-             and ecfg.fused_decode and b * s <= 32 and _decode_fusable(layer))
-    kwl = dict(use_kernel=ecfg.use_kernel, bm=bm, interpret=ecfg.interpret,
-               fp_scales=ecfg.fp_scales)
-    if fused:
-        from dgq_tpu.ops.fused_decode import fused_norm_gemv
-
-        span = 2 * _lin_groupsize(layer.qkv_proj)
-        qp = layer.qkv_proj
-        qkv = fused_norm_gemv(
-            x.reshape(b * s, d), layer.ln1_weight, layer.ln1_bias,
-            qp.qweight, qp.s_hi, qp.s_lo, qp.z_hi, qp.z_lo, qp.alpha, qp.bias,
-            span=span, eps=cfg.rms_norm_eps, interpret=ecfg.interpret,
-        ).reshape(b, s, -1)
-    else:
-        x_s8 = _rms_norm_q(x, layer.ln1_weight, cfg.rms_norm_eps, layer.ln1_bias)
-        qkv = _linear_s8(layer.qkv_proj, x_s8, **kwl)
+    fused = _use_fused_rows(ecfg, layer, b, s)
+    qkv = _qkv_rows(ecfg, layer, x, bm, fused)
 
     # head counts inferred from (possibly tensor-sharded) projection widths,
     # so the same block body runs unsharded and under shard_map TP:
@@ -666,9 +763,9 @@ def _block(ecfg: EngineConfig, layer: EngineLayer, x: jax.Array,
         probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
         if ecfg.quant_pv and s == 1:
             # mirror the kernel's INT8 p @ V on the fallback decode path
-            pmax = jnp.max(probs, axis=-1, keepdims=True)
-            pscale = jnp.maximum(pmax, 1e-30) / 127.0
-            qp = jnp.round(probs / pscale).astype(jnp.int8)
+            from dgq_tpu.ops.attention import _quantize_probs
+
+            qp, pscale = _quantize_probs(probs, axis=-1)
             acc = jnp.einsum("bgrqk,bgkd->bgrqd", qp, v_cache,
                              preferred_element_type=jnp.int32)
             ctx = acc.astype(jnp.float32) * (pscale * layer.v_scale)
@@ -677,64 +774,7 @@ def _block(ecfg: EngineConfig, layer: EngineLayer, x: jax.Array,
             ctx = jnp.einsum("bgrqk,bgkd->bgrqd", probs, vf)  # (B, Hkv, rep, S, Dh)
         ctx = ctx.transpose(0, 3, 1, 2, 4).reshape(b, s, h * dh)
 
-    if fused:
-        from dgq_tpu.ops.fused_decode import fused_mlp_decode, fused_requant_gemv
-
-        span_o = 2 * _lin_groupsize(layer.o_proj)
-        tp = ecfg.tp_axis
-        op = layer.o_proj
-        # o_proj: requant prologue + GEMV + (residual when unsharded —
-        # under TP the fp32 partials must psum before the single add)
-        attn_out = fused_requant_gemv(
-            ctx.reshape(b * s, -1), layer.out_input_scale,  # llama_a8w4.py:158 clamps -127
-            op.qweight, op.s_hi, op.s_lo, op.z_hi, op.z_lo,
-            op.alpha, op.bias,
-            residual=None if tp is not None else x.reshape(b * s, d),
-            span=span_o, qmin=-127.0, fuse_residual=tp is None,
-            interpret=ecfg.interpret,
-        ).reshape(b, s, -1)
-        if tp is not None:
-            x = x + jax.lax.psum(attn_out, tp).astype(x.dtype)
-        else:
-            x = attn_out.astype(x.dtype)  # residual fused in-kernel
-
-        # ---- mlp: ONE launch (norm + gate/up + SiLU + requant + down) ----
-        span_m = 2 * _lin_groupsize(layer.gate_up_proj)
-        fdim = 2 * layer.down_proj.qweight.shape[0]
-        gu, dn = layer.gate_up_proj, layer.down_proj
-        mlp_out = fused_mlp_decode(
-            x.reshape(b * s, d), layer.ln2_weight, layer.ln2_bias,
-            gu.qweight, gu.s_hi, gu.s_lo, gu.z_hi, gu.z_lo, gu.alpha,
-            layer.down_input_scale,
-            dn.qweight, dn.wscales, dn.wzeros, dn.alpha, dn.bias,
-            span=span_m, bf=_mlp_bf(span_m, fdim), eps=cfg.rms_norm_eps,
-            fuse_residual=tp is None, interpret=ecfg.interpret,
-        ).reshape(b, s, -1)
-        if tp is not None:
-            x = x + jax.lax.psum(mlp_out, tp).astype(x.dtype)
-        else:
-            x = mlp_out.astype(x.dtype)
-        return x, k_cache, v_cache
-
-    ctx_s8 = _requant(ctx, layer.out_input_scale, qmin=-127.0)  # llama_a8w4.py:158 clamps -127
-    attn_out = _linear_s8(layer.o_proj, ctx_s8, **kwl)
-    if ecfg.tp_axis is not None:
-        # row-parallel o_proj: all-reduce the fp32 partial sums *after* the
-        # per-channel epilogue (int32 psum would overflow the alpha-scaling
-        # contract — SURVEY §7 "multi-host INT8 collectives")
-        attn_out = jax.lax.psum(attn_out, ecfg.tp_axis)
-    x = x + attn_out.astype(x.dtype)
-
-    # ---- mlp ----
-    x_s8 = _rms_norm_q(x, layer.ln2_weight, cfg.rms_norm_eps, layer.ln2_bias)
-    gate_up = _linear_s8(layer.gate_up_proj, x_s8, **kwl)
-    gate, up = jnp.split(gate_up, 2, axis=-1)
-    hidden = jax.nn.silu(gate) * up
-    h_s8 = _requant(hidden, layer.down_input_scale)
-    mlp_out = _linear_s8(layer.down_proj, h_s8, **kwl)
-    if ecfg.tp_axis is not None:
-        mlp_out = jax.lax.psum(mlp_out, ecfg.tp_axis)
-    x = x + mlp_out.astype(x.dtype)
+    x = _block_tail(ecfg, layer, x, ctx, bm, fused)
     return x, k_cache, v_cache
 
 

@@ -27,7 +27,7 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from dgq_tpu.models.engine import EngineLinear, _linear_s8, _requant
+from dgq_tpu.models.engine import EngineLinear, _linear_s8, _requant, f32_out_linear
 from dgq_tpu.models.falcon import FalconConfig
 from dgq_tpu.models.llama import rope_cos_sin, rotate_half
 from dgq_tpu.quant.packing import PackedLinear
@@ -72,20 +72,6 @@ def init_falcon_kv_cache(cfg: FalconConfig, batch: int, max_len: int) -> FalconK
     )
 
 
-def _f32_out(pl_: PackedLinear, input_scale) -> EngineLinear:
-    assert pl_.w4w8 and pl_.span == 2 * pl_.groupsize, (
-        "engine conversion needs w4w8 span-packed linears "
-        "(quantize with --w4w8 and a groupsize, e.g. 128)"
-    )
-    return EngineLinear(
-        qweight=pl_.qweight,
-        wscales=jnp.repeat(pl_.wscales, 8, axis=0),
-        wzeros=jnp.repeat(pl_.wzeros, 8, axis=0),
-        alpha=pl_.wscales8.astype(jnp.float32) * input_scale.astype(jnp.float32),
-        bias=None if pl_.bias is None else pl_.bias.astype(jnp.float32),
-    )
-
-
 def from_ptq_falcon(params, kv_scales, cfg: FalconConfig) -> FalconEngineParams:
     per_layer = []
     for li, layer in enumerate(params["layers"]):
@@ -102,10 +88,10 @@ def from_ptq_falcon(params, kv_scales, cfg: FalconConfig) -> FalconEngineParams:
                 ln_weight=ln["weight"].astype(jnp.float32),
                 ln_bias=(jnp.zeros((cfg.hidden_size,), jnp.float32)
                          if ln_b is None else ln_b.astype(jnp.float32)),
-                qkv_proj=_f32_out(at["query_key_value"], attn_input_scale),
-                dense=_f32_out(at["dense"], dense_input_scale),
-                fc1=_f32_out(layer["mlp"]["dense_h_to_4h"], fc1_input_scale),
-                fc2=_f32_out(layer["mlp"]["dense_4h_to_h"], fc2_input_scale),
+                qkv_proj=f32_out_linear(at["query_key_value"], attn_input_scale),
+                dense=f32_out_linear(at["dense"], dense_input_scale),
+                fc1=f32_out_linear(layer["mlp"]["dense_h_to_4h"], fc1_input_scale),
+                fc2=f32_out_linear(layer["mlp"]["dense_4h_to_h"], fc2_input_scale),
                 attn_input_scale=attn_input_scale,
                 fc1_input_scale=fc1_input_scale,
                 q_scale=kv.q_scale.astype(jnp.float32),

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from dgq_tpu.models.bloom import alibi_slopes
-from dgq_tpu.models.engine import EngineLinear, _linear_s8
+from dgq_tpu.models.engine import EngineLinear, _linear_s8, f32_out_linear
 from dgq_tpu.models.mpt import MPTConfig
 from dgq_tpu.models.opt_engine import _layer_norm_q, _linear_s8_int8out
 from dgq_tpu.quant.packing import PackedLinear
@@ -92,20 +92,6 @@ def _qkv_int8_out_concat(pl_: PackedLinear, input_scale, q_s, k_s, v_s, d: int) 
     )
 
 
-def _f32_out(pl_: PackedLinear, input_scale) -> EngineLinear:
-    assert pl_.w4w8 and pl_.span == 2 * pl_.groupsize, (
-        "engine conversion needs w4w8 span-packed linears "
-        "(quantize with --w4w8 and a groupsize, e.g. 128)"
-    )
-    return EngineLinear(
-        qweight=pl_.qweight,
-        wscales=jnp.repeat(pl_.wscales, 8, axis=0),
-        wzeros=jnp.repeat(pl_.wzeros, 8, axis=0),
-        alpha=pl_.wscales8.astype(jnp.float32) * input_scale.astype(jnp.float32),
-        bias=None if pl_.bias is None else pl_.bias.astype(jnp.float32),
-    )
-
-
 def _ln_fold(p, scale):
     w = p["weight"].astype(jnp.float32) / scale
     b = p.get("bias")
@@ -131,10 +117,10 @@ def from_ptq_mpt(params, kv_scales, cfg: MPTConfig) -> MPTEngineParams:
                     at["Wqkv"], attn_input_scale,
                     kv.q_scale, kv.k_scale, kv.v_scale, cfg.d_model,
                 ),
-                out_proj=_f32_out(at["out_proj"], out_input_scale),
+                out_proj=f32_out_linear(at["out_proj"], out_input_scale),
                 ln2_weight=ln2_w, ln2_bias=ln2_b,
-                up_proj=_f32_out(layer["ffn"]["up_proj"], fc1_input_scale),
-                down_proj=_f32_out(layer["ffn"]["down_proj"], fc2_input_scale),
+                up_proj=f32_out_linear(layer["ffn"]["up_proj"], fc1_input_scale),
+                down_proj=f32_out_linear(layer["ffn"]["down_proj"], fc2_input_scale),
                 q_scale=kv.q_scale.astype(jnp.float32),
                 k_scale=kv.k_scale.astype(jnp.float32),
                 v_scale=kv.v_scale.astype(jnp.float32),

@@ -31,7 +31,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _quantize_probs(p):
+def _quantize_probs(p, axis: int = 1):
     """Per-query-row INT8 quantization of softmax probs/exp-weights.
 
     The reference attempted (and abandoned) int8 softmax output with a
@@ -39,8 +39,13 @@ def _quantize_probs(p):
     uses a per-ROW scale — p's row max is ~1, so codes span the full [0,127]
     range and the worst-case relative error on the dominant components is
     ~0.4% — letting p @ V run s8 x s8 -> s32 on the MXU with V kept int8
-    (no fp32 V materialization in VMEM: 4x VMEM saved on the V tile)."""
-    pmax = jnp.max(p, axis=1, keepdims=True)
+    (no fp32 V materialization in VMEM: 4x VMEM saved on the V tile).
+
+    The SINGLE source of the quantization rule: the Pallas kernels
+    (axis=1), the XLA goldens and the engine fallback (axis=-1) all call
+    this, so the bit-for-bit gate in tests/test_quant_pv.py stays
+    meaningful."""
+    pmax = jnp.max(p, axis=axis, keepdims=True)
     pscale = jnp.maximum(pmax, 1e-30) / 127.0
     qp = jnp.round(p / pscale).astype(jnp.int8)
     return qp, pscale
@@ -295,9 +300,7 @@ def int8_decode_attention_xla(
     s = jnp.where(pos < lengths[:, None, None, None], s, jnp.finfo(jnp.float32).min)
     p = jax.nn.softmax(s, axis=-1)
     if quant_pv:
-        pmax = jnp.max(p, axis=-1, keepdims=True)
-        pscale = jnp.maximum(pmax, 1e-30) / 127.0
-        qp = jnp.round(p / pscale).astype(jnp.int8)
+        qp, pscale = _quantize_probs(p, axis=-1)
         acc = jnp.einsum("bgrs,bgsd->bgrd", qp, v_cache,
                          preferred_element_type=jnp.int32)
         out = acc.astype(jnp.float32) * (pscale * v_scale)

@@ -44,37 +44,49 @@ _PROBE = (
 )
 
 
+def _probe_once(flag_str: str) -> bool:
+    env = dict(os.environ, XLA_FLAGS=flag_str, JAX_PLATFORMS="cpu")
+    try:
+        p = subprocess.run([sys.executable, "-c", _PROBE], env=env,
+                           capture_output=True, text=True, timeout=120)
+        return "FLAGOK" in p.stdout
+    except Exception:  # noqa: BLE001 — treat probe failure as unsupported
+        return False
+
+
 def supported_overlap_flags(flags: str = LATENCY_HIDING_FLAGS) -> list:
     """Return the subset of ``flags`` this jaxlib's XLA_FLAGS parser
-    accepts, determined by subprocess probes (an unknown flag aborts the
-    probe process, never the caller).  Cached per process."""
+    accepts.  One combined subprocess probe answers the common cases
+    (all accepted / all rejected — XLA aborts listing EVERY unknown flag,
+    so one rejection in the batch means per-flag bisection is needed only
+    for mixed stacks).  Cached per process.
+
+    Caveat (documented limitation): the probe initializes the CPU client,
+    whose flag parser is the jaxlib build's.  A PJRT plugin whose
+    device-side compiler parses XLA_FLAGS differently is not exercised —
+    on such stacks run scripts/check_overlap_flags.py once against the
+    real backend before trusting the enable path."""
     cache = getattr(supported_overlap_flags, "_cache", None)
     if cache is not None and cache[0] == flags:
         return cache[1]
-    ok = []
-    for f in flags.split():
-        env = dict(os.environ, XLA_FLAGS=f, JAX_PLATFORMS="cpu")
-        try:
-            p = subprocess.run([sys.executable, "-c", _PROBE], env=env,
-                               capture_output=True, text=True, timeout=120)
-            if "FLAGOK" in p.stdout:
-                ok.append(f)
-        except Exception:  # noqa: BLE001 — treat probe failure as unsupported
-            pass
+    all_flags = flags.split()
+    if _probe_once(flags):
+        ok = all_flags
+    else:
+        ok = [f for f in all_flags if _probe_once(f)]
     supported_overlap_flags._cache = (flags, ok)
     return ok
 
 
 def enable_latency_hiding_scheduler() -> None:
     """Append whichever overlap flags this stack still accepts to
-    XLA_FLAGS (call before backend init; no-op when already present or —
-    the modern case — when the scheduler is built-in and no flag exists)."""
+    XLA_FLAGS (call before backend init; idempotent; no-op when — the
+    modern case — the scheduler is built-in and no flag exists)."""
     flags = os.environ.get("XLA_FLAGS", "")
-    if "latency_hiding_scheduler" in flags:
-        return
     ok = supported_overlap_flags()
-    if ok:
-        os.environ["XLA_FLAGS"] = (flags + " " + " ".join(ok)).strip()
+    missing = [f for f in ok if f not in flags]
+    if missing:
+        os.environ["XLA_FLAGS"] = (flags + " " + " ".join(missing)).strip()
 
 
 def multihost_initialize(coordinator_address: str = None, num_processes: int = None, process_id: int = None):

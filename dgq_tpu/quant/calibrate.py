@@ -373,7 +373,9 @@ def ptq(
         # ---- quantize + pack each linear ----
         layer = jax.tree_util.tree_map(lambda x: x, layer)
         for name, (path, fam) in adapter.linears.items():
-            lin = _get(layer, path)
+            # row-shard the weight so GSPMD splits the jitted search/GPTQ
+            # grid over the dp axis (rows are independent in every method)
+            lin = shard_weight_rows(_get(layer, path))
             inp1 = last_inputs[fam].reshape(-1, last_inputs[fam].shape[-1])
             amax = jnp.max(absmaxes[name]) if qcfg.actq else None
             t0 = time.time()

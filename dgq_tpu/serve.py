@@ -63,7 +63,7 @@ def main(argv=None):
 
         while True:
             time.sleep(30)
-            print(f"[dgq_tpu.serve] {srv.batcher.metrics()}", flush=True)
+            print(f"[dgq_tpu.serve] {srv.metrics()}", flush=True)
     except KeyboardInterrupt:
         print("[dgq_tpu.serve] shutting down")
         srv.close()

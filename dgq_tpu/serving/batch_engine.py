@@ -31,9 +31,7 @@ from dgq_tpu.models.engine import (
     EngineParams,
     KVCache,
     _block,
-    _linear_s8,
     _requant,
-    _rms_norm_q,
 )
 from dgq_tpu.models.llama import rms_norm, rope_cos_sin, rotate_half
 
@@ -111,26 +109,12 @@ def _decode_block_batched(ecfg: EngineConfig, layer, x, k_cache, v_cache, length
     b = x.shape[0]
     dh = cfg.head_dim
 
-    # decode launch fusion (shared with models/engine._block — VERDICT r1 #3)
-    from dgq_tpu.models.engine import _decode_fusable, _lin_groupsize, _mlp_bf
+    # launch fusion + projections shared with models/engine._block so the
+    # serving path can never numerically diverge from the engine path
+    from dgq_tpu.models.engine import _block_tail, _qkv_rows, _use_fused_rows
 
-    fused = (ecfg.use_kernel and not ecfg.fp_scales and ecfg.fused_decode
-             and b <= 32 and _decode_fusable(layer))
-    kwl = dict(use_kernel=ecfg.use_kernel, bm=ecfg.bm_decode, interpret=ecfg.interpret,
-               fp_scales=ecfg.fp_scales)
-    if fused:
-        from dgq_tpu.ops.fused_decode import fused_norm_gemv
-
-        qp = layer.qkv_proj
-        qkv = fused_norm_gemv(
-            x[:, 0, :], layer.ln1_weight, layer.ln1_bias,
-            qp.qweight, qp.s_hi, qp.s_lo, qp.z_hi, qp.z_lo, qp.alpha, qp.bias,
-            span=2 * _lin_groupsize(layer.qkv_proj), eps=cfg.rms_norm_eps,
-            interpret=ecfg.interpret,
-        )[:, None, :]
-    else:
-        x_s8 = _rms_norm_q(x, layer.ln1_weight, cfg.rms_norm_eps, layer.ln1_bias)
-        qkv = _linear_s8(layer.qkv_proj, x_s8, **kwl)
+    fused = _use_fused_rows(ecfg, layer, b, 1)
+    qkv = _qkv_rows(ecfg, layer, x, ecfg.bm_decode, fused)
     rep = cfg.num_attention_heads // cfg.num_key_value_heads
     hk = qkv.shape[-1] // dh // (rep + 2)
     h = rep * hk
@@ -189,56 +173,7 @@ def _decode_block_batched(ecfg: EngineConfig, layer, x, k_cache, v_cache, length
             layer.q_scale, layer.k_scale, layer.v_scale,
         ).reshape(b, 1, h * dh)
 
-    if fused:
-        from dgq_tpu.ops.fused_decode import fused_mlp_decode, fused_requant_gemv
-
-        tp = ecfg.tp_axis
-        op = layer.o_proj
-        attn_out = fused_requant_gemv(
-            ctx[:, 0, :], layer.out_input_scale,
-            op.qweight, op.s_hi, op.s_lo, op.z_hi, op.z_lo,
-            op.alpha, op.bias,
-            residual=None if tp is not None else x[:, 0, :],
-            span=2 * _lin_groupsize(layer.o_proj), qmin=-127.0,
-            fuse_residual=tp is None, interpret=ecfg.interpret,
-        )[:, None, :]
-        if tp is not None:
-            x = x + jax.lax.psum(attn_out, tp).astype(x.dtype)
-        else:
-            x = attn_out.astype(x.dtype)
-
-        span_m = 2 * _lin_groupsize(layer.gate_up_proj)
-        fdim = 2 * layer.down_proj.qweight.shape[0]
-        gu, dn = layer.gate_up_proj, layer.down_proj
-        mlp_out = fused_mlp_decode(
-            x[:, 0, :], layer.ln2_weight, layer.ln2_bias,
-            gu.qweight, gu.s_hi, gu.s_lo, gu.z_hi, gu.z_lo, gu.alpha,
-            layer.down_input_scale,
-            dn.qweight, dn.wscales, dn.wzeros, dn.alpha, dn.bias,
-            span=span_m, bf=_mlp_bf(span_m, fdim), eps=cfg.rms_norm_eps,
-            fuse_residual=tp is None, interpret=ecfg.interpret,
-        )[:, None, :]
-        if tp is not None:
-            x = x + jax.lax.psum(mlp_out, tp).astype(x.dtype)
-        else:
-            x = mlp_out.astype(x.dtype)
-        return x, k_cache, v_cache
-
-    ctx_s8 = _requant(ctx, layer.out_input_scale, qmin=-127.0)
-    attn_out = _linear_s8(layer.o_proj, ctx_s8, **kwl)
-    if ecfg.tp_axis is not None:
-        attn_out = jax.lax.psum(attn_out, ecfg.tp_axis)
-    x = x + attn_out.astype(x.dtype)
-
-    x_s8 = _rms_norm_q(x, layer.ln2_weight, cfg.rms_norm_eps, layer.ln2_bias)
-    gate_up = _linear_s8(layer.gate_up_proj, x_s8, **kwl)
-    gate, up = jnp.split(gate_up, 2, axis=-1)
-    hidden = jax.nn.silu(gate) * up
-    h_s8 = _requant(hidden, layer.down_input_scale)
-    mlp_out = _linear_s8(layer.down_proj, h_s8, **kwl)
-    if ecfg.tp_axis is not None:
-        mlp_out = jax.lax.psum(mlp_out, ecfg.tp_axis)
-    x = x + mlp_out.astype(x.dtype)
+    x = _block_tail(ecfg, layer, x, ctx, ecfg.bm_decode, fused)
     return x, k_cache, v_cache
 
 
@@ -319,29 +254,14 @@ def _verify_block_batched(ecfg: EngineConfig, layer, x, k_cache, v_cache,
     cfg = ecfg.cfg
     b, k1, d = x.shape
     dh = cfg.head_dim
-    kwl = dict(use_kernel=ecfg.use_kernel, bm=ecfg.bm_decode,
-               interpret=ecfg.interpret, fp_scales=ecfg.fp_scales)
 
-    # the fused decode kernels act on independent rows: flatten the (B, K1)
-    # window onto the row axis so verification rides the same single-launch
-    # kernels as decode (engine._block does the same for s <= 8)
-    from dgq_tpu.models.engine import _decode_fusable, _lin_groupsize, _mlp_bf
+    # projections + tail shared with models/engine._block so verification
+    # can never numerically diverge from the engine path (the exactness
+    # contract in serving/speculative.py rests on this)
+    from dgq_tpu.models.engine import _block_tail, _qkv_rows, _use_fused_rows
 
-    fused = (ecfg.use_kernel and not ecfg.fp_scales and ecfg.fused_decode
-             and b * k1 <= 32 and _decode_fusable(layer))
-    if fused:
-        from dgq_tpu.ops.fused_decode import fused_norm_gemv
-
-        qp = layer.qkv_proj
-        qkv = fused_norm_gemv(
-            x.reshape(b * k1, d), layer.ln1_weight, layer.ln1_bias,
-            qp.qweight, qp.s_hi, qp.s_lo, qp.z_hi, qp.z_lo, qp.alpha, qp.bias,
-            span=2 * _lin_groupsize(layer.qkv_proj), eps=cfg.rms_norm_eps,
-            interpret=ecfg.interpret,
-        ).reshape(b, k1, -1)
-    else:
-        x_s8 = _rms_norm_q(x, layer.ln1_weight, cfg.rms_norm_eps, layer.ln1_bias)
-        qkv = _linear_s8(layer.qkv_proj, x_s8, **kwl)  # (B, K1, (h+2hk)*dh)
+    fused = _use_fused_rows(ecfg, layer, b, k1)
+    qkv = _qkv_rows(ecfg, layer, x, ecfg.bm_decode, fused)  # (B, K1, (h+2hk)*dh)
     rep = cfg.num_attention_heads // cfg.num_key_value_heads
     hk = qkv.shape[-1] // dh // (rep + 2)
     h = rep * hk
@@ -383,56 +303,7 @@ def _verify_block_batched(ecfg: EngineConfig, layer, x, k_cache, v_cache,
     ctx = jnp.einsum("bgrqs,bgsd->bgrqd", p, vf)  # (B, Hkv, rep, K1, Dh)
     ctx = ctx.transpose(0, 3, 1, 2, 4).reshape(b, k1, h * dh)
 
-    if fused:
-        from dgq_tpu.ops.fused_decode import fused_mlp_decode, fused_requant_gemv
-
-        tp = ecfg.tp_axis
-        op = layer.o_proj
-        attn_out = fused_requant_gemv(
-            ctx.reshape(b * k1, -1), layer.out_input_scale,
-            op.qweight, op.s_hi, op.s_lo, op.z_hi, op.z_lo,
-            op.alpha, op.bias,
-            residual=None if tp is not None else x.reshape(b * k1, d),
-            span=2 * _lin_groupsize(layer.o_proj), qmin=-127.0,
-            fuse_residual=tp is None, interpret=ecfg.interpret,
-        ).reshape(b, k1, -1)
-        if tp is not None:
-            x = x + jax.lax.psum(attn_out, tp).astype(x.dtype)
-        else:
-            x = attn_out.astype(x.dtype)
-
-        span_m = 2 * _lin_groupsize(layer.gate_up_proj)
-        fdim = 2 * layer.down_proj.qweight.shape[0]
-        gu, dn = layer.gate_up_proj, layer.down_proj
-        mlp_out = fused_mlp_decode(
-            x.reshape(b * k1, d), layer.ln2_weight, layer.ln2_bias,
-            gu.qweight, gu.s_hi, gu.s_lo, gu.z_hi, gu.z_lo, gu.alpha,
-            layer.down_input_scale,
-            dn.qweight, dn.wscales, dn.wzeros, dn.alpha, dn.bias,
-            span=span_m, bf=_mlp_bf(span_m, fdim), eps=cfg.rms_norm_eps,
-            fuse_residual=tp is None, interpret=ecfg.interpret,
-        ).reshape(b, k1, -1)
-        if tp is not None:
-            x = x + jax.lax.psum(mlp_out, tp).astype(x.dtype)
-        else:
-            x = mlp_out.astype(x.dtype)
-        return x, k_cache, v_cache
-
-    ctx_s8 = _requant(ctx, layer.out_input_scale, qmin=-127.0)
-    attn_out = _linear_s8(layer.o_proj, ctx_s8, **kwl)
-    if ecfg.tp_axis is not None:
-        attn_out = jax.lax.psum(attn_out, ecfg.tp_axis)
-    x = x + attn_out.astype(x.dtype)
-
-    x_s8 = _rms_norm_q(x, layer.ln2_weight, cfg.rms_norm_eps, layer.ln2_bias)
-    gate_up = _linear_s8(layer.gate_up_proj, x_s8, **kwl)
-    gate, up = jnp.split(gate_up, 2, axis=-1)
-    hidden = jax.nn.silu(gate) * up
-    h_s8 = _requant(hidden, layer.down_input_scale)
-    mlp_out = _linear_s8(layer.down_proj, h_s8, **kwl)
-    if ecfg.tp_axis is not None:
-        mlp_out = jax.lax.psum(mlp_out, ecfg.tp_axis)
-    x = x + mlp_out.astype(x.dtype)
+    x = _block_tail(ecfg, layer, x, ctx, ecfg.bm_decode, fused)
     return x, k_cache, v_cache
 
 

@@ -128,6 +128,20 @@ class ContinuousBatcher:
         return cls(EngineConfig(cfg=cfg, use_kernel=use_kernel), eng, **kw)
 
     def add_request(self, req: Request):
+        # validate up front: a deterministically-unservable request must be
+        # rejected here, not crash the step loop (where it would be treated
+        # as a transient device failure and retried into a death spiral)
+        n = len(req.prompt_ids)
+        if n == 0:
+            raise ValueError("empty prompt")
+        padded = -(-n // self.prefill_pad) * self.prefill_pad
+        if padded > self.max_len or n + 1 > self.max_len:
+            raise ValueError(
+                f"prompt of {n} tokens (padded {padded}) does not fit "
+                f"max_len={self.max_len} (prefill_pad={self.prefill_pad})"
+            )
+        if req.max_new_tokens < 1:
+            raise ValueError("max_new_tokens must be >= 1")
         self.queue.append(req)
 
     @property

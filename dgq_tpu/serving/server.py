@@ -77,6 +77,11 @@ class BatcherServer:
                 raise TimeoutError(f"request {uid} not finished in {timeout}s")
             return self._done.pop(uid)
 
+    def metrics(self) -> dict:
+        """Thread-safe batcher metrics (the batcher itself is not)."""
+        with self._lock:
+            return self.batcher.metrics()
+
     def close(self):
         self._stop.set()
         for t in self._threads:
@@ -150,25 +155,28 @@ class BatcherServer:
                     send({"error": f"bad json: {e}"})
                     continue
                 if msg.get("op") == "metrics":
-                    with self._lock:
-                        send(self.batcher.metrics())
+                    send(self.metrics())
                     continue
                 if "prompt_ids" not in msg:
                     send({"error": "missing prompt_ids"})
                     continue
-                sampling = None
-                if any(k in msg for k in ("temperature", "top_k", "top_p")):
-                    from dgq_tpu.serving.sampling import SamplingParams
+                try:
+                    sampling = None
+                    if any(k in msg for k in ("temperature", "top_k", "top_p")):
+                        from dgq_tpu.serving.sampling import SamplingParams
 
-                    sampling = SamplingParams(
-                        temperature=float(msg.get("temperature", 0.0)),
-                        top_k=int(msg.get("top_k", 0)),
-                        top_p=float(msg.get("top_p", 1.0)),
-                    )
-                uid = self.submit(msg["prompt_ids"],
-                                  msg.get("max_new_tokens", 32),
-                                  eos_token_id=msg.get("eos_token_id"),
-                                  sampling=sampling)
+                        sampling = SamplingParams(
+                            temperature=float(msg.get("temperature", 0.0)),
+                            top_k=int(msg.get("top_k", 0)),
+                            top_p=float(msg.get("top_p", 1.0)),
+                        )
+                    uid = self.submit(msg["prompt_ids"],
+                                      msg.get("max_new_tokens", 32),
+                                      eos_token_id=msg.get("eos_token_id"),
+                                      sampling=sampling)
+                except Exception as e:  # noqa: BLE001 — malformed fields get an error reply
+                    send({"error": f"bad request: {e}"})
+                    continue
                 # resolve asynchronously so pipelined requests interleave
                 threading.Thread(target=finish_and_reply, args=(uid,),
                                  daemon=True).start()

@@ -102,3 +102,24 @@ def test_server_bad_request(engine):
             assert "error" in _rpc(f, s, {"max_new_tokens": 4})
             s.sendall(b"not json\n")
             assert "error" in json.loads(f.readline())
+            # deterministically-unservable requests get an error REPLY —
+            # they must not poison the serving loop (review finding: a
+            # too-long prompt used to death-spiral through _recover)
+            assert "error" in _rpc(f, s, {"prompt_ids": [1] * 100,
+                                          "max_new_tokens": 4})
+            assert "error" in _rpc(f, s, {"prompt_ids": [], "max_new_tokens": 4})
+            assert "error" in _rpc(f, s, {"prompt_ids": ["a"], "max_new_tokens": 4})
+            # and the loop is still alive afterwards
+            ok = _rpc(f, s, {"prompt_ids": [3, 5, 3, 5], "max_new_tokens": 4})
+            assert ok.get("done") and len(ok["output_ids"]) == 4
+
+
+def test_batcher_rejects_oversized_prompt(engine):
+    cfg, eng = engine
+    b = _batcher(cfg, eng)  # max_len=64, prefill_pad=16
+    with pytest.raises(ValueError):
+        b.add_request(Request(uid=0, prompt_ids=np.zeros(100, np.int32),
+                              max_new_tokens=4))
+    with pytest.raises(ValueError):
+        b.add_request(Request(uid=1, prompt_ids=np.zeros(0, np.int32),
+                              max_new_tokens=4))
