@@ -75,13 +75,14 @@ def ngram_propose(
     return np.full(k, int(h[-1]), np.int32)
 
 
-@partial(jax.jit, static_argnames=("ecfg",))
+@partial(jax.jit, static_argnames=("ecfg", "forward_fn"))
 def spec_verify_step(
     ecfg: EngineConfig,
     params: EngineParams,
     tok: jax.Array,  # (1, 1) int32 — accepted token not yet fed
     drafts: jax.Array,  # (1, K) int32 — proposed continuation
     cache: KVCache,
+    forward_fn=engine_forward,  # any family's engine forward (same contract)
 ) -> Tuple[jax.Array, jax.Array, jax.Array, KVCache]:
     """One speculative step: feed [tok, drafts], accept the longest draft
     prefix the model agrees with, emit those plus the model's correction.
@@ -90,10 +91,13 @@ def spec_verify_step(
     next_tok (1, 1), cache with length covering exactly the fed+accepted
     prefix).  Batch is 1: the engine KVCache has one shared length scalar
     (the slot-based serving cache in serving/batch_engine.py is the B>1
-    path)."""
+    path).  ``forward_fn`` makes this family-generic: every engine
+    (llama/opt/bloom/mpt/falcon) exposes forward(ecfg, params, ids, cache)
+    -> (logits, cache) over a cache whose entries past ``length`` are
+    masked and overwritten — the rollback contract."""
     b, kd = drafts.shape
     ids = jnp.concatenate([tok, drafts], axis=1)  # (1, K+1)
-    logits, cache2 = engine_forward(ecfg, params, ids, cache)
+    logits, cache2 = forward_fn(ecfg, params, ids, cache)
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (1, K+1)
     # greedy[:, i] is the model's token after ids[:, :i+1] (causal), so
     # draft i is accepted iff every earlier draft matched and it matches
@@ -107,7 +111,7 @@ def spec_verify_step(
     n_out = n_acc[0] + 1
     # roll back: tok + accepted drafts are real context; rejected drafts'
     # K/V entries sit past `length`, masked and later overwritten
-    cache_rb = KVCache(k=cache2.k, v=cache2.v, length=cache.length + 1 + n_acc[0])
+    cache_rb = cache2._replace(length=cache.length + 1 + n_acc[0])
     return out, n_out, corr, cache_rb
 
 
@@ -146,7 +150,7 @@ def device_ngram_propose(
     return jax.lax.dynamic_slice(buf, (start,), (k,))
 
 
-@partial(jax.jit, static_argnames=("ecfg", "steps", "spec_k", "max_ngram"))
+@partial(jax.jit, static_argnames=("ecfg", "steps", "spec_k", "max_ngram", "forward_fn"))
 def spec_decode_scan(
     ecfg: EngineConfig,
     params: EngineParams,
@@ -157,6 +161,7 @@ def spec_decode_scan(
     steps: int,
     spec_k: int = 4,
     max_ngram: int = 3,
+    forward_fn=engine_forward,
 ):
     """``steps`` speculative steps in ONE device program — drafting
     (device_ngram_propose), verification, acceptance and the token-buffer
@@ -174,7 +179,8 @@ def spec_decode_scan(
     def body(carry, _):
         b, bl, t, c = carry
         drafts = device_ngram_propose(b, bl, spec_k, max_ngram)[None, :]
-        out, n_out, t2, c2 = spec_verify_step(ecfg, params, t, drafts, c)
+        out, n_out, t2, c2 = spec_verify_step(ecfg, params, t, drafts, c,
+                                              forward_fn=forward_fn)
         # append the emitted tokens; entries past n_out are scratch that the
         # next step's write (at bl + n_out <= bl + K+1) overwrites
         b2 = jax.lax.dynamic_update_slice(b, out[0], (bl,))
@@ -197,6 +203,8 @@ def generate_speculative(
     max_ngram: int = 3,
     ondevice: bool = False,
     chunk_steps: int = 8,
+    forward_fn=None,  # family-generic: any engine's forward(ecfg, p, ids, cache)
+    init_cache_fn=None,  # matching init(cfg, batch, max_len)
 ) -> Tuple[jax.Array, dict]:
     """Greedy generation with prompt-lookup speculative decoding.
 
@@ -213,8 +221,10 @@ def generate_speculative(
     greedy argmaxes of the same verify forward either way."""
     b, s = prompt_ids.shape
     assert b == 1, "speculative generate is per-sequence (use the batcher for B>1)"
-    cache = init_kv_cache(ecfg.cfg, b, max_len)
-    logits, cache = engine_forward(ecfg, params, prompt_ids, cache)
+    forward_fn = forward_fn or engine_forward
+    init_cache_fn = init_cache_fn or init_kv_cache
+    cache = init_cache_fn(ecfg.cfg, b, max_len)
+    logits, cache = forward_fn(ecfg, params, prompt_ids, cache)
     next_tok = jnp.argmax(logits[:, -1:, :], axis=-1).astype(jnp.int32)  # (1,1)
     history: List[int] = list(np.asarray(prompt_ids[0])) + [int(next_tok[0, 0])]
     toks: List[int] = [int(next_tok[0, 0])]
@@ -229,14 +239,14 @@ def generate_speculative(
             if (length_now + worst + spec_k + 1 > max_len
                     or len(toks) + 1 >= max_new_tokens):
                 # capacity edge / single token left: plain decode tail
-                logits, cache = engine_forward(ecfg, params, next_tok, cache)
+                logits, cache = forward_fn(ecfg, params, next_tok, cache)
                 next_tok = jnp.argmax(logits[:, -1:, :], axis=-1).astype(jnp.int32)
                 toks.append(int(next_tok[0, 0]))
                 steps += 1
                 continue
             buf, buf_len, next_tok, cache, outs, n_outs = spec_decode_scan(
                 ecfg, params, buf, buf_len, next_tok, cache, chunk_steps,
-                spec_k=spec_k, max_ngram=max_ngram,
+                spec_k=spec_k, max_ngram=max_ngram, forward_fn=forward_fn,
             )
             outs_h, n_h = jax.device_get((outs, n_outs))  # one fetch per chunk
             for i in range(chunk_steps):
@@ -250,14 +260,15 @@ def generate_speculative(
         length_now = s + len(toks)  # tokens fed so far is length_now (prompt + accepted); next step feeds <= spec_k + 1 more
         if length_now + spec_k + 1 > max_len or len(toks) + 1 >= max_new_tokens:
             # capacity edge / single token left: plain decode step
-            logits, cache = engine_forward(ecfg, params, next_tok, cache)
+            logits, cache = forward_fn(ecfg, params, next_tok, cache)
             next_tok = jnp.argmax(logits[:, -1:, :], axis=-1).astype(jnp.int32)
             toks.append(int(next_tok[0, 0]))
             history.append(toks[-1])
             steps += 1
             continue
         drafts = jnp.asarray(ngram_propose(history, spec_k, max_ngram=max_ngram))[None, :]
-        out, n_out, next_tok, cache = spec_verify_step(ecfg, params, next_tok, drafts, cache)
+        out, n_out, next_tok, cache = spec_verify_step(
+            ecfg, params, next_tok, drafts, cache, forward_fn=forward_fn)
         # ONE host round trip per step: out + n_out fetched together
         # (next_tok's value is new[-1]; the device array stays resident)
         out_h, n = jax.device_get((out, n_out))

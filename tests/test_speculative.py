@@ -140,6 +140,51 @@ def test_spec_generate_ondevice_capacity_edge():
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
 
 
+def test_spec_generate_family_generic_opt():
+    """Speculative decoding through a non-LLaMA engine via forward_fn
+    plumbing (spec is family-generic: cache contract is (k, v, length))."""
+    from dgq_tpu.config import ActQuantConfig, QuantConfig, WtQuantConfig
+    from dgq_tpu.models.opt import init_opt_params, tiny_opt_config
+    from dgq_tpu.models.opt_engine import (
+        OPTEngineConfig,
+        from_ptq_opt,
+        init_opt_kv_cache,
+        opt_engine_forward,
+    )
+    from dgq_tpu.quant.calibrate import ptq
+    from dgq_tpu.utils.datautils import synthetic_stream
+
+    cfg = tiny_opt_config(hidden_size=256, ffn_dim=512, num_attention_heads=4)
+    params = init_opt_params(cfg, jax.random.PRNGKey(0))
+    calib = jnp.asarray(synthetic_stream(cfg.vocab_size, 2 * 32).reshape(2, 32))
+    qcfg = QuantConfig(act_quant=ActQuantConfig(), wt_quant=WtQuantConfig(groupsize=128),
+                       smoothquant=True, kvquant=True)
+    res = ptq(params, cfg, calib, qcfg, arch="opt", verbose=False)
+    eng = from_ptq_opt(res.params, res.kv_scales, cfg)
+    ecfg = OPTEngineConfig(cfg=cfg, use_kernel=False)
+
+    def init_cache(c, b, m):
+        return init_opt_kv_cache(c, b, m)
+
+    prompt = jnp.asarray([[3, 5, 3, 5, 3, 5]], jnp.int32)
+    # plain greedy reference through the same forward
+    cache = init_cache(cfg, 1, 64)
+    lg, cache = opt_engine_forward(ecfg, eng, prompt, cache)
+    tok = jnp.argmax(lg[:, -1:, :], -1).astype(jnp.int32)
+    ref = [int(tok[0, 0])]
+    for _ in range(15):
+        lg, cache = opt_engine_forward(ecfg, eng, tok, cache)
+        tok = jnp.argmax(lg[:, -1:, :], -1).astype(jnp.int32)
+        ref.append(int(tok[0, 0]))
+
+    out, stats = generate_speculative(ecfg, eng, prompt, max_new_tokens=16,
+                                      max_len=64, spec_k=3,
+                                      forward_fn=opt_engine_forward,
+                                      init_cache_fn=init_cache)
+    np.testing.assert_array_equal(np.asarray(out)[0], np.asarray(ref))
+    assert stats["tokens"] == 16
+
+
 def test_spec_verify_step_rollback_length():
     cfg, eng = _tiny()
     ecfg = EngineConfig(cfg=cfg, use_kernel=False)
