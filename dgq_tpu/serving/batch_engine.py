@@ -307,6 +307,26 @@ def _verify_block_batched(ecfg: EngineConfig, layer, x, k_cache, v_cache,
     return x, k_cache, v_cache
 
 
+@jax.jit
+def copy_prefix_into_slot(
+    cache: BatchedKVCache,
+    slot_idx: jax.Array,  # () int32
+    k_template: jax.Array,  # (L, 1, Hkv, Dh, Smax) int8 — prefix K
+    v_template: jax.Array,  # (L, 1, Hkv, Smax, Dh) int8
+    prefix_len: jax.Array,  # () int32
+) -> BatchedKVCache:
+    """Prefix caching: install a precomputed shared-prefix KV (computed
+    ONCE by ContinuousBatcher.register_prefix) into slot ``slot_idx`` and
+    set its length, so admission only prefills the remainder tokens.  No
+    reference counterpart (no serving layer, SURVEY §2.3); this is the
+    standard shared-system-prompt optimization."""
+    return BatchedKVCache(
+        k=jax.lax.dynamic_update_slice_in_dim(cache.k, k_template, slot_idx, axis=1),
+        v=jax.lax.dynamic_update_slice_in_dim(cache.v, v_template, slot_idx, axis=1),
+        lengths=cache.lengths.at[slot_idx].set(prefix_len),
+    )
+
+
 @partial(jax.jit, static_argnames=("ecfg",))
 def engine_verify_batched(
     ecfg: EngineConfig,

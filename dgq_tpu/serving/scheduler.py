@@ -23,6 +23,7 @@ import numpy as np
 from dgq_tpu.models.engine import EngineConfig, EngineParams
 from dgq_tpu.serving.batch_engine import (
     BatchedKVCache,
+    copy_prefix_into_slot,
     engine_decode_batched,
     engine_decode_multi,
     engine_prefill_batched,
@@ -147,6 +148,57 @@ class ContinuousBatcher:
     @property
     def has_work(self) -> bool:
         return bool(self.queue) or any(r is not None for r in self.slots)
+
+    def register_prefix(self, prefix_ids) -> None:
+        """Prefix caching: prefill ``prefix_ids`` ONCE into a template KV;
+        every admitted request whose prompt starts with it skips straight
+        to prefilling the remainder (the shared-system-prompt
+        optimization — no reference counterpart).  Requests equal to or
+        shorter than the prefix take the normal path."""
+        ids = np.asarray(prefix_ids, np.int32)
+        if len(ids) == 0:
+            raise ValueError("empty prefix")
+        if len(ids) + 1 >= self.max_len:
+            raise ValueError(f"prefix of {len(ids)} tokens leaves no room "
+                             f"in max_len={self.max_len}")
+        tmp = init_batched_cache(self.ecfg.cfg, 1, self.max_len)
+        _, tmp = engine_prefill_slot(
+            self.ecfg, self.params, jnp.asarray(0, jnp.int32),
+            jnp.asarray(self._pad_prompt(ids)), jnp.asarray(len(ids), jnp.int32),
+            tmp,
+        )
+        self._prefix = {"ids": ids, "k": tmp.k, "v": tmp.v, "len": len(ids)}
+        self.prefix_hits = 0
+
+    def _try_prefix_admit(self, slot: int, req: Request) -> bool:
+        """Admit via the prefix template when the prompt extends it."""
+        pre = getattr(self, "_prefix", None)
+        if pre is None:
+            return False
+        p = np.asarray(req.prompt_ids, np.int32)
+        n = pre["len"]
+        if len(p) <= n or not np.array_equal(p[:n], pre["ids"]):
+            return False
+        rem = p[n:]
+        padded = self._pad_prompt(rem)
+        if n + len(padded) > self.max_len:
+            return False  # remainder padding would overrun; normal path
+        self.cache = copy_prefix_into_slot(
+            self.cache, jnp.asarray(slot, jnp.int32), pre["k"], pre["v"],
+            jnp.asarray(n, jnp.int32),
+        )
+        logits, self.cache = engine_prefill_chunk(
+            self.ecfg, self.params, jnp.asarray(slot, jnp.int32),
+            jnp.asarray(padded), jnp.asarray(n, jnp.int32),
+            jnp.asarray(len(rem), jnp.int32), self.cache,
+        )
+        tok = self._pick_token(req, logits[None, :])
+        req.output_ids.append(tok)
+        self.slots[slot] = req
+        self.next_tokens[slot] = tok
+        self.prefix_hits += 1
+        self._maybe_finish(slot)
+        return True
 
     def metrics(self) -> dict:
         """Structured serving metrics (SURVEY §5: "structured logging +
@@ -354,6 +406,8 @@ class ContinuousBatcher:
         while free and self.queue:
             req = self.queue.popleft()
             slot = free.pop(0)
+            if self._try_prefix_admit(slot, req):
+                continue
             padded = self._pad_prompt(np.asarray(req.prompt_ids, np.int32))
             if self.prefill_chunk and len(padded) > self.prefill_chunk:
                 # long prompt: prefill chunk-by-chunk across steps; re-pad
