@@ -177,15 +177,25 @@ def _bloom_block(ecfg: BloomEngineConfig, layer: BloomEngineLayer, x, k_cache, v
     )
     v_cache = jax.lax.dynamic_update_slice(v_cache, v_s8, (0, 0, cache_len, 0))
 
-    # INT8 q.k^T + ALiBi; softmax fp32 (the ALiBi decode-kernel variant is a
-    # ROADMAP item — this XLA path is still int8 on the MXU)
-    s32 = jnp.einsum("bhqd,bhdk->bhqk", q_s8, k_cache, preferred_element_type=jnp.int32)
-    scores = s32.astype(jnp.float32) * (layer.q_scale * layer.k_scale / math.sqrt(dh))
-    scores = scores + alibi[None, :, :, :] + mask[None, None, :, :]
-    probs = jax.nn.softmax(scores, axis=-1)
-    vf = v_cache.astype(jnp.float32) * layer.v_scale
-    ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, vf)
-    ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, h * dh)
+    if s == 1 and ecfg.use_kernel:
+        # decode: the Pallas INT8-KV attention kernel with in-kernel ALiBi
+        from dgq_tpu.ops.attention import int8_decode_attention
+
+        ctx = int8_decode_attention(
+            q_s8[:, :, 0, :], k_cache, v_cache, cache_len + 1,
+            layer.q_scale, layer.k_scale, layer.v_scale,
+            interpret=ecfg.interpret,
+            alibi_slopes=alibi_slopes(cfg.num_attention_heads),
+        ).reshape(b, 1, h * dh)
+    else:
+        # prefill: INT8 q.k^T + ALiBi, fp32 softmax (still int8 on the MXU)
+        s32 = jnp.einsum("bhqd,bhdk->bhqk", q_s8, k_cache, preferred_element_type=jnp.int32)
+        scores = s32.astype(jnp.float32) * (layer.q_scale * layer.k_scale / math.sqrt(dh))
+        scores = scores + alibi[None, :, :, :] + mask[None, None, :, :]
+        probs = jax.nn.softmax(scores, axis=-1)
+        vf = v_cache.astype(jnp.float32) * layer.v_scale
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, vf)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, h * dh)
 
     ctx_s8 = jnp.clip(jnp.round(ctx / layer.dense_input_scale), -127, 127).astype(jnp.int8)
     attn_out = _linear_s8(layer.dense, ctx_s8, use_kernel=ecfg.use_kernel, bm=bm, interpret=ecfg.interpret)

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import functools
 import math
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -60,6 +61,7 @@ def _decode_kernel(
     out_ref,  # (1, 1, rep, Dh) f32
     *,
     quant_pv: bool = False,
+    slope_ref=None,  # SMEM (Hkv,) f32 ALiBi slopes (bloom/mpt), or None
 ):
     rep, dh = q_ref.shape[2], q_ref.shape[3]
     smax = kt_ref.shape[3]
@@ -74,6 +76,10 @@ def _decode_kernel(
     s = scores.astype(jnp.float32) * qk_scale
 
     pos = jax.lax.broadcasted_iota(jnp.int32, (rep, smax), 1)
+    if slope_ref is not None:
+        # ALiBi: slope_h * key position (per-row equivalent to
+        # slope*(j-i) by softmax shift-invariance — models/mpt.py:115)
+        s = s + slope_ref[pl.program_id(1)] * pos.astype(jnp.float32)
     s = jnp.where(pos < length, s, jnp.finfo(jnp.float32).min)
 
     m = jnp.max(s, axis=1, keepdims=True)
@@ -109,6 +115,7 @@ def int8_decode_attention(
     apply_sqrt_dh: bool = True,  # OPT absorbs 1/sqrt(dh) into q (opt_a8w4.py:60-61)
     interpret: bool = False,
     quant_pv: bool = False,  # INT8 p @ V (see _quantize_probs)
+    alibi_slopes: Optional[jax.Array] = None,  # (Hkv,) f32 — bloom/mpt ALiBi
 ) -> jax.Array:
     """Single-token attention over the INT8 cache -> (B, H, Dh) f32."""
     b, h, dh = q_s8.shape
@@ -122,8 +129,9 @@ def int8_decode_attention(
         qk_scale = qk_scale / math.sqrt(dh)
     scales = jnp.stack([qk_scale, v_scale.astype(jnp.float32), jnp.float32(0)])
 
+    n_prefetch = 2 if alibi_slopes is None else 3
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # length, scales
+        num_scalar_prefetch=n_prefetch,  # length, scales (, alibi slopes)
         grid=(b, hk),
         in_specs=[
             pl.BlockSpec((1, 1, rep, dh), lambda i, j, *_: (i, j, 0, 0), memory_space=pltpu.VMEM),
@@ -133,16 +141,26 @@ def int8_decode_attention(
         out_specs=pl.BlockSpec((1, 1, rep, dh), lambda i, j, *_: (i, j, 0, 0), memory_space=pltpu.VMEM),
     )
 
-    def kernel(len_ref, scale_ref, q_ref, kt_ref, v_ref, out_ref):
-        _decode_kernel(len_ref, q_ref, kt_ref, v_ref, scale_ref, out_ref,
-                       quant_pv=quant_pv)
+    if alibi_slopes is None:
+        def kernel(len_ref, scale_ref, q_ref, kt_ref, v_ref, out_ref):
+            _decode_kernel(len_ref, q_ref, kt_ref, v_ref, scale_ref, out_ref,
+                           quant_pv=quant_pv)
+
+        operands = (lengths, scales, qg, kt_cache, v_cache)
+    else:
+        def kernel(len_ref, scale_ref, slope_ref, q_ref, kt_ref, v_ref, out_ref):
+            _decode_kernel(len_ref, q_ref, kt_ref, v_ref, scale_ref, out_ref,
+                           quant_pv=quant_pv, slope_ref=slope_ref)
+
+        operands = (lengths, scales, alibi_slopes.astype(jnp.float32),
+                    qg, kt_cache, v_cache)
 
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, hk, rep, dh), jnp.float32),
         interpret=interpret,
-    )(lengths, scales, qg, kt_cache, v_cache)
+    )(*operands)
     return out.reshape(b, h, dh)
 
 

@@ -82,6 +82,25 @@ def test_bloom_engine_kernel_matches_xla(bloom_engine_setup):
     assert agree > 0.9
 
 
+def test_bloom_engine_alibi_decode_kernel_matches_xla(bloom_engine_setup):
+    """The decode step runs the Pallas attention kernel with in-kernel
+    ALiBi (interpret mode); logits must match the XLA einsum path."""
+    cfg, params, res, eng = bloom_engine_setup
+    ids = jnp.asarray(synthetic_stream(cfg.vocab_size, 8, seed=3).reshape(1, 8))
+    outs = {}
+    for name, ecfg in (
+        ("x", BloomEngineConfig(cfg=cfg, use_kernel=False)),
+        ("k", BloomEngineConfig(cfg=cfg, use_kernel=True, interpret=True,
+                                bm_prefill=128, bm_decode=128)),
+    ):
+        cache = init_bloom_kv_cache(cfg, 1, 16)
+        lg, cache = bloom_engine_forward(ecfg, eng, ids, cache)
+        tok = jnp.argmax(lg[:, -1:, :], -1).astype(jnp.int32)
+        lg2, _ = bloom_engine_forward(ecfg, eng, tok, cache)  # s=1: kernel path
+        outs[name] = np.asarray(lg2)
+    np.testing.assert_allclose(outs["k"], outs["x"], rtol=2e-3, atol=2e-3)
+
+
 def test_bloom_engine_checkpoint_roundtrip(bloom_engine_setup, tmp_path):
     from dgq_tpu.utils.checkpoint import load_engine, save_engine
 

@@ -113,10 +113,17 @@ def test_engine_kernel_matches_xla(family, mpt_setup, falcon_setup):
         mk = lambda **kw: FalconEngineConfig(cfg=cfg, **kw)  # noqa: E731
         fwd, mk_cache = falcon_engine_forward, init_falcon_kv_cache
     ids = jnp.asarray(synthetic_stream(cfg.vocab_size, 8, seed=6).reshape(1, 8))
-    lg_k, _ = fwd(mk(use_kernel=True, interpret=True, bm_prefill=128), eng, ids,
-                  mk_cache(cfg, 1, 16))
-    lg_x, _ = fwd(mk(use_kernel=False), eng, ids, mk_cache(cfg, 1, 16))
-    np.testing.assert_allclose(np.asarray(lg_k), np.asarray(lg_x), rtol=2e-3, atol=2e-3)
+    outs = {}
+    for name, ecfg in (("k", mk(use_kernel=True, interpret=True, bm_prefill=128)),
+                       ("x", mk(use_kernel=False))):
+        lg, cache = fwd(ecfg, eng, ids, mk_cache(cfg, 1, 16))
+        # decode step exercises the Pallas decode-attention kernel path
+        # (with in-kernel ALiBi for MPT) in interpret mode
+        tok = jnp.argmax(lg[:, -1:, :], -1).astype(jnp.int32)
+        lg2, _ = fwd(ecfg, eng, tok, cache)
+        outs[name] = (np.asarray(lg), np.asarray(lg2))
+    np.testing.assert_allclose(outs["k"][0], outs["x"][0], rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(outs["k"][1], outs["x"][1], rtol=2e-3, atol=2e-3)
 
 
 def test_mpt_kv_cache_is_int8(mpt_setup):
