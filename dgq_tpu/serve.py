@@ -36,6 +36,10 @@ def build_parser():
     p.add_argument("--decode-steps", type=int, default=1)
     p.add_argument("--spec-k", type=int, default=0,
                    help="prompt-lookup speculative decoding draft length")
+    p.add_argument("--prefix", type=str, default="",
+                   help="path to a shared-prompt token-id file (json list or "
+                        "whitespace-separated ints): prefilled once, every "
+                        "matching request reuses the cached prefix KV")
     return p
 
 
@@ -49,6 +53,15 @@ def build_server(args):
         prefill_chunk=args.prefill_chunk, admit_batch=args.admit_batch,
         decode_steps=args.decode_steps, spec_k=args.spec_k,
     )
+    if args.prefix:
+        import json as _json
+
+        with open(args.prefix) as f:
+            text = f.read().strip()
+        ids = (_json.loads(text) if text.startswith("[")
+               else [int(t) for t in text.split()])
+        batcher.register_prefix(ids)
+        print(f"[dgq_tpu.serve] prefix cached: {len(ids)} tokens", flush=True)
     return BatcherServer(batcher, host=args.host, port=args.port)
 
 

@@ -114,6 +114,27 @@ def test_server_bad_request(engine):
             assert ok.get("done") and len(ok["output_ids"]) == 4
 
 
+def test_serve_cli_prefix_flag(engine, tmp_path):
+    from dgq_tpu.serve import build_parser, build_server
+    from dgq_tpu.utils.checkpoint import save_engine
+
+    cfg, eng = engine
+    ckpt = str(tmp_path / "eng.safetensors")
+    save_engine(ckpt, eng, cfg, arch="llama")
+    pf = tmp_path / "prefix.json"
+    pf.write_text("[9, 4, 2, 7]")
+    args = build_parser().parse_args(
+        [ckpt, "--port", "0", "--slots", "2", "--max-len", "64",
+         "--prefill-pad", "16", "--prefill-chunk", "0", "--prefix", str(pf)]
+    )
+    with build_server(args) as srv:
+        with socket.create_connection((srv.host, srv.port), timeout=120) as s:
+            f = s.makefile("r")
+            resp = _rpc(f, s, {"prompt_ids": [9, 4, 2, 7, 3, 5], "max_new_tokens": 6})
+            assert resp["done"] and len(resp["output_ids"]) == 6
+        assert srv.batcher.prefix_hits == 1
+
+
 def test_batcher_rejects_oversized_prompt(engine):
     cfg, eng = engine
     b = _batcher(cfg, eng)  # max_len=64, prefill_pad=16
