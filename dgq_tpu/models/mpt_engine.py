@@ -185,6 +185,21 @@ def _mpt_block(ecfg: MPTEngineConfig, layer: MPTEngineLayer, x, k_cache, v_cache
             interpret=ecfg.interpret,
             alibi_slopes=alibi_slopes(cfg.n_heads),
         ).reshape(b, 1, h * dh)
+    elif ecfg.use_kernel and s > 8 and k_cache.shape[-1] % 128 == 0:
+        # flash prefill with in-kernel ALiBi (see bloom_engine._bloom_block)
+        from dgq_tpu.ops.attention import int8_prefill_attention
+
+        sp = -(-s // 128) * 128
+        qp = q_s8 if sp == s else jnp.pad(q_s8, ((0, 0), (0, 0), (0, sp - s), (0, 0)))
+        smax_ = k_cache.shape[-1]
+        ctx = int8_prefill_attention(
+            qp, k_cache, v_cache, cache_len + s,
+            layer.q_scale, layer.k_scale, layer.v_scale, cache_len,
+            bq=256 if sp % 256 == 0 else 128,
+            bkv=256 if smax_ % 256 == 0 else 128,
+            interpret=ecfg.interpret,
+            alibi_slopes=alibi_slopes(cfg.n_heads),
+        )[:, :, :s].transpose(0, 2, 1, 3).reshape(b, s, h * dh)
     else:
         s32 = jnp.einsum("bhqd,bhdk->bhqk", q_s8, k_cache, preferred_element_type=jnp.int32)
         scores = s32.astype(jnp.float32) * (layer.q_scale * layer.k_scale / math.sqrt(dh))

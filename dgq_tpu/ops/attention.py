@@ -173,6 +173,7 @@ def _prefill_kernel(
     out_ref,  # (1, 1, bq, Dh) f32
     *,
     bkv: int,
+    slope_ref=None,  # SMEM (H,) f32 ALiBi slopes (bloom/mpt), or None
 ):
     bq, dh = q_ref.shape[2], q_ref.shape[3]
     smax = kt_ref.shape[3]
@@ -201,6 +202,9 @@ def _prefill_kernel(
         s = s32.astype(jnp.float32) * qk_scale
         qpos = q0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 0)
         kpos = k0 + jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 1)
+        if slope_ref is not None:
+            # ALiBi: slope_h * key position (see _decode_kernel)
+            s = s + slope_ref[pl.program_id(1)] * kpos.astype(jnp.float32)
         s = jnp.where((kpos <= qpos) & (kpos < plen), s, neg)
 
         m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
@@ -230,6 +234,7 @@ def int8_prefill_attention(
     bkv: int = 256,
     apply_sqrt_dh: bool = True,
     interpret: bool = False,
+    alibi_slopes: Optional[jax.Array] = None,  # (H,) f32 — bloom/mpt ALiBi
 ) -> jax.Array:
     """Causal flash attention over the INT8 cache -> (B, H, S, Dh) f32.
 
@@ -248,8 +253,9 @@ def int8_prefill_attention(
         qk = qk / math.sqrt(dh)
     scales = jnp.stack([qk, v_scale.astype(jnp.float32), jnp.float32(0)])
 
+    n_prefetch = 2 if alibi_slopes is None else 3
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=n_prefetch,
         grid=(b, h, s // bq),
         in_specs=[
             pl.BlockSpec((1, 1, bq, dh), lambda i, j, iq, *_: (i, j, iq, 0), memory_space=pltpu.VMEM),
@@ -259,8 +265,17 @@ def int8_prefill_attention(
         out_specs=pl.BlockSpec((1, 1, bq, dh), lambda i, j, iq, *_: (i, j, iq, 0), memory_space=pltpu.VMEM),
     )
 
-    def kernel(plen_ref, scale_ref, q_ref, kt_ref, v_ref, out_ref):
-        _prefill_kernel(plen_ref, scale_ref, q_ref, kt_ref, v_ref, out_ref, bkv=bkv)
+    if alibi_slopes is None:
+        def kernel(plen_ref, scale_ref, q_ref, kt_ref, v_ref, out_ref):
+            _prefill_kernel(plen_ref, scale_ref, q_ref, kt_ref, v_ref, out_ref, bkv=bkv)
+
+        extra = ()
+    else:
+        def kernel(plen_ref, scale_ref, slope_ref, q_ref, kt_ref, v_ref, out_ref):
+            _prefill_kernel(plen_ref, scale_ref, q_ref, kt_ref, v_ref, out_ref,
+                            bkv=bkv, slope_ref=slope_ref)
+
+        extra = (alibi_slopes.astype(jnp.float32),)
 
     return pl.pallas_call(
         kernel,
@@ -272,7 +287,7 @@ def int8_prefill_attention(
             jnp.asarray(prompt_len, jnp.int32),
             jnp.zeros((), jnp.int32) if q_offset is None else jnp.asarray(q_offset, jnp.int32),
         ]),
-        scales, q_s8, kt_cache, v_cache,
+        scales, *extra, q_s8, kt_cache, v_cache,
     )
 
 

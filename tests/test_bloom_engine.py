@@ -101,6 +101,24 @@ def test_bloom_engine_alibi_decode_kernel_matches_xla(bloom_engine_setup):
     np.testing.assert_allclose(outs["k"], outs["x"], rtol=2e-3, atol=2e-3)
 
 
+def test_bloom_engine_alibi_flash_prefill_matches_xla(bloom_engine_setup):
+    """s > 8 with a 128-multiple cache engages the flash kernel with
+    in-kernel ALiBi; logits must match the XLA score-materializing path."""
+    cfg, params, res, eng = bloom_engine_setup
+    ids = jnp.asarray(synthetic_stream(cfg.vocab_size, 12, seed=4).reshape(1, 12))
+    lg_x, _ = bloom_engine_forward(
+        BloomEngineConfig(cfg=cfg, use_kernel=False), eng, ids,
+        init_bloom_kv_cache(cfg, 1, 128),
+    )
+    lg_k, _ = bloom_engine_forward(
+        BloomEngineConfig(cfg=cfg, use_kernel=True, interpret=True,
+                          bm_prefill=128, bm_decode=128),
+        eng, ids, init_bloom_kv_cache(cfg, 1, 128),
+    )
+    np.testing.assert_allclose(np.asarray(lg_k), np.asarray(lg_x),
+                               rtol=2e-3, atol=2e-3)
+
+
 def test_bloom_engine_checkpoint_roundtrip(bloom_engine_setup, tmp_path):
     from dgq_tpu.utils.checkpoint import load_engine, save_engine
 
