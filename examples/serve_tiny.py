@@ -69,6 +69,24 @@ def main():
     for r in batcher.run():
         print(f"request {r.uid}: {r.output_ids}")
 
+    # -- round-2 serving features ------------------------------------------
+    # speculative decoding (greedy slots draft via prompt lookup; accepted
+    # tokens are ~free on the feed-bound decode step) + prefix caching
+    # (the shared "system prompt" is prefilled exactly once)
+    spec = ContinuousBatcher.from_checkpoint(
+        "/tmp/tiny_engine.safetensors", num_slots=2, max_len=64,
+        prefill_pad=16, spec_k=3)
+    system_prompt = [9, 4, 2, 7]
+    spec.register_prefix(system_prompt)
+    for uid, tail in enumerate(([3, 5, 3, 5], [7, 7, 2])):
+        spec.add_request(Request(uid=10 + uid,
+                                 prompt_ids=np.asarray(system_prompt + tail, np.int32),
+                                 max_new_tokens=10))
+    for r in spec.run():
+        print(f"request {r.uid} (spec+prefix): {r.output_ids}")
+    print(f"serving metrics: {spec.metrics()}")
+    print(f"prefix hits: {spec.prefix_hits}")
+
 
 if __name__ == "__main__":
     main()
