@@ -215,6 +215,25 @@ def main():
 
     on_tpu = jax.default_backend() not in ("cpu",)
 
+    # tunnel-health preflight (observed 2026-08-18: a wedged axon tunnel
+    # hangs even a trivial matmul for hours) — recorded so a degraded
+    # result is attributable to infrastructure, not the benchmark
+    tunnel_ok = None
+    if on_tpu:
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp;"
+                 "y = jax.jit(lambda a: a @ a)(jnp.ones((256, 256), jnp.bfloat16));"
+                 "print(float(jax.device_get(y[0, 0])))"],
+                capture_output=True, text=True, timeout=180,
+            )
+            tunnel_ok = probe.returncode == 0 and "256" in probe.stdout
+        except subprocess.TimeoutExpired:
+            tunnel_ok = False
+        except Exception:  # noqa: BLE001
+            tunnel_ok = None
+
     rounds, errors = [], []
     if not on_tpu:
         try:
@@ -340,6 +359,13 @@ def main():
             "rounds_failed": len(errors),
             "extra": {"errors": errors},
         }
+    if tunnel_ok is not None:
+        result.setdefault("extra", {})["tunnel_preflight_ok"] = tunnel_ok
+        if tunnel_ok is False:
+            result["extra"]["note"] = (
+                "axon tunnel preflight failed: even a trivial matmul hung — "
+                "infrastructure outage, not a benchmark failure"
+            )
     print(json.dumps(result), flush=True)
 
 
