@@ -224,6 +224,7 @@ def main():
             probe = subprocess.run(
                 [sys.executable, "-c",
                  "import jax, jax.numpy as jnp;"
+                 "assert jax.default_backend() != 'cpu', 'fell back to cpu';"
                  "y = jax.jit(lambda a: a @ a)(jnp.ones((256, 256), jnp.bfloat16));"
                  "print(float(jax.device_get(y[0, 0])))"],
                 capture_output=True, text=True, timeout=180,

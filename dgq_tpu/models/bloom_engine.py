@@ -72,6 +72,45 @@ def init_bloom_kv_cache(cfg: BloomConfig, batch: int, max_len: int) -> BloomKVCa
     )
 
 
+def alibi_int8_attention(ecfg, q_s8, k_cache, v_cache, cache_len, s,
+                         q_scale, k_scale, v_scale, slopes, alibi, mask):
+    """Attention dispatch shared by the ALiBi engines (BLOOM and MPT):
+    s == 1 -> Pallas decode kernel with in-kernel ALiBi; s > 8 on a
+    128-multiple cache -> flash prefill with in-kernel ALiBi (no (S, Smax)
+    score materialization); otherwise the XLA int8 path.
+
+    q_s8 (B, H, S, Dh) int8; caches (B, H, ...); returns (B, S, H*Dh) f32."""
+    b, h, _, dh = q_s8.shape
+    smax = k_cache.shape[-1]
+    if s == 1 and ecfg.use_kernel:
+        from dgq_tpu.ops.attention import int8_decode_attention
+
+        return int8_decode_attention(
+            q_s8[:, :, 0, :], k_cache, v_cache, cache_len + 1,
+            q_scale, k_scale, v_scale,
+            interpret=ecfg.interpret, alibi_slopes=slopes,
+        ).reshape(b, 1, h * dh)
+    if ecfg.use_kernel and s > 8 and smax % 128 == 0:
+        from dgq_tpu.ops.attention import int8_prefill_attention
+
+        sp = -(-s // 128) * 128
+        qp = q_s8 if sp == s else jnp.pad(q_s8, ((0, 0), (0, 0), (0, sp - s), (0, 0)))
+        return int8_prefill_attention(
+            qp, k_cache, v_cache, cache_len + s,
+            q_scale, k_scale, v_scale, cache_len,
+            bq=256 if sp % 256 == 0 else 128,
+            bkv=256 if smax % 256 == 0 else 128,
+            interpret=ecfg.interpret, alibi_slopes=slopes,
+        )[:, :, :s].transpose(0, 2, 1, 3).reshape(b, s, h * dh)
+    s32 = jnp.einsum("bhqd,bhdk->bhqk", q_s8, k_cache, preferred_element_type=jnp.int32)
+    scores = s32.astype(jnp.float32) * (q_scale * k_scale / math.sqrt(dh))
+    scores = scores + alibi[None, :, :, :] + mask[None, None, :, :]
+    probs = jax.nn.softmax(scores, axis=-1)
+    vf = v_cache.astype(jnp.float32) * v_scale
+    ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, vf)
+    return ctx.transpose(0, 2, 1, 3).reshape(b, s, h * dh)
+
+
 def _qkv_int8_out(pl_: PackedLinear, input_scale, q_s, k_s, v_s, cfg: BloomConfig) -> EngineLinear:
     """Fused query_key_value with per-component output scales: the alpha for
     channel n uses q/k/v's scale according to the interleaved (h, 3, dh)
@@ -177,41 +216,11 @@ def _bloom_block(ecfg: BloomEngineConfig, layer: BloomEngineLayer, x, k_cache, v
     )
     v_cache = jax.lax.dynamic_update_slice(v_cache, v_s8, (0, 0, cache_len, 0))
 
-    if s == 1 and ecfg.use_kernel:
-        # decode: the Pallas INT8-KV attention kernel with in-kernel ALiBi
-        from dgq_tpu.ops.attention import int8_decode_attention
-
-        ctx = int8_decode_attention(
-            q_s8[:, :, 0, :], k_cache, v_cache, cache_len + 1,
-            layer.q_scale, layer.k_scale, layer.v_scale,
-            interpret=ecfg.interpret,
-            alibi_slopes=alibi_slopes(cfg.num_attention_heads),
-        ).reshape(b, 1, h * dh)
-    elif ecfg.use_kernel and s > 8 and k_cache.shape[-1] % 128 == 0:
-        # flash prefill with in-kernel ALiBi: no (S, Smax) score
-        # materialization in HBM; S padded to the 128-row query granularity
-        from dgq_tpu.ops.attention import int8_prefill_attention
-
-        sp = -(-s // 128) * 128
-        qp = q_s8 if sp == s else jnp.pad(q_s8, ((0, 0), (0, 0), (0, sp - s), (0, 0)))
-        smax_ = k_cache.shape[-1]
-        ctx = int8_prefill_attention(
-            qp, k_cache, v_cache, cache_len + s,
-            layer.q_scale, layer.k_scale, layer.v_scale, cache_len,
-            bq=256 if sp % 256 == 0 else 128,
-            bkv=256 if smax_ % 256 == 0 else 128,
-            interpret=ecfg.interpret,
-            alibi_slopes=alibi_slopes(cfg.num_attention_heads),
-        )[:, :, :s].transpose(0, 2, 1, 3).reshape(b, s, h * dh)
-    else:
-        # prefill: INT8 q.k^T + ALiBi, fp32 softmax (still int8 on the MXU)
-        s32 = jnp.einsum("bhqd,bhdk->bhqk", q_s8, k_cache, preferred_element_type=jnp.int32)
-        scores = s32.astype(jnp.float32) * (layer.q_scale * layer.k_scale / math.sqrt(dh))
-        scores = scores + alibi[None, :, :, :] + mask[None, None, :, :]
-        probs = jax.nn.softmax(scores, axis=-1)
-        vf = v_cache.astype(jnp.float32) * layer.v_scale
-        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, vf)
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, h * dh)
+    ctx = alibi_int8_attention(
+        ecfg, q_s8, k_cache, v_cache, cache_len, s,
+        layer.q_scale, layer.k_scale, layer.v_scale,
+        alibi_slopes(cfg.num_attention_heads), alibi, mask,
+    )
 
     ctx_s8 = jnp.clip(jnp.round(ctx / layer.dense_input_scale), -127, 127).astype(jnp.int8)
     attn_out = _linear_s8(layer.dense, ctx_s8, use_kernel=ecfg.use_kernel, bm=bm, interpret=ecfg.interpret)

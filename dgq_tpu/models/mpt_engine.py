@@ -175,39 +175,13 @@ def _mpt_block(ecfg: MPTEngineConfig, layer: MPTEngineLayer, x, k_cache, v_cache
     )
     v_cache = jax.lax.dynamic_update_slice(v_cache, v_s8, (0, 0, cache_len, 0))
 
-    if s == 1 and ecfg.use_kernel:
-        # decode: the Pallas INT8-KV attention kernel with in-kernel ALiBi
-        from dgq_tpu.ops.attention import int8_decode_attention
+    from dgq_tpu.models.bloom_engine import alibi_int8_attention
 
-        ctx = int8_decode_attention(
-            q_s8[:, :, 0, :], k_cache, v_cache, cache_len + 1,
-            layer.q_scale, layer.k_scale, layer.v_scale,
-            interpret=ecfg.interpret,
-            alibi_slopes=alibi_slopes(cfg.n_heads),
-        ).reshape(b, 1, h * dh)
-    elif ecfg.use_kernel and s > 8 and k_cache.shape[-1] % 128 == 0:
-        # flash prefill with in-kernel ALiBi (see bloom_engine._bloom_block)
-        from dgq_tpu.ops.attention import int8_prefill_attention
-
-        sp = -(-s // 128) * 128
-        qp = q_s8 if sp == s else jnp.pad(q_s8, ((0, 0), (0, 0), (0, sp - s), (0, 0)))
-        smax_ = k_cache.shape[-1]
-        ctx = int8_prefill_attention(
-            qp, k_cache, v_cache, cache_len + s,
-            layer.q_scale, layer.k_scale, layer.v_scale, cache_len,
-            bq=256 if sp % 256 == 0 else 128,
-            bkv=256 if smax_ % 256 == 0 else 128,
-            interpret=ecfg.interpret,
-            alibi_slopes=alibi_slopes(cfg.n_heads),
-        )[:, :, :s].transpose(0, 2, 1, 3).reshape(b, s, h * dh)
-    else:
-        s32 = jnp.einsum("bhqd,bhdk->bhqk", q_s8, k_cache, preferred_element_type=jnp.int32)
-        scores = s32.astype(jnp.float32) * (layer.q_scale * layer.k_scale / math.sqrt(dh))
-        scores = scores + alibi[None, :, :, :] + mask[None, None, :, :]
-        probs = jax.nn.softmax(scores, axis=-1)
-        vf = v_cache.astype(jnp.float32) * layer.v_scale
-        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, vf)
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(b, s, h * dh)
+    ctx = alibi_int8_attention(
+        ecfg, q_s8, k_cache, v_cache, cache_len, s,
+        layer.q_scale, layer.k_scale, layer.v_scale,
+        alibi_slopes(cfg.n_heads), alibi, mask,
+    )
 
     ctx_s8 = jnp.clip(jnp.round(ctx / layer.out_input_scale), -127, 127).astype(jnp.int8)
     attn_out = _linear_s8(layer.out_proj, ctx_s8, use_kernel=ecfg.use_kernel, bm=bm,

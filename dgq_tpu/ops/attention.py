@@ -61,7 +61,7 @@ def _decode_kernel(
     out_ref,  # (1, 1, rep, Dh) f32
     *,
     quant_pv: bool = False,
-    slope_ref=None,  # SMEM (Hkv,) f32 ALiBi slopes (bloom/mpt), or None
+    slope_ref=None,  # SMEM (H,) f32 per-QUERY-head ALiBi slopes, or None
 ):
     rep, dh = q_ref.shape[2], q_ref.shape[3]
     smax = kt_ref.shape[3]
@@ -78,8 +78,13 @@ def _decode_kernel(
     pos = jax.lax.broadcasted_iota(jnp.int32, (rep, smax), 1)
     if slope_ref is not None:
         # ALiBi: slope_h * key position (per-row equivalent to
-        # slope*(j-i) by softmax shift-invariance — models/mpt.py:115)
-        s = s + slope_ref[pl.program_id(1)] * pos.astype(jnp.float32)
+        # slope*(j-i) by softmax shift-invariance — models/mpt.py:115).
+        # Rows are the rep query heads of kv-group program_id(1); slopes
+        # arrive per QUERY head, so gather rep of them (static unroll) —
+        # correct under GQA, identical to a scalar read when rep == 1.
+        g = pl.program_id(1)
+        sl = jnp.stack([slope_ref[g * rep + r] for r in range(rep)])[:, None]
+        s = s + sl * pos.astype(jnp.float32)
     s = jnp.where(pos < length, s, jnp.finfo(jnp.float32).min)
 
     m = jnp.max(s, axis=1, keepdims=True)
@@ -115,7 +120,7 @@ def int8_decode_attention(
     apply_sqrt_dh: bool = True,  # OPT absorbs 1/sqrt(dh) into q (opt_a8w4.py:60-61)
     interpret: bool = False,
     quant_pv: bool = False,  # INT8 p @ V (see _quantize_probs)
-    alibi_slopes: Optional[jax.Array] = None,  # (Hkv,) f32 — bloom/mpt ALiBi
+    alibi_slopes: Optional[jax.Array] = None,  # (H,) f32 per-QUERY-head ALiBi
 ) -> jax.Array:
     """Single-token attention over the INT8 cache -> (B, H, Dh) f32."""
     b, h, dh = q_s8.shape

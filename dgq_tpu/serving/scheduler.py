@@ -103,6 +103,8 @@ class ContinuousBatcher:
         # consumer (serving/server.py), so never derive totals from it
         self._finished_count = 0
         self._finished_tokens = 0
+        self._prefix = None  # set by register_prefix
+        self.prefix_hits = 0
         import time as _time
 
         self._t0 = _time.time()
@@ -158,9 +160,11 @@ class ContinuousBatcher:
         ids = np.asarray(prefix_ids, np.int32)
         if len(ids) == 0:
             raise ValueError("empty prefix")
-        if len(ids) + 1 >= self.max_len:
-            raise ValueError(f"prefix of {len(ids)} tokens leaves no room "
-                             f"in max_len={self.max_len}")
+        padded_len = -(-len(ids) // self.prefill_pad) * self.prefill_pad
+        if len(ids) + 1 >= self.max_len or padded_len > self.max_len:
+            raise ValueError(f"prefix of {len(ids)} tokens (padded "
+                             f"{padded_len}) leaves no room in "
+                             f"max_len={self.max_len}")
         tmp = init_batched_cache(self.ecfg.cfg, 1, self.max_len)
         _, tmp = engine_prefill_slot(
             self.ecfg, self.params, jnp.asarray(0, jnp.int32),
@@ -171,8 +175,10 @@ class ContinuousBatcher:
         self.prefix_hits = 0
 
     def _try_prefix_admit(self, slot: int, req: Request) -> bool:
-        """Admit via the prefix template when the prompt extends it."""
-        pre = getattr(self, "_prefix", None)
+        """Admit via the prefix template when the prompt extends it.
+        Transactional like _prefill_group: a device failure requeues the
+        request before re-raising, so _recover sees a consistent picture."""
+        pre = self._prefix
         if pre is None:
             return False
         p = np.asarray(req.prompt_ids, np.int32)
@@ -183,16 +189,35 @@ class ContinuousBatcher:
         padded = self._pad_prompt(rem)
         if n + len(padded) > self.max_len:
             return False  # remainder padding would overrun; normal path
-        self.cache = copy_prefix_into_slot(
-            self.cache, jnp.asarray(slot, jnp.int32), pre["k"], pre["v"],
-            jnp.asarray(n, jnp.int32),
-        )
-        logits, self.cache = engine_prefill_chunk(
-            self.ecfg, self.params, jnp.asarray(slot, jnp.int32),
-            jnp.asarray(padded), jnp.asarray(n, jnp.int32),
-            jnp.asarray(len(rem), jnp.int32), self.cache,
-        )
-        tok = self._pick_token(req, logits[None, :])
+        try:
+            self.cache = copy_prefix_into_slot(
+                self.cache, jnp.asarray(slot, jnp.int32), pre["k"], pre["v"],
+                jnp.asarray(n, jnp.int32),
+            )
+            if self.prefill_chunk and len(padded) > self.prefill_chunk:
+                # long remainder: template installed, the rest goes through
+                # the chunk machinery (positions are absolute over the full
+                # prompt, so pending starts at the prefix length) — keeps
+                # the head-of-line latency bound prefill_chunk provides
+                c = self.prefill_chunk
+                true_len = len(p)
+                padded_c = np.zeros((-(-true_len // c) * c,), np.int32)
+                padded_c[:true_len] = p
+                self.slots[slot] = req
+                self.pending[slot] = {"padded": padded_c, "pos": n}
+                self.prefix_hits += 1
+                return True
+            logits, self.cache = engine_prefill_chunk(
+                self.ecfg, self.params, jnp.asarray(slot, jnp.int32),
+                jnp.asarray(padded), jnp.asarray(n, jnp.int32),
+                jnp.asarray(len(rem), jnp.int32), self.cache,
+            )
+            tok = self._pick_token(req, logits[None, :])
+        except Exception:
+            self.slots[slot] = None
+            self.pending.pop(slot, None)
+            self.queue.appendleft(req)
+            raise
         req.output_ids.append(tok)
         self.slots[slot] = req
         self.next_tokens[slot] = tok
@@ -229,6 +254,8 @@ class ContinuousBatcher:
             out["spec_tokens_per_step"] = round(
                 st["tokens"] / max(st["steps"], 1), 3
             )
+        if self._prefix is not None:
+            out["prefix_hits"] = self.prefix_hits
         return out
 
     def step(self):

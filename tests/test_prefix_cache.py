@@ -67,6 +67,18 @@ def test_prefix_with_speculation(engine):
     assert plain == cached and b.prefix_hits == 1
 
 
+def test_prefix_with_chunked_remainder(engine):
+    """A long remainder after the prefix goes through the chunk machinery
+    (one chunk per step, positions absolute over the full prompt) — output
+    identical to the unchunked/no-prefix paths."""
+    cfg, eng = engine
+    long_tail = list(synthetic_stream(cfg.vocab_size, 20, seed=7).astype(int))
+    prompts = [SYS + long_tail]
+    plain, _ = _run(cfg, eng, prompts, 8)
+    cached, b = _run(cfg, eng, prompts, 8, prefix=SYS, prefill_chunk=8)
+    assert plain == cached and b.prefix_hits == 1
+
+
 def test_register_prefix_validation(engine):
     cfg, eng = engine
     b = ContinuousBatcher(EngineConfig(cfg=cfg, use_kernel=False), eng,
