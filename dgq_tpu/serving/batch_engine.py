@@ -307,6 +307,68 @@ def _verify_block_batched(ecfg: EngineConfig, layer, x, k_cache, v_cache,
     return x, k_cache, v_cache
 
 
+@partial(jax.jit, static_argnames=("ecfg", "steps", "spec_k", "max_ngram"))
+def engine_spec_decode_multi(
+    ecfg: EngineConfig,
+    params: EngineParams,
+    bufs: jax.Array,  # (B, L) int32 — per-slot prompt+emitted (incl. pending)
+    buf_lens: jax.Array,  # (B,) int32
+    tokens: jax.Array,  # (B,) int32 — pending token per slot (== bufs[b, len-1])
+    cache: BatchedKVCache,
+    active: jax.Array,  # (B,) bool
+    steps: int,
+    spec_k: int = 4,
+    max_ngram: int = 3,
+):
+    """``steps`` speculative steps for every active slot in ONE device
+    program: per-slot prompt-lookup drafting (vmapped device_ngram_propose),
+    batched verification, in-graph acceptance and token-buffer append — the
+    serving counterpart of speculative.spec_decode_scan.  One host round
+    trip per ``steps`` instead of one per step.
+
+    Returns (bufs, buf_lens, tokens, cache, outs (steps, B, K+1),
+    n_outs (steps, B)).  Inactive slots never advance.  EOS/max-token
+    overshoot is discarded host-side (like engine_decode_multi); the
+    scheduler guarantees capacity for the worst case steps*(K+1)."""
+    from dgq_tpu.serving.speculative import device_ngram_propose
+
+    def body(carry, _):
+        bufs_c, lens_c, toks_c, cache_c = carry
+        drafts = jax.vmap(
+            lambda bf, ln: device_ngram_propose(bf, ln, spec_k, max_ngram)
+        )(bufs_c, lens_c)  # (B, K)
+        ids = jnp.concatenate([toks_c[:, None], drafts], axis=1)  # (B, K+1)
+        logits, cache2 = engine_verify_batched(ecfg, params, ids, cache_c)
+        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, K+1)
+        match = (drafts == greedy[:, :-1]).astype(jnp.int32)
+        n_acc = jnp.cumprod(match, axis=1).sum(axis=1)  # (B,)
+        corr = jnp.take_along_axis(greedy, n_acc[:, None], axis=1)[:, 0]  # (B,)
+        pos = jnp.arange(spec_k + 1)[None, :]
+        drafts_pad = jnp.concatenate(
+            [drafts, jnp.zeros((drafts.shape[0], 1), jnp.int32)], axis=1)
+        out = jnp.where(pos < n_acc[:, None], drafts_pad,
+                        jnp.where(pos == n_acc[:, None], corr[:, None], 0))
+        n_out = jnp.where(active, n_acc + 1, 0)
+
+        bufs_new = jax.vmap(
+            lambda bf, row, ln: jax.lax.dynamic_update_slice(bf, row, (ln,))
+        )(bufs_c, out, lens_c)
+        bufs_next = jnp.where(active[:, None], bufs_new, bufs_c)
+        lens_next = lens_c + n_out
+        toks_next = jnp.where(active, corr, toks_c)
+        # cache: verification wrote the window K/V but left lengths alone;
+        # advance active slots by the consumed prefix (pending + accepted)
+        cache_next = cache2._replace(
+            lengths=cache_c.lengths + jnp.where(active, 1 + n_acc, 0)
+        )
+        return (bufs_next, lens_next, toks_next, cache_next), (out, n_out)
+
+    (bufs, buf_lens, tokens, cache), (outs, n_outs) = jax.lax.scan(
+        body, (bufs, buf_lens, tokens, cache), None, length=steps
+    )
+    return bufs, buf_lens, tokens, cache, outs, n_outs
+
+
 @jax.jit
 def copy_prefix_into_slot(
     cache: BatchedKVCache,

@@ -29,6 +29,7 @@ from dgq_tpu.serving.batch_engine import (
     engine_prefill_batched,
     engine_prefill_chunk,
     engine_prefill_slot,
+    engine_spec_decode_multi,
     engine_verify_batched,
     init_batched_cache,
 )
@@ -285,7 +286,9 @@ class ContinuousBatcher:
             r is not None and s not in self.pending
             for s, r in enumerate(self.slots)
         ):
-            if self._can_decode_spec():
+            if self._can_decode_spec_multi():
+                self._decode_spec_multi()
+            elif self._can_decode_spec():
                 self._decode_spec()
             elif self._can_decode_multi():
                 self._decode_multi(self.decode_steps)
@@ -334,6 +337,75 @@ class ContinuousBatcher:
             if r is not None and int(lens[s]) + self.decode_steps >= self.max_len:
                 return False
         return True
+
+    def _can_decode_spec_multi(self) -> bool:
+        """Speculation AND dispatch amortization compose: ``decode_steps``
+        speculative steps in ONE device program (engine_spec_decode_multi —
+        drafting runs on-device, so no host round trip per step)."""
+        if self.spec_k <= 0 or self.decode_steps <= 1 or self.pending or self.queue:
+            return False
+        active = [(s, r) for s, r in enumerate(self.slots) if r is not None]
+        if not active:
+            return False
+        if any(r.sampling is not None and not r.sampling.greedy for _, r in active):
+            return False
+        worst = self.decode_steps * (self.spec_k + 1)
+        lens = np.asarray(self.cache.lengths)
+        for s, r in active:
+            if int(lens[s]) + worst > self.max_len:
+                return False
+            if r.max_new_tokens - len(r.output_ids) < 2:
+                return False
+        return True
+
+    def _decode_spec_multi(self):
+        """decode_steps on-device speculative steps, one dispatch.  Tokens
+        emitted after a slot's EOS/max are discarded host-side (the slot's
+        cache advances harmlessly — slot reuse re-prefills from 0, the same
+        overshoot contract as _decode_multi)."""
+        k, n = self.spec_k, self.decode_steps
+        B, L = self.num_slots, self.max_len
+        bufs = np.zeros((B, L), np.int32)
+        lens = np.zeros((B,), np.int32)
+        active = np.zeros((B,), bool)
+        for s, r in enumerate(self.slots):
+            if r is None:
+                continue
+            hist = np.concatenate([np.asarray(r.prompt_ids, np.int32),
+                                   np.asarray(r.output_ids, np.int32)])
+            bufs[s, : len(hist)] = hist
+            lens[s] = len(hist)
+            active[s] = True
+        _, _, _, self.cache, outs, n_outs = engine_spec_decode_multi(
+            self.ecfg, self.params, jnp.asarray(bufs), jnp.asarray(lens),
+            jnp.asarray(self.next_tokens), self.cache, jnp.asarray(active),
+            n, spec_k=k, max_ngram=self.spec_max_ngram,
+        )
+        outs_h, n_h = jax.device_get((outs, n_outs))  # (n, B, K+1), (n, B)
+        for s in range(B):
+            req = self.slots[s]
+            if req is None:
+                continue
+            finished = False
+            for i in range(n):
+                if finished:
+                    break
+                self.spec_stats["steps"] += 1
+                for t in outs_h[i, s, : int(n_h[i, s])]:
+                    req.output_ids.append(int(t))
+                    self.next_tokens[s] = int(t)
+                    self.spec_stats["tokens"] += 1
+                    hit_eos = (req.eos_token_id is not None
+                               and int(t) == req.eos_token_id)
+                    if hit_eos or len(req.output_ids) >= req.max_new_tokens:
+                        finished = True
+                        break
+            if finished:
+                req.done = True
+                self.finished.append(req)
+                self._finished_count += 1
+                self._finished_tokens += len(req.output_ids)
+                self.slots[s] = None  # freed; next admit re-prefills from 0
 
     def _can_decode_spec(self) -> bool:
         if self.spec_k <= 0 or self.pending:

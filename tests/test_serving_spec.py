@@ -124,6 +124,37 @@ def test_batcher_spec_sampling_slot_falls_back(setup):
     assert b.spec_stats["steps"] == 0  # never engaged with a sampling slot live
 
 
+def test_batcher_spec_multi_matches_plain(setup):
+    """spec_k>0 + decode_steps>1 composes: decode_steps on-device
+    speculative steps per dispatch (engine_spec_decode_multi), output
+    identical to the plain batcher."""
+    cfg, eng, ecfg = setup
+    p1 = np.asarray([3, 5, 3, 5, 3, 5, 3, 5], np.int32)
+    p2 = np.asarray([7, 7, 2, 7, 7, 2, 7, 7], np.int32)
+    plain, _ = _run_batcher(cfg, eng, ecfg, [p1, p2], 16)
+    spec, b = _run_batcher(cfg, eng, ecfg, [p1, p2], 16, spec_k=3,
+                           decode_steps=2)
+    assert plain == spec
+    assert b.spec_stats["steps"] > 0
+    assert b.spec_stats["tokens"] > b.spec_stats["steps"], b.spec_stats
+
+
+def test_batcher_spec_multi_eos(setup):
+    cfg, eng, ecfg = setup
+    p = np.asarray([3, 5, 3, 5, 3, 5], np.int32)
+    plain, _ = _run_batcher(cfg, eng, ecfg, [p], 12)
+    eos = plain[0][4]
+    outs = {}
+    for kw in ({}, {"spec_k": 3, "decode_steps": 3}):
+        b = ContinuousBatcher(ecfg, eng, num_slots=2, max_len=64,
+                              prefill_pad=16, **kw)
+        b.add_request(Request(uid=0, prompt_ids=p, max_new_tokens=12,
+                              eos_token_id=eos))
+        outs[bool(kw)] = b.run()[0].output_ids
+    assert outs[False] == outs[True]
+    assert outs[True][-1] == eos
+
+
 def test_batcher_metrics(setup):
     import json
 
