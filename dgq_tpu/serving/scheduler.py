@@ -157,7 +157,10 @@ class ContinuousBatcher:
         every admitted request whose prompt starts with it skips straight
         to prefilling the remainder (the shared-system-prompt
         optimization — no reference counterpart).  Requests equal to or
-        shorter than the prefix take the normal path."""
+        shorter than the prefix take the normal path.
+
+        May be called multiple times (several system prompts / few-shot
+        preambles); admission picks the LONGEST matching prefix."""
         ids = np.asarray(prefix_ids, np.int32)
         if len(ids) == 0:
             raise ValueError("empty prefix")
@@ -172,20 +175,30 @@ class ContinuousBatcher:
             jnp.asarray(self._pad_prompt(ids)), jnp.asarray(len(ids), jnp.int32),
             tmp,
         )
-        self._prefix = {"ids": ids, "k": tmp.k, "v": tmp.v, "len": len(ids)}
-        self.prefix_hits = 0
+        if self._prefix is None:
+            self._prefix = []
+        self._prefix.append({"ids": ids, "k": tmp.k, "v": tmp.v, "len": len(ids)})
+        # longest first so admission's first match is the best match
+        self._prefix.sort(key=lambda d: -d["len"])
+
+    def _match_prefix(self, p: np.ndarray):
+        for pre in self._prefix or ():
+            n = pre["len"]
+            if len(p) > n and np.array_equal(p[:n], pre["ids"]):
+                return pre
+        return None
 
     def _try_prefix_admit(self, slot: int, req: Request) -> bool:
-        """Admit via the prefix template when the prompt extends it.
-        Transactional like _prefill_group: a device failure requeues the
-        request before re-raising, so _recover sees a consistent picture."""
-        pre = self._prefix
-        if pre is None:
+        """Admit via the longest matching prefix template.  Transactional
+        like _prefill_group: a device failure requeues the request before
+        re-raising, so _recover sees a consistent picture."""
+        if self._prefix is None:
             return False
         p = np.asarray(req.prompt_ids, np.int32)
-        n = pre["len"]
-        if len(p) <= n or not np.array_equal(p[:n], pre["ids"]):
+        pre = self._match_prefix(p)
+        if pre is None:
             return False
+        n = pre["len"]
         rem = p[n:]
         padded = self._pad_prompt(rem)
         if n + len(padded) > self.max_len:

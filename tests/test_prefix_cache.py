@@ -79,6 +79,23 @@ def test_prefix_with_chunked_remainder(engine):
     assert plain == cached and b.prefix_hits == 1
 
 
+def test_multiple_prefixes_longest_match(engine):
+    cfg, eng = engine
+    short, long_ = SYS[:4], SYS  # long_ extends short
+    prompts = [SYS + [3, 5], short + [8, 8, 8]]
+    plain, _ = _run(cfg, eng, prompts, 8)
+    b = ContinuousBatcher(EngineConfig(cfg=cfg, use_kernel=False), eng,
+                          num_slots=3, max_len=64, prefill_pad=8)
+    b.register_prefix(short)
+    b.register_prefix(long_)
+    for i, p in enumerate(prompts):
+        b.add_request(Request(uid=i, prompt_ids=np.asarray(p, np.int32),
+                              max_new_tokens=8))
+    cached = {r.uid: list(r.output_ids) for r in b.run()}
+    assert plain == cached
+    assert b.prefix_hits == 2  # uid 0 via the long prefix, uid 1 via the short
+
+
 def test_register_prefix_validation(engine):
     cfg, eng = engine
     b = ContinuousBatcher(EngineConfig(cfg=cfg, use_kernel=False), eng,
