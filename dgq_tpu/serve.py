@@ -36,10 +36,13 @@ def build_parser():
     p.add_argument("--decode-steps", type=int, default=1)
     p.add_argument("--spec-k", type=int, default=0,
                    help="prompt-lookup speculative decoding draft length")
-    p.add_argument("--prefix", type=str, default="",
+    p.add_argument("--prefix", type=str, default=None, action="append",
                    help="path to a shared-prompt token-id file (json list or "
                         "whitespace-separated ints): prefilled once, every "
-                        "matching request reuses the cached prefix KV")
+                        "matching request reuses the cached prefix KV; "
+                        "repeatable (longest match wins)")
+    p.add_argument("--metrics-interval", type=float, default=30.0,
+                   help="seconds between metrics log lines (0 disables)")
     return p
 
 
@@ -53,10 +56,10 @@ def build_server(args):
         prefill_chunk=args.prefill_chunk, admit_batch=args.admit_batch,
         decode_steps=args.decode_steps, spec_k=args.spec_k,
     )
-    if args.prefix:
+    for path in args.prefix or ():
         import json as _json
 
-        with open(args.prefix) as f:
+        with open(path) as f:
             text = f.read().strip()
         ids = (_json.loads(text) if text.startswith("[")
                else [int(t) for t in text.split()])
@@ -75,8 +78,9 @@ def main(argv=None):
         import time
 
         while True:
-            time.sleep(30)
-            print(f"[dgq_tpu.serve] {srv.metrics()}", flush=True)
+            time.sleep(args.metrics_interval or 3600)
+            if args.metrics_interval:
+                print(f"[dgq_tpu.serve] {srv.metrics()}", flush=True)
     except KeyboardInterrupt:
         print("[dgq_tpu.serve] shutting down")
         srv.close()
