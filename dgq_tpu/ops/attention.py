@@ -489,3 +489,129 @@ def int8_decode_attention_chunked(
     den = jnp.sum(l * w, axis=1)  # (B, Hkv, rep, 1)
     out = num / jnp.maximum(den, 1e-20)
     return out.reshape(b, h, dh)
+
+# -- paged KV cache attention -------------------------------------------------
+#
+# vLLM-style paged KV for serving (no reference counterpart — the reference
+# allocates a contiguous cache per sequence, llama_a8w4.py:117-120; the
+# serving layer here sizes the pool by TOTAL tokens, not slots x Smax, and
+# shares prompt-prefix pages between slots).  TPU-native mechanism: the page
+# table rides PrefetchScalarGridSpec, so each grid step's BlockSpec index_map
+# dereferences table[slot, logical_page] and the kernel body is IDENTICAL to
+# the chunked decode kernel — same int8 MXU scores, same flash partials,
+# same logsumexp combine.  Unallocated logical pages point at the reserved
+# null page 0 and are fully masked by the length test.
+
+
+@functools.partial(
+    jax.jit, static_argnames=("apply_sqrt_dh", "interpret", "quant_pv")
+)
+def int8_paged_decode_attention(
+    q_s8: jax.Array,  # (B, H, Dh) int8
+    kt_pool: jax.Array,  # (P, Hkv, Dh, ps) int8 — shared page pool, K transposed
+    v_pool: jax.Array,  # (P, Hkv, ps, Dh) int8
+    table: jax.Array,  # (B, NP) int32 — physical page per (slot, logical page)
+    length: jax.Array,  # () or (B,) int32
+    q_scale: jax.Array,
+    k_scale: jax.Array,
+    v_scale: jax.Array,
+    *,
+    apply_sqrt_dh: bool = True,
+    interpret: bool = False,
+    quant_pv: bool = False,
+) -> jax.Array:
+    """Decode attention over a paged INT8 KV pool -> (B, H, Dh) f32.
+
+    Grid (B, Hkv, NP); logical page c of slot i streams physical page
+    table[i, c] into VMEM via the scalar-prefetched index map.  Each page
+    emits flash partials (numerator, row max, row sum) exactly like
+    int8_decode_attention_chunked; the combine is shared."""
+    b, h, dh = q_s8.shape
+    _, hk, _, ps = kt_pool.shape
+    npg = table.shape[1]
+    rep = h // hk
+    qg = q_s8.reshape(b, hk, rep, dh)
+    lengths = jnp.broadcast_to(jnp.asarray(length, jnp.int32), (b,))
+
+    qk = (q_scale * k_scale).astype(jnp.float32)
+    if apply_sqrt_dh:
+        qk = qk / math.sqrt(dh)
+    scales = jnp.stack([qk, v_scale.astype(jnp.float32), jnp.float32(0)])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # lengths, scales, page table
+        grid=(b, hk, npg),
+        in_specs=[
+            pl.BlockSpec((1, 1, rep, dh), lambda i, j, c, *_: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, dh, ps),
+                lambda i, j, c, len_ref, scale_ref, tbl_ref: (tbl_ref[i, c], j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, ps, dh),
+                lambda i, j, c, len_ref, scale_ref, tbl_ref: (tbl_ref[i, c], j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, rep, dh), lambda i, j, c, *_: (i * npg + c, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rep, 128), lambda i, j, c, *_: (i * npg + c, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rep, 128), lambda i, j, c, *_: (i * npg + c, j, 0, 0), memory_space=pltpu.VMEM),
+        ),
+    )
+
+    def kernel(len_ref, scale_ref, tbl_ref, q_ref, kt_ref, v_ref, acc_ref, m_ref, l_ref):
+        # body == chunked decode kernel: program_id(2) is the LOGICAL page,
+        # so pos = c*ps + iota masks exactly as the contiguous layout does
+        _decode_chunk_kernel(
+            len_ref, scale_ref, q_ref, kt_ref, v_ref, acc_ref, m_ref, l_ref,
+            quant_pv=quant_pv,
+        )
+
+    acc, m, l = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((b * npg, hk, rep, dh), jnp.float32),
+            jax.ShapeDtypeStruct((b * npg, hk, rep, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b * npg, hk, rep, 128), jnp.float32),
+        ),
+        interpret=interpret,
+    )(lengths, scales, table.astype(jnp.int32), qg, kt_pool, v_pool)
+
+    acc = acc.reshape(b, npg, hk, rep, dh)
+    m = m.reshape(b, npg, hk, rep, 128)[..., :1]
+    l = l.reshape(b, npg, hk, rep, 128)[..., :1]
+    m_glob = jnp.max(m, axis=1, keepdims=True)
+    w = jnp.exp(m - m_glob)
+    num = jnp.sum(acc * w, axis=1)
+    den = jnp.sum(l * w, axis=1)
+    out = num / jnp.maximum(den, 1e-20)
+    return out.reshape(b, h, dh)
+
+
+def gather_paged_kv(kt_pool, v_pool, table):
+    """Densify a paged pool: (B, Hkv, Dh, NP*ps) K-transposed and
+    (B, Hkv, NP*ps, Dh) V, in logical-position order."""
+    b, npg = table.shape
+    _, hk, dh, ps = kt_pool.shape
+    kt = kt_pool[table]  # (B, NP, Hkv, Dh, ps)
+    kt = kt.transpose(0, 2, 3, 1, 4).reshape(b, hk, dh, npg * ps)
+    v = v_pool[table]  # (B, NP, Hkv, ps, Dh)
+    v = v.transpose(0, 2, 1, 3, 4).reshape(b, hk, npg * ps, dh)
+    return kt, v
+
+
+def int8_paged_decode_attention_xla(
+    q_s8, kt_pool, v_pool, table, length, q_scale, k_scale, v_scale,
+    apply_sqrt_dh=True, quant_pv=False,
+) -> jax.Array:
+    """XLA golden / fallback: gather the slot's pages dense, then the
+    contiguous decode attention.  Numerically the kernel and this path share
+    the mask convention (unallocated pages masked by length)."""
+    kt, v = gather_paged_kv(kt_pool, v_pool, table)
+    return int8_decode_attention_xla(
+        q_s8, kt, v, length, q_scale, k_scale, v_scale,
+        apply_sqrt_dh=apply_sqrt_dh, quant_pv=quant_pv,
+    )
