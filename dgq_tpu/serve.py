@@ -43,6 +43,15 @@ def build_parser():
                         "repeatable (longest match wins)")
     p.add_argument("--metrics-interval", type=float, default=30.0,
                    help="seconds between metrics log lines (0 disables)")
+    p.add_argument("--paged", action="store_true",
+                   help="paged KV cache (serving/paged.py): memory scales "
+                        "with tokens in flight, prefixes share pool pages; "
+                        "ignores --prefill-chunk/--admit-batch/--spec-k")
+    p.add_argument("--page-size", type=int, default=128,
+                   help="tokens per KV page (paged mode)")
+    p.add_argument("--num-pages", type=int, default=0,
+                   help="KV pool pages incl. the null page (paged mode); "
+                        "0 = dense-equivalent capacity (slots x max-len)")
     return p
 
 
@@ -50,12 +59,22 @@ def build_server(args):
     from dgq_tpu.serving.scheduler import ContinuousBatcher
     from dgq_tpu.serving.server import BatcherServer
 
-    batcher = ContinuousBatcher.from_checkpoint(
-        args.checkpoint, num_slots=args.slots, max_len=args.max_len,
-        prefill_pad=min(args.prefill_pad, args.max_len),
-        prefill_chunk=args.prefill_chunk, admit_batch=args.admit_batch,
-        decode_steps=args.decode_steps, spec_k=args.spec_k,
-    )
+    if args.paged:
+        from dgq_tpu.serving.paged import PagedBatcher
+
+        batcher = PagedBatcher.from_checkpoint(
+            args.checkpoint, num_slots=args.slots, max_len=args.max_len,
+            page_size=args.page_size,
+            num_pages=args.num_pages or None,
+            decode_steps=args.decode_steps,
+        )
+    else:
+        batcher = ContinuousBatcher.from_checkpoint(
+            args.checkpoint, num_slots=args.slots, max_len=args.max_len,
+            prefill_pad=min(args.prefill_pad, args.max_len),
+            prefill_chunk=args.prefill_chunk, admit_batch=args.admit_batch,
+            decode_steps=args.decode_steps, spec_k=args.spec_k,
+        )
     for path in args.prefix or ():
         import json as _json
 

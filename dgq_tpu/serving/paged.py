@@ -394,6 +394,22 @@ class PagedBatcher:
 
         self._t0 = _time.time()
 
+    @classmethod
+    def from_checkpoint(cls, path: str, *, use_kernel: Optional[bool] = None, **kw):
+        """Serving startup straight from a ``save_engine`` checkpoint
+        (mirror of ContinuousBatcher.from_checkpoint)."""
+        from dgq_tpu.models.llama import LlamaConfig
+        from dgq_tpu.utils.checkpoint import load_engine
+
+        eng, cfg = load_engine(path)
+        if not isinstance(cfg, LlamaConfig):
+            raise ValueError(
+                f"PagedBatcher serves the LLaMA engine; checkpoint is {type(cfg).__name__}"
+            )
+        if use_kernel is None:
+            use_kernel = jax.default_backend() not in ("cpu",)
+        return cls(EngineConfig(cfg=cfg, use_kernel=use_kernel), eng, **kw)
+
     # -- allocator ----------------------------------------------------------
 
     def _alloc(self, n: int) -> Optional[List[int]]:

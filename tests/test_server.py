@@ -144,3 +144,31 @@ def test_batcher_rejects_oversized_prompt(engine):
     with pytest.raises(ValueError):
         b.add_request(Request(uid=1, prompt_ids=np.zeros(0, np.int32),
                               max_new_tokens=4))
+
+
+def test_serve_cli_paged(engine, tmp_path):
+    """--paged serves through the PagedBatcher: same wire protocol, page
+    metrics exposed, prefix pages shared."""
+    from dgq_tpu.serve import build_parser, build_server
+    from dgq_tpu.utils.checkpoint import save_engine
+
+    cfg, eng = engine
+    ckpt = str(tmp_path / "eng.safetensors")
+    save_engine(ckpt, eng, cfg, arch="llama")
+    pf = tmp_path / "prefix.json"
+    pf.write_text(json.dumps(list(range(9, 29))))  # 20 tokens = 1.25 pages
+    args = build_parser().parse_args(
+        [ckpt, "--port", "0", "--slots", "2", "--max-len", "64",
+         "--paged", "--page-size", "16", "--prefix", str(pf)]
+    )
+    with build_server(args) as srv:
+        from dgq_tpu.serving.paged import PagedBatcher
+
+        assert isinstance(srv.batcher, PagedBatcher)
+        with socket.create_connection((srv.host, srv.port), timeout=120) as s:
+            f = s.makefile("r")
+            resp = _rpc(f, s, {"prompt_ids": list(range(9, 29)) + [3, 5],
+                               "max_new_tokens": 6})
+            assert resp["done"] and len(resp["output_ids"]) == 6
+            m = _rpc(f, s, {"op": "metrics"})
+            assert m["pages_total"] > 0 and m["prefix_hits"] == 1
