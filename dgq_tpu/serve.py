@@ -43,6 +43,10 @@ def build_parser():
                         "repeatable (longest match wins)")
     p.add_argument("--metrics-interval", type=float, default=30.0,
                    help="seconds between metrics log lines (0 disables)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel shards: serve over a (dp=1, tp) "
+                        "device mesh (packed weights column/row-sharded, KV "
+                        "over kv heads; parallel/sharded_serving.py)")
     p.add_argument("--paged", action="store_true",
                    help="paged KV cache (serving/paged.py): memory scales "
                         "with tokens in flight, prefixes share pool pages; "
@@ -69,11 +73,16 @@ def build_server(args):
             decode_steps=args.decode_steps,
         )
     else:
+        mesh = None
+        if args.tp > 1:
+            from dgq_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(dp=1, tp=args.tp)
         batcher = ContinuousBatcher.from_checkpoint(
             args.checkpoint, num_slots=args.slots, max_len=args.max_len,
             prefill_pad=min(args.prefill_pad, args.max_len),
             prefill_chunk=args.prefill_chunk, admit_batch=args.admit_batch,
-            decode_steps=args.decode_steps, spec_k=args.spec_k,
+            decode_steps=args.decode_steps, spec_k=args.spec_k, mesh=mesh,
         )
     for path in args.prefix or ():
         import json as _json

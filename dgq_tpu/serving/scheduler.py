@@ -62,6 +62,7 @@ class ContinuousBatcher:
         spec_k: int = 0,
         spec_max_ngram: int = 3,
         max_recoveries: int = 3,
+        mesh=None,
     ):
         """``prefill_chunk`` > 0 prefills prompts longer than the chunk in
         chunk-sized pieces, one chunk per scheduler step, so a long prompt
@@ -79,8 +80,22 @@ class ContinuousBatcher:
         accepted draft token is a free extra token (decode is
         weight-feed-bound, so K+1 tokens cost ~1 token's step); engaged
         whenever every active request is greedy and has spec headroom,
-        otherwise the step falls back to plain decode."""
+        otherwise the step falls back to plain decode.
+        ``mesh`` (a ``make_mesh(dp=1, tp=N)`` mesh) serves tensor-sharded:
+        params are placed with TP shardings, the KV cache shards over kv
+        heads, and every device call runs under shard_map
+        (parallel/sharded_serving.py) — the scheduler logic is unchanged
+        (BASELINE config 4)."""
         self.ecfg = ecfg
+        self._mesh = mesh
+        if mesh is not None:
+            from dgq_tpu.parallel.sharded_engine import shard_engine_params
+            from dgq_tpu.parallel.sharded_serving import serving_fns
+
+            params = shard_engine_params(params, mesh)
+            self._f = serving_fns(mesh)
+        else:
+            self._f = None
         self.params = params
         self.num_slots = num_slots
         self.max_len = max_len
@@ -93,7 +108,7 @@ class ContinuousBatcher:
         self.spec_stats = {"steps": 0, "tokens": 0}
         self.max_recoveries = max_recoveries
         self._recoveries = 0
-        self.cache = init_batched_cache(ecfg.cfg, num_slots, max_len)
+        self.cache = self._fn("init_batched_cache")(ecfg.cfg, num_slots, max_len)
         self.queue: Deque[Request] = deque()
         self.slots: List[Optional[Request]] = [None] * num_slots
         # slot -> in-progress chunked prefill: {"padded", "pos", "n"}
@@ -110,6 +125,14 @@ class ContinuousBatcher:
 
         self._t0 = _time.time()
         self._seed = 0
+
+    def _fn(self, name: str):
+        """Device entry point by name: the shard_map-wrapped variant when
+        serving tensor-sharded, else this module's global (late-bound, so
+        tests can monkeypatch e.g. engine_decode_batched)."""
+        if self._f is not None:
+            return getattr(self._f, name)
+        return globals()[name]
 
     # -- public API ---------------------------------------------------------
 
@@ -169,8 +192,8 @@ class ContinuousBatcher:
             raise ValueError(f"prefix of {len(ids)} tokens (padded "
                              f"{padded_len}) leaves no room in "
                              f"max_len={self.max_len}")
-        tmp = init_batched_cache(self.ecfg.cfg, 1, self.max_len)
-        _, tmp = engine_prefill_slot(
+        tmp = self._fn("init_batched_cache")(self.ecfg.cfg, 1, self.max_len)
+        _, tmp = self._fn("engine_prefill_slot")(
             self.ecfg, self.params, jnp.asarray(0, jnp.int32),
             jnp.asarray(self._pad_prompt(ids)), jnp.asarray(len(ids), jnp.int32),
             tmp,
@@ -204,7 +227,7 @@ class ContinuousBatcher:
         if n + len(padded) > self.max_len:
             return False  # remainder padding would overrun; normal path
         try:
-            self.cache = copy_prefix_into_slot(
+            self.cache = self._fn("copy_prefix_into_slot")(
                 self.cache, jnp.asarray(slot, jnp.int32), pre["k"], pre["v"],
                 jnp.asarray(n, jnp.int32),
             )
@@ -221,7 +244,7 @@ class ContinuousBatcher:
                 self.pending[slot] = {"padded": padded_c, "pos": n}
                 self.prefix_hits += 1
                 return True
-            logits, self.cache = engine_prefill_chunk(
+            logits, self.cache = self._fn("engine_prefill_chunk")(
                 self.ecfg, self.params, jnp.asarray(slot, jnp.int32),
                 jnp.asarray(padded), jnp.asarray(n, jnp.int32),
                 jnp.asarray(len(rem), jnp.int32), self.cache,
@@ -317,7 +340,7 @@ class ContinuousBatcher:
         the last); the last generated token is the pending next_token.
         Slots mid-chunked-prefill have no history to preserve — their
         requests go back to the queue head and restart."""
-        self.cache = init_batched_cache(self.ecfg.cfg, self.num_slots, self.max_len)
+        self.cache = self._fn("init_batched_cache")(self.ecfg.cfg, self.num_slots, self.max_len)
         for slot in list(self.pending):
             req = self.slots[slot]
             self.slots[slot] = None
@@ -331,7 +354,7 @@ class ContinuousBatcher:
                 np.asarray(req.prompt_ids, np.int32),
                 np.asarray(req.output_ids[:-1], np.int32),
             ])
-            _, self.cache = engine_prefill_slot(
+            _, self.cache = self._fn("engine_prefill_slot")(
                 self.ecfg, self.params, jnp.asarray(slot, jnp.int32),
                 jnp.asarray(self._pad_prompt(hist)),
                 jnp.asarray(len(hist), jnp.int32), self.cache,
@@ -389,7 +412,7 @@ class ContinuousBatcher:
             bufs[s, : len(hist)] = hist
             lens[s] = len(hist)
             active[s] = True
-        _, _, _, self.cache, outs, n_outs = engine_spec_decode_multi(
+        _, _, _, self.cache, outs, n_outs = self._fn("engine_spec_decode_multi")(
             self.ecfg, self.params, jnp.asarray(bufs), jnp.asarray(lens),
             jnp.asarray(self.next_tokens), self.cache, jnp.asarray(active),
             n, spec_k=k, max_ngram=self.spec_max_ngram,
@@ -460,7 +483,7 @@ class ContinuousBatcher:
             ids[s, 0] = self.next_tokens[s]
             ids[s, 1:] = drafts[s]
 
-        logits, self.cache = engine_verify_batched(
+        logits, self.cache = self._fn("engine_verify_batched")(
             self.ecfg, self.params, jnp.asarray(ids), self.cache
         )
         greedy = np.asarray(jnp.argmax(logits, axis=-1), np.int32)  # (B, K+1)
@@ -558,7 +581,7 @@ class ContinuousBatcher:
     def _prefill_group_inner(self, group: List[tuple]):
         if len(group) == 1:
             slot, req, padded = group[0]
-            logits, self.cache = engine_prefill_slot(
+            logits, self.cache = self._fn("engine_prefill_slot")(
                 self.ecfg,
                 self.params,
                 jnp.asarray(slot, jnp.int32),
@@ -572,7 +595,7 @@ class ContinuousBatcher:
             ids = np.zeros((len(group), s_max), np.int32)
             for i, (_, _, p) in enumerate(group):
                 ids[i, : len(p)] = p
-            logits, self.cache = engine_prefill_batched(
+            logits, self.cache = self._fn("engine_prefill_batched")(
                 self.ecfg,
                 self.params,
                 jnp.asarray([s for s, _, _ in group], jnp.int32),
@@ -604,7 +627,7 @@ class ContinuousBatcher:
         true_len = len(req.prompt_ids)
         valid = min(true_len, end) - pos
         assert valid >= 1, (pos, end, true_len)  # guaranteed by chunk re-pad
-        logits, self.cache = engine_prefill_chunk(
+        logits, self.cache = self._fn("engine_prefill_chunk")(
             self.ecfg,
             self.params,
             jnp.asarray(slot, jnp.int32),
@@ -628,7 +651,7 @@ class ContinuousBatcher:
             [r is not None and s not in self.pending
              for s, r in enumerate(self.slots)]
         )
-        logits, self.cache = engine_decode_batched(
+        logits, self.cache = self._fn("engine_decode_batched")(
             self.ecfg,
             self.params,
             jnp.asarray(self.next_tokens),
@@ -651,7 +674,7 @@ class ContinuousBatcher:
         """n greedy decode steps in one dispatch (engine_decode_multi);
         per-slot tokens applied in order, extras after done discarded."""
         active_mask = np.asarray([r is not None for r in self.slots])
-        toks, self.cache = engine_decode_multi(
+        toks, self.cache = self._fn("engine_decode_multi")(
             self.ecfg,
             self.params,
             jnp.asarray(self.next_tokens),

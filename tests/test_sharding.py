@@ -119,3 +119,60 @@ def test_tp_kernel_path_matches_single_device(sharded_setup):
     got2, _ = sharded_engine_forward(ecfg, eng_sh, nxt, got_cache, mesh)
     want2, _ = engine_forward(ecfg, eng, nxt, want_cache)
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), rtol=2e-3, atol=2e-3)
+
+
+def test_tp_sharded_continuous_batching_matches_dense(sharded_setup):
+    """ContinuousBatcher(mesh=tp2) — every serving entry point under
+    shard_map — produces the dense batcher's exact greedy tokens
+    (BASELINE config 4: tensor-sharded continuous batching)."""
+    from dgq_tpu.serving.scheduler import ContinuousBatcher, Request
+
+    cfg, eng = sharded_setup
+    ecfg = EngineConfig(cfg=cfg, use_kernel=False)
+    rng = np.random.default_rng(17)
+    prefix = rng.integers(0, cfg.vocab_size, size=6).astype(np.int32)
+    prompts = [
+        np.concatenate([prefix, rng.integers(0, cfg.vocab_size, size=n).astype(np.int32)])
+        for n in (4, 7)
+    ] + [rng.integers(0, cfg.vocab_size, size=5).astype(np.int32)]
+
+    def run(**kw):
+        b = ContinuousBatcher(ecfg, eng, num_slots=2, max_len=64,
+                              prefill_pad=8, **kw)
+        b.register_prefix(prefix)
+        for i, p in enumerate(prompts):
+            b.add_request(Request(uid=i, prompt_ids=p, max_new_tokens=5))
+        out = {r.uid: r.output_ids for r in b.run()}
+        assert b.prefix_hits == 2
+        return out
+
+    want = run()
+    got = run(mesh=make_mesh(dp=1, tp=2))
+    assert got == want, (got, want)
+
+
+def test_tp_sharded_batcher_spec_and_multi(sharded_setup):
+    """Speculative + multi-step decode paths (engine_spec_decode_multi,
+    engine_decode_multi) also run under shard_map and stay exact."""
+    from dgq_tpu.serving.scheduler import ContinuousBatcher, Request
+
+    cfg, eng = sharded_setup
+    ecfg = EngineConfig(cfg=cfg, use_kernel=False)
+    rng = np.random.default_rng(23)
+    prompts = [rng.integers(0, cfg.vocab_size, size=n).astype(np.int32)
+               for n in (6, 9)]
+
+    def run(**kw):
+        b = ContinuousBatcher(ecfg, eng, num_slots=2, max_len=64,
+                              prefill_pad=8, **kw)
+        for i, p in enumerate(prompts):
+            b.add_request(Request(uid=i, prompt_ids=p, max_new_tokens=6))
+        return {r.uid: r.output_ids for r in b.run()}
+
+    want_multi = run(decode_steps=3)
+    got_multi = run(decode_steps=3, mesh=make_mesh(dp=1, tp=2))
+    assert got_multi == want_multi
+
+    want_spec = run(spec_k=3)
+    got_spec = run(spec_k=3, mesh=make_mesh(dp=1, tp=2))
+    assert got_spec == want_spec
