@@ -185,3 +185,109 @@ def dense_serving_fns() -> SimpleNamespace:
         copy_prefix_into_slot=be.copy_prefix_into_slot,
         init_batched_cache=be.init_batched_cache,
     )
+
+
+# -- paged pool under TP -------------------------------------------------------
+
+
+def paged_cache_specs():
+    from dgq_tpu.serving.paged import PagedKVCache
+
+    # kt (L, P, Hkv, Dh, ps) / v (L, P, Hkv, ps, Dh): kv heads over tp;
+    # the pool's page axis is replicated (pages are a memory concept, not a
+    # compute one — every shard holds its heads of every page)
+    return PagedKVCache(
+        kt=P(None, None, "tp", None, None),
+        v=P(None, None, "tp", None, None),
+        lengths=R,
+    )
+
+
+def shard_paged_cache(cache, mesh: Mesh):
+    from dgq_tpu.serving.paged import PagedKVCache
+
+    specs = paged_cache_specs()
+    return PagedKVCache(
+        kt=jax.device_put(cache.kt, NamedSharding(mesh, specs.kt)),
+        v=jax.device_put(cache.v, NamedSharding(mesh, specs.v)),
+        lengths=jax.device_put(cache.lengths, NamedSharding(mesh, specs.lengths)),
+    )
+
+
+def paged_serving_fns(mesh: Mesh) -> SimpleNamespace:
+    """shard_map-wrapped paged serving entry points (PagedBatcher(mesh=...)):
+    the page-pool kernel runs on each shard's local kv heads; the page
+    table/allocator stay host-side and replicated."""
+    if mesh.shape.get("dp", 1) != 1:
+        raise ValueError("paged_serving_fns is tensor-parallel only (dp=1)")
+    from dgq_tpu.serving import paged as pg
+
+    cs = paged_cache_specs()
+
+    def _local_ecfg(ecfg: EngineConfig) -> EngineConfig:
+        return dataclasses.replace(ecfg, tp_axis="tp")
+
+    def _shmap(local, in_specs, out_specs):
+        return jax.shard_map(
+            local, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
+
+    @partial(jax.jit, static_argnames=("ecfg", "write_slot"))
+    def paged_prefill(ecfg, params, slot_idx, input_ids, prompt_len, pages,
+                      cache, write_slot=True):
+        el = _local_ecfg(ecfg)
+        f = _shmap(
+            lambda p, a, b, c, d, cc: pg.paged_prefill(
+                el, p, a, b, c, d, cc, write_slot=write_slot),
+            (engine_param_specs(params), R, R, R, R, cs), (R, cs),
+        )
+        return f(params, slot_idx, input_ids, prompt_len, pages, cache)
+
+    @partial(jax.jit, static_argnames=("ecfg",))
+    def paged_prefill_chunk(ecfg, params, slot_idx, chunk_ids, start, valid,
+                            table_row, cache):
+        el = _local_ecfg(ecfg)
+        f = _shmap(
+            lambda p, a, b, c, d, e, cc: pg.paged_prefill_chunk(
+                el, p, a, b, c, d, e, cc),
+            (engine_param_specs(params), R, R, R, R, R, cs), (R, cs),
+        )
+        return f(params, slot_idx, chunk_ids, start, valid, table_row, cache)
+
+    @partial(jax.jit, static_argnames=("ecfg",))
+    def paged_decode_batched(ecfg, params, tokens, cache, table, active):
+        el = _local_ecfg(ecfg)
+        f = _shmap(
+            lambda p, t, cc, tb, a: pg.paged_decode_batched(el, p, t, cc, tb, a),
+            (engine_param_specs(params), R, cs, R, R), (R, cs),
+        )
+        return f(params, tokens, cache, table, active)
+
+    @partial(jax.jit, static_argnames=("ecfg", "steps"))
+    def paged_decode_multi(ecfg, params, tokens, cache, table, active, steps):
+        el = _local_ecfg(ecfg)
+        f = _shmap(
+            lambda p, t, cc, tb, a: pg.paged_decode_multi(el, p, t, cc, tb, a, steps),
+            (engine_param_specs(params), R, cs, R, R), (R, cs),
+        )
+        return f(params, tokens, cache, table, active)
+
+    @jax.jit
+    def copy_page(cache, src, dst):
+        f = _shmap(pg.copy_page, (cs, R, R), cs)
+        return f(cache, src, dst)
+
+    def init_paged_cache(cfg, batch, num_pages, page_size=128):
+        return shard_paged_cache(
+            pg.init_paged_cache(cfg, batch, num_pages, page_size), mesh
+        )
+
+    return SimpleNamespace(
+        paged_prefill=paged_prefill,
+        paged_prefill_chunk=paged_prefill_chunk,
+        paged_decode_batched=paged_decode_batched,
+        paged_decode_multi=paged_decode_multi,
+        copy_page=copy_page,
+        init_paged_cache=init_paged_cache,
+    )

@@ -50,7 +50,8 @@ def build_parser():
     p.add_argument("--paged", action="store_true",
                    help="paged KV cache (serving/paged.py): memory scales "
                         "with tokens in flight, prefixes share pool pages; "
-                        "ignores --prefill-chunk/--admit-batch/--spec-k")
+                        "composes with --tp; ignores --prefill-chunk/"
+                        "--admit-batch/--spec-k")
     p.add_argument("--page-size", type=int, default=128,
                    help="tokens per KV page (paged mode)")
     p.add_argument("--num-pages", type=int, default=0,
@@ -63,6 +64,11 @@ def build_server(args):
     from dgq_tpu.serving.scheduler import ContinuousBatcher
     from dgq_tpu.serving.server import BatcherServer
 
+    mesh = None
+    if args.tp > 1:
+        from dgq_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(dp=1, tp=args.tp)
     if args.paged:
         from dgq_tpu.serving.paged import PagedBatcher
 
@@ -70,14 +76,9 @@ def build_server(args):
             args.checkpoint, num_slots=args.slots, max_len=args.max_len,
             page_size=args.page_size,
             num_pages=args.num_pages or None,
-            decode_steps=args.decode_steps,
+            decode_steps=args.decode_steps, mesh=mesh,
         )
     else:
-        mesh = None
-        if args.tp > 1:
-            from dgq_tpu.parallel.mesh import make_mesh
-
-            mesh = make_mesh(dp=1, tp=args.tp)
         batcher = ContinuousBatcher.from_checkpoint(
             args.checkpoint, num_slots=args.slots, max_len=args.max_len,
             prefill_pad=min(args.prefill_pad, args.max_len),

@@ -82,7 +82,9 @@ def paged_prefill(
     cfg = ecfg.cfg
     s = input_ids.shape[0]
     L = cfg.num_hidden_layers
-    hk, dh = cfg.num_key_value_heads, cfg.head_dim
+    # head count from the POOL, not the config: under shard_map each shard
+    # sees its local kv heads (parallel/sharded_serving.paged_serving_fns)
+    hk, dh = cache.kt.shape[2], cache.kt.shape[3]
     ps = cache.kt.shape[4]
     npg = s // ps
     x = params.embed_tokens[input_ids[None, :]].astype(jnp.float32)  # (1, S, D)
@@ -145,7 +147,7 @@ def paged_prefill_chunk(
     cfg = ecfg.cfg
     c = chunk_ids.shape[0]
     L = cfg.num_hidden_layers
-    hk, dh = cfg.num_key_value_heads, cfg.head_dim
+    hk, dh = cache.kt.shape[2], cache.kt.shape[3]  # local under shard_map
     ps = cache.kt.shape[4]
     npg = table_row.shape[0]
     smax = npg * ps
@@ -356,10 +358,23 @@ class PagedBatcher:
         page_size: int = 128,
         num_pages: Optional[int] = None,
         decode_steps: int = 1,
+        mesh=None,
     ):
         if max_len % page_size != 0:
             raise ValueError(f"max_len {max_len} must be a multiple of page_size {page_size}")
         self.ecfg = ecfg
+        self._mesh = mesh
+        if mesh is not None:
+            # tensor-sharded paged serving: params TP-placed, pool kv heads
+            # sharded, every device call under shard_map
+            # (parallel/sharded_serving.paged_serving_fns)
+            from dgq_tpu.parallel.sharded_engine import shard_engine_params
+            from dgq_tpu.parallel.sharded_serving import paged_serving_fns
+
+            params = shard_engine_params(params, mesh)
+            self._f = paged_serving_fns(mesh)
+        else:
+            self._f = None
         self.params = params
         self.num_slots = num_slots
         self.max_len = max_len
@@ -371,7 +386,9 @@ class PagedBatcher:
             raise ValueError("num_pages must be >= 2 (null page + 1)")
         self.decode_steps = max(1, decode_steps)
 
-        self.cache = init_paged_cache(ecfg.cfg, num_slots, self.num_pages, page_size)
+        self.cache = self._fn("init_paged_cache")(
+            ecfg.cfg, num_slots, self.num_pages, page_size
+        )
         # host-side allocator state
         self.free: List[int] = list(range(self.num_pages - 1, 0, -1))  # stack; 0 reserved
         self.refs = np.zeros((self.num_pages,), np.int32)
@@ -409,6 +426,13 @@ class PagedBatcher:
         if use_kernel is None:
             use_kernel = jax.default_backend() not in ("cpu",)
         return cls(EngineConfig(cfg=cfg, use_kernel=use_kernel), eng, **kw)
+
+    def _fn(self, name: str):
+        """Device entry point by name: the shard_map-wrapped variant when
+        serving tensor-sharded, else this module's global."""
+        if self._f is not None:
+            return getattr(self._f, name)
+        return globals()[name]
 
     # -- allocator ----------------------------------------------------------
 
@@ -480,7 +504,7 @@ class PagedBatcher:
             )
         buf = np.zeros((padded,), np.int32)
         buf[: len(ids)] = ids
-        _, self.cache = paged_prefill(
+        _, self.cache = self._fn("paged_prefill")(
             self.ecfg, self.params, jnp.asarray(0, jnp.int32), jnp.asarray(buf),
             jnp.asarray(len(ids), jnp.int32), jnp.asarray(pages, jnp.int32),
             self.cache, write_slot=False,
@@ -564,7 +588,7 @@ class PagedBatcher:
             return False
         buf = np.zeros((padded,), np.int32)
         buf[: len(hist)] = hist
-        logits, self.cache = paged_prefill(
+        logits, self.cache = self._fn("paged_prefill")(
             self.ecfg, self.params, jnp.asarray(slot, jnp.int32), jnp.asarray(buf),
             jnp.asarray(len(hist), jnp.int32), jnp.asarray(pages, jnp.int32),
             self.cache,
@@ -611,7 +635,7 @@ class PagedBatcher:
         li = full
         if tail_used:
             dst = new_pages[0]
-            self.cache = copy_page(
+            self.cache = self._fn("copy_page")(
                 self.cache, jnp.asarray(pre["pages"][full], jnp.int32),
                 jnp.asarray(dst, jnp.int32),
             )
@@ -624,7 +648,7 @@ class PagedBatcher:
         # the remainder prefills at position n over the slot's paged view
         buf = np.zeros((rem_padded,), np.int32)
         buf[: len(rem)] = rem
-        logits, self.cache = paged_prefill_chunk(
+        logits, self.cache = self._fn("paged_prefill_chunk")(
             self.ecfg, self.params, jnp.asarray(slot, jnp.int32), jnp.asarray(buf),
             jnp.asarray(n, jnp.int32), jnp.asarray(len(rem), jnp.int32),
             jnp.asarray(self.table[slot], jnp.int32), self.cache,
@@ -709,7 +733,7 @@ class PagedBatcher:
             return
         active_mask = np.asarray([r is not None for r in self.slots])
         if steps > 1:
-            toks, self.cache = paged_decode_multi(
+            toks, self.cache = self._fn("paged_decode_multi")(
                 self.ecfg, self.params, jnp.asarray(self.next_tokens), self.cache,
                 jnp.asarray(self.table), jnp.asarray(active_mask), steps,
             )
@@ -726,7 +750,7 @@ class PagedBatcher:
                     self.next_tokens[slot] = tok
                     self._maybe_finish(slot)
             return
-        logits, self.cache = paged_decode_batched(
+        logits, self.cache = self._fn("paged_decode_batched")(
             self.ecfg, self.params, jnp.asarray(self.next_tokens), self.cache,
             jnp.asarray(self.table), jnp.asarray(active_mask),
         )

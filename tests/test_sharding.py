@@ -176,3 +176,34 @@ def test_tp_sharded_batcher_spec_and_multi(sharded_setup):
     want_spec = run(spec_k=3)
     got_spec = run(spec_k=3, mesh=make_mesh(dp=1, tp=2))
     assert got_spec == want_spec
+
+
+def test_tp_sharded_paged_batcher_matches_dense(sharded_setup):
+    """PagedBatcher(mesh=tp2): the page-pool serving path (prefill, chunked
+    prefix remainder, COW tail copy, decode multi) under shard_map emits the
+    dense paged batcher's exact greedy tokens."""
+    from dgq_tpu.serving.paged import PagedBatcher
+    from dgq_tpu.serving.scheduler import Request
+
+    cfg, eng = sharded_setup
+    ecfg = EngineConfig(cfg=cfg, use_kernel=False)
+    rng = np.random.default_rng(29)
+    prefix = rng.integers(0, cfg.vocab_size, size=12).astype(np.int32)
+    prompts = [
+        np.concatenate([prefix, rng.integers(0, cfg.vocab_size, size=5).astype(np.int32)]),
+        rng.integers(0, cfg.vocab_size, size=7).astype(np.int32),
+    ]
+
+    def run(**kw):
+        b = PagedBatcher(ecfg, eng, num_slots=2, max_len=64, page_size=8,
+                         decode_steps=2, **kw)
+        b.register_prefix(prefix)
+        for i, p in enumerate(prompts):
+            b.add_request(Request(uid=i, prompt_ids=p, max_new_tokens=5))
+        out = {r.uid: r.output_ids for r in b.run()}
+        assert b.prefix_hits == 1
+        return out
+
+    want = run()
+    got = run(mesh=make_mesh(dp=1, tp=2))
+    assert got == want, (got, want)
