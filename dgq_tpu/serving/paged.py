@@ -732,10 +732,19 @@ class PagedBatcher:
         if not self._ensure_decode_pages(steps):
             return
         active_mask = np.asarray([r is not None for r in self.slots])
+        # attention cost tracks ALLOCATED pages, not max_len: slice the table
+        # to the widest slot, bucketed to powers of two so the device program
+        # count stays log2(NP) (the dense cache always pays Smax here)
+        tw = 1
+        peak = int(self.n_pages.max()) if len(self.n_pages) else 1
+        while tw < peak:
+            tw *= 2
+        tw = min(tw, self.np_per_slot)
+        table_dev = jnp.asarray(self.table[:, :tw])
         if steps > 1:
             toks, self.cache = self._fn("paged_decode_multi")(
                 self.ecfg, self.params, jnp.asarray(self.next_tokens), self.cache,
-                jnp.asarray(self.table), jnp.asarray(active_mask), steps,
+                table_dev, jnp.asarray(active_mask), steps,
             )
             toks = np.asarray(toks)  # (steps, B)
             for slot in range(self.num_slots):
@@ -752,7 +761,7 @@ class PagedBatcher:
             return
         logits, self.cache = self._fn("paged_decode_batched")(
             self.ecfg, self.params, jnp.asarray(self.next_tokens), self.cache,
-            jnp.asarray(self.table), jnp.asarray(active_mask),
+            table_dev, jnp.asarray(active_mask),
         )
         greedy = np.asarray(jnp.argmax(logits, axis=-1), np.int32)
         for slot, req in enumerate(self.slots):
