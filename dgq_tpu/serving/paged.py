@@ -359,6 +359,7 @@ class PagedBatcher:
         num_pages: Optional[int] = None,
         decode_steps: int = 1,
         mesh=None,
+        max_recoveries: int = 3,
     ):
         if max_len % page_size != 0:
             raise ValueError(f"max_len {max_len} must be a multiple of page_size {page_size}")
@@ -406,6 +407,8 @@ class PagedBatcher:
         self._prefix: Optional[list] = None
         self.prefix_hits = 0
         self.preemptions = 0
+        self.max_recoveries = max_recoveries
+        self._recoveries = 0
         self._seed = 0
         import time as _time
 
@@ -542,9 +545,54 @@ class PagedBatcher:
         return out
 
     def step(self) -> None:
+        """One admit + decode pass.  Device failures (backend resets,
+        preemptions) are recovered like the dense batcher: the pool is
+        rebuilt, prefixes re-registered, and every live slot re-prefilled
+        from its request's host-side history, then the step retries."""
+        try:
+            self._step_inner()
+        except Exception:  # noqa: BLE001 — backend errors are not typed
+            self._recoveries += 1
+            if self._recoveries > self.max_recoveries:
+                raise
+            self._recover()
+            self._step_inner()
+
+    def _step_inner(self) -> None:
         self._admit()
         if any(r is not None for r in self.slots):
             self._decode()
+
+    def _recover(self) -> None:
+        """Rebuild device state from host history: fresh pool + allocator,
+        prefixes re-prefilled, every live slot re-admitted at its exact
+        position (prompt + consumed tokens; the pending next token is
+        host-side).  The page-table/refcount state is host-owned, so it is
+        reset wholesale and rebuilt through the normal admission path."""
+        live = [(s_, r) for s_, r in enumerate(self.slots) if r is not None]
+        prefixes = [p["ids"] for p in (self._prefix or [])]
+        self.cache = self._fn("init_paged_cache")(
+            self.ecfg.cfg, self.num_slots, self.num_pages, self.ps
+        )
+        self.free = list(range(self.num_pages - 1, 0, -1))
+        self.refs[:] = 0
+        self.table[:, :] = NULL_PAGE
+        self.n_pages[:] = 0
+        self.slots = [None] * self.num_slots
+        self._prefix = None
+        for ids in prefixes:
+            self.register_prefix(ids)
+        for s_, req in live:
+            assert req.output_ids, "live slot must have emitted a token"
+            req._preempt_hist = np.concatenate([
+                np.asarray(req.prompt_ids, np.int32),
+                np.asarray(req.output_ids[:-1], np.int32),
+            ])
+            req._preempt_next = int(self.next_tokens[s_])
+            if not self._admit_one(s_, req):
+                # pool can't fit the resume right now: back to the queue
+                req_hist = req
+                self.queue.appendleft(req_hist)
 
     def run(self) -> List[object]:
         while self.has_work:

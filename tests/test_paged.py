@@ -250,3 +250,44 @@ def test_paged_sampling_and_validation(paged_setup):
     fin = b.run()
     assert len(fin) == 1 and len(fin[0].output_ids) == 3
     assert all(0 <= t < cfg.vocab_size for t in fin[0].output_ids)
+
+
+def test_paged_batcher_recovers_from_device_failure(paged_setup, monkeypatch):
+    """A transient device error mid-decode rebuilds the pool/allocator and
+    re-prefills live slots from history; outputs match an undisturbed run
+    (incl. shared-prefix pages re-registered)."""
+    import dgq_tpu.serving.paged as paged_mod
+
+    cfg, eng, ecfg = paged_setup
+    rng = np.random.default_rng(31)
+    prefix = rng.integers(0, cfg.vocab_size, size=10).astype(np.int32)
+    prompts = [
+        np.concatenate([prefix, rng.integers(0, cfg.vocab_size, size=4).astype(np.int32)]),
+        rng.integers(0, cfg.vocab_size, size=7).astype(np.int32),
+    ]
+
+    def mk(**kw):
+        b = PagedBatcher(ecfg, eng, num_slots=2, max_len=64, page_size=8, **kw)
+        b.register_prefix(prefix)
+        for i, p in enumerate(prompts):
+            b.add_request(Request(uid=i, prompt_ids=p.copy(), max_new_tokens=6))
+        return b
+
+    want = {r.uid: r.output_ids for r in mk().run()}
+
+    real = paged_mod.paged_decode_batched
+    calls = {"n": 0}
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("FAILED_PRECONDITION: device rebooted (injected)")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(paged_mod, "paged_decode_batched", flaky)
+    b = mk()
+    got = {r.uid: r.output_ids for r in b.run()}
+    assert calls["n"] > 3
+    assert b._recoveries == 1
+    assert got == want, (got, want)
+    assert b.pages_in_use() == len(b._prefix[0]["pages"])  # only pinned prefix left
