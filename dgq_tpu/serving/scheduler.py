@@ -63,6 +63,7 @@ class ContinuousBatcher:
         spec_max_ngram: int = 3,
         max_recoveries: int = 3,
         mesh=None,
+        fns=None,
     ):
         """``prefill_chunk`` > 0 prefills prompts longer than the chunk in
         chunk-sized pieces, one chunk per scheduler step, so a long prompt
@@ -88,6 +89,8 @@ class ContinuousBatcher:
         (BASELINE config 4)."""
         self.ecfg = ecfg
         self._mesh = mesh
+        if mesh is not None and fns is not None:
+            raise ValueError("mesh and fns are mutually exclusive")
         if mesh is not None:
             from dgq_tpu.parallel.sharded_engine import shard_engine_params
             from dgq_tpu.parallel.sharded_serving import serving_fns
@@ -95,7 +98,10 @@ class ContinuousBatcher:
             params = shard_engine_params(params, mesh)
             self._f = serving_fns(mesh)
         else:
-            self._f = None
+            # ``fns`` makes the scheduler family-generic: all model
+            # specifics live in the device-fn namespace (e.g.
+            # serving/opt_batch_engine.opt_serving_fns)
+            self._f = fns
         self.params = params
         self.num_slots = num_slots
         self.max_len = max_len
