@@ -320,10 +320,12 @@ def int8_prefill_attention_xla(
 
 def int8_decode_attention_xla(
     q_s8, kt_cache, v_cache, length, q_scale, k_scale, v_scale,
-    apply_sqrt_dh=True, quant_pv=False,
+    apply_sqrt_dh=True, quant_pv=False, alibi_slopes=None,
 ) -> jax.Array:
     """XLA golden model for the decode kernel (also the use_kernel=False
-    engine path; quant_pv mirrors the kernel's INT8 p @ V bit-for-bit)."""
+    engine path; quant_pv mirrors the kernel's INT8 p @ V bit-for-bit;
+    alibi_slopes (H,) adds slope*key-position like the kernel's in-kernel
+    ALiBi — exact under softmax shift-invariance)."""
     b, h, dh = q_s8.shape
     _, hk, _, smax = kt_cache.shape
     rep = h // hk
@@ -335,6 +337,9 @@ def int8_decode_attention_xla(
     s32 = jnp.einsum("bgrd,bgds->bgrs", qg, kt_cache, preferred_element_type=jnp.int32)
     s = s32.astype(jnp.float32) * qk
     pos = jnp.arange(smax)[None, None, None, :]
+    if alibi_slopes is not None:
+        sl = jnp.asarray(alibi_slopes, jnp.float32).reshape(hk, rep)
+        s = s + sl[None, :, :, None] * pos.astype(jnp.float32)
     s = jnp.where(pos < lengths[:, None, None, None], s, jnp.finfo(jnp.float32).min)
     p = jax.nn.softmax(s, axis=-1)
     if quant_pv:

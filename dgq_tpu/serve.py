@@ -61,8 +61,36 @@ def build_parser():
 
 
 def build_server(args):
+    import json as _json
+
     from dgq_tpu.serving.scheduler import ContinuousBatcher
     from dgq_tpu.serving.server import BatcherServer
+
+    with open(args.checkpoint + ".json") as f:
+        arch = _json.load(f).get("arch", "llama")
+    if arch != "llama":
+        # non-LLaMA families ride the fns-based scheduler (family_batch_
+        # engine); llama-only features are rejected up front
+        if args.paged or args.tp > 1 or args.spec_k or args.admit_batch > 1:
+            raise SystemExit(
+                f"--paged/--tp/--spec-k/--admit-batch are LLaMA-only; "
+                f"checkpoint is {arch}"
+            )
+        from dgq_tpu.serving.family_batch_engine import batcher_from_checkpoint
+
+        _, batcher = batcher_from_checkpoint(
+            args.checkpoint, num_slots=args.slots, max_len=args.max_len,
+            prefill_pad=min(args.prefill_pad, args.max_len),
+            prefill_chunk=args.prefill_chunk, decode_steps=args.decode_steps,
+        )
+        for path in args.prefix or ():
+            with open(path) as f:
+                text = f.read().strip()
+            ids = (_json.loads(text) if text.startswith("[")
+                   else [int(t) for t in text.split()])
+            batcher.register_prefix(ids)
+            print(f"[dgq_tpu.serve] prefix cached: {len(ids)} tokens", flush=True)
+        return BatcherServer(batcher, host=args.host, port=args.port)
 
     mesh = None
     if args.tp > 1:
