@@ -50,8 +50,8 @@ def build_parser():
     p.add_argument("--paged", action="store_true",
                    help="paged KV cache (serving/paged.py): memory scales "
                         "with tokens in flight, prefixes share pool pages; "
-                        "composes with --tp; ignores --prefill-chunk/"
-                        "--admit-batch/--spec-k")
+                        "composes with --tp and --prefill-chunk (page-"
+                        "aligned); ignores --admit-batch/--spec-k")
     p.add_argument("--page-size", type=int, default=128,
                    help="tokens per KV page (paged mode)")
     p.add_argument("--num-pages", type=int, default=0,
@@ -100,11 +100,15 @@ def build_server(args):
     if args.paged:
         from dgq_tpu.serving.paged import PagedBatcher
 
+        chunk = args.prefill_chunk
+        if chunk % args.page_size != 0:
+            chunk = (chunk // args.page_size) * args.page_size  # page-align
         batcher = PagedBatcher.from_checkpoint(
             args.checkpoint, num_slots=args.slots, max_len=args.max_len,
             page_size=args.page_size,
             num_pages=args.num_pages or None,
             decode_steps=args.decode_steps, mesh=mesh,
+            prefill_chunk=chunk,
         )
     else:
         batcher = ContinuousBatcher.from_checkpoint(

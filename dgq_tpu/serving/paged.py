@@ -360,9 +360,15 @@ class PagedBatcher:
         decode_steps: int = 1,
         mesh=None,
         max_recoveries: int = 3,
+        prefill_chunk: int = 0,
     ):
         if max_len % page_size != 0:
             raise ValueError(f"max_len {max_len} must be a multiple of page_size {page_size}")
+        if prefill_chunk and prefill_chunk % page_size != 0:
+            raise ValueError(
+                f"prefill_chunk {prefill_chunk} must be a multiple of "
+                f"page_size {page_size} (chunk boundaries are page boundaries)"
+            )
         self.ecfg = ecfg
         self._mesh = mesh
         if mesh is not None:
@@ -407,6 +413,9 @@ class PagedBatcher:
         self._prefix: Optional[list] = None
         self.prefix_hits = 0
         self.preemptions = 0
+        self.prefill_chunk = prefill_chunk
+        # slot -> in-progress chunked prefill {"padded", "pos", "n", "resume"}
+        self.pending: dict = {}
         self.max_recoveries = max_recoveries
         self._recoveries = 0
         self._seed = 0
@@ -539,6 +548,7 @@ class PagedBatcher:
             "pages_in_use": self.pages_in_use(),
             "page_utilization": round(self.pages_in_use() / (self.num_pages - 1), 3),
             "preemptions": self.preemptions,
+            "prefills_pending": len(self.pending),
         }
         if self._prefix is not None:
             out["prefix_hits"] = self.prefix_hits
@@ -560,7 +570,9 @@ class PagedBatcher:
 
     def _step_inner(self) -> None:
         self._admit()
-        if any(r is not None for r in self.slots):
+        self._advance_pending()
+        if any(r is not None and s not in self.pending
+               for s, r in enumerate(self.slots)):
             self._decode()
 
     def _recover(self) -> None:
@@ -569,6 +581,11 @@ class PagedBatcher:
         position (prompt + consumed tokens; the pending next token is
         host-side).  The page-table/refcount state is host-owned, so it is
         reset wholesale and rebuilt through the normal admission path."""
+        for s_ in list(self.pending):
+            req = self.slots[s_]
+            self.slots[s_] = None
+            self.queue.appendleft(req)
+        self.pending.clear()
         live = [(s_, r) for s_, r in enumerate(self.slots) if r is not None]
         prefixes = [p["ids"] for p in (self._prefix or [])]
         self.cache = self._fn("init_paged_cache")(
@@ -628,6 +645,17 @@ class PagedBatcher:
             resume_token = req._preempt_next
         pre = None if resume_token is not None else self._match_prefix(hist)
         if pre is not None and self._admit_prefix(slot, req, pre):
+            return True
+        c = self.prefill_chunk
+        if c and len(hist) > c and -(-len(hist) // c) * c <= self.max_len:
+            # long prompt: one chunk per scheduler step (head-of-line bound),
+            # pages allocated lazily per chunk in _advance_pending; re-pad to
+            # a chunk multiple so every chunk holds >= 1 real token
+            padded_c = np.zeros((-(-len(hist) // c) * c,), np.int32)
+            padded_c[: len(hist)] = hist
+            self.slots[slot] = req
+            self.pending[slot] = {"padded": padded_c, "pos": 0,
+                                  "n": len(hist), "resume": resume_token}
             return True
         padded = -(-len(hist) // self.ps) * self.ps
         npg = padded // self.ps
@@ -709,6 +737,60 @@ class PagedBatcher:
         self._maybe_finish(slot)
         return True
 
+    def _advance_pending(self) -> None:
+        """Advance ONE chunked prefill by one chunk (pages allocated for
+        exactly that chunk — the paged analogue of the dense batcher's
+        head-of-line bound)."""
+        if not self.pending:
+            return
+        slot = next(iter(self.pending))
+        st = self.pending[slot]
+        req = self.slots[slot]
+        c = self.prefill_chunk
+        padded, pos = st["padded"], st["pos"]
+        end = min(pos + c, len(padded))
+        need_lp = -(-end // self.ps)  # logical pages covering [0, end)
+        add = need_lp - int(self.n_pages[slot])
+        if add > 0:
+            pages = self._alloc(add)
+            if pages is None:
+                if not self._preempt_one(exclude=slot):
+                    if not any(r is not None and s_ != slot
+                               for s_, r in enumerate(self.slots)):
+                        raise RuntimeError(
+                            f"pool of {self.num_pages - 1} pages cannot hold "
+                            f"one {self.prefill_chunk}-token prefill chunk"
+                        )
+                    return  # wait for decode to drain pages
+                pages = self._alloc(add)
+                if pages is None:
+                    return
+            np_s = int(self.n_pages[slot])
+            self.table[slot, np_s : np_s + add] = pages
+            self.n_pages[slot] = np_s + add
+        chunk = np.zeros((c,), np.int32)
+        chunk[: end - pos] = padded[pos:end]
+        valid = min(st["n"], end) - pos
+        assert valid >= 1, (pos, end, st["n"])
+        logits, self.cache = self._fn("paged_prefill_chunk")(
+            self.ecfg, self.params, jnp.asarray(slot, jnp.int32),
+            jnp.asarray(chunk), jnp.asarray(pos, jnp.int32),
+            jnp.asarray(valid, jnp.int32),
+            jnp.asarray(self.table[slot], jnp.int32), self.cache,
+        )
+        st["pos"] = end
+        if end >= len(padded):
+            del self.pending[slot]
+            if st["resume"] is not None:
+                req._preempt_hist = None
+                req._preempt_next = None
+                self.next_tokens[slot] = st["resume"]
+            else:
+                tok = self._pick_token(req, logits[None, :])
+                req.output_ids.append(tok)
+                self.next_tokens[slot] = tok
+                self._maybe_finish(slot)
+
     def _ensure_decode_pages(self, steps: int) -> bool:
         """Allocate pages so every active slot can append ``steps`` tokens.
         Preempts the youngest slot on exhaustion.  Returns False if nothing
@@ -717,7 +799,7 @@ class PagedBatcher:
             lens = np.asarray(self.cache.lengths)
             need: List[Tuple[int, int]] = []  # (slot, pages to add)
             for s, r in enumerate(self.slots):
-                if r is None:
+                if r is None or s in self.pending:
                     continue
                 last_lp = (int(lens[s]) + steps - 1) // self.ps
                 if last_lp >= self.np_per_slot:
@@ -736,12 +818,14 @@ class PagedBatcher:
             if not self._preempt_one():
                 return any(r is not None for r in self.slots)
 
-    def _preempt_one(self) -> bool:
+    def _preempt_one(self, exclude: int = -1) -> bool:
         """Evict the youngest active slot (fewest generated tokens): its
         pages free, its request re-queues carrying generation so far and
-        resumes by re-prefill (recompute preemption)."""
-        cands = [s for s, r in enumerate(self.slots) if r is not None]
-        if len(cands) <= 1:
+        resumes by re-prefill (recompute preemption).  Mid-chunked-prefill
+        slots restart from scratch (no generation to preserve)."""
+        cands = [s for s, r in enumerate(self.slots)
+                 if r is not None and s != exclude]
+        if not cands or (exclude < 0 and len(cands) <= 1):
             return False  # never preempt the last slot: it can't make progress otherwise
         s = min(cands, key=lambda i: len(self.slots[i].output_ids))
         req = self.slots[s]
@@ -752,6 +836,7 @@ class PagedBatcher:
         req._preempt_next = int(self.next_tokens[s]) if req.output_ids else None
         if req._preempt_next is None:
             req._preempt_hist = None
+        self.pending.pop(s, None)
         self._free_slot(s)
         self.cache = self.cache._replace(
             lengths=self.cache.lengths.at[s].set(0)
@@ -763,10 +848,12 @@ class PagedBatcher:
     def _decode(self) -> None:
         steps = self.decode_steps
         if steps > 1:
-            active = [r for r in self.slots if r is not None]
+            active = [r for s, r in enumerate(self.slots)
+                      if r is not None and s not in self.pending]
             lens = np.asarray(self.cache.lengths)
             if (
                 self.queue
+                or self.pending
                 or any(r.sampling is not None and not r.sampling.greedy for r in active)
                 # every step's append position must stay < max_len: past it,
                 # lengths // ps would index beyond the table (out-of-bounds
@@ -779,7 +866,10 @@ class PagedBatcher:
                 steps = 1
         if not self._ensure_decode_pages(steps):
             return
-        active_mask = np.asarray([r is not None for r in self.slots])
+        active_mask = np.asarray(
+            [r is not None and s not in self.pending
+             for s, r in enumerate(self.slots)]
+        )
         # attention cost tracks ALLOCATED pages, not max_len: slice the table
         # to the widest slot, bucketed to powers of two so the device program
         # count stays log2(NP) (the dense cache always pays Smax here)
@@ -797,7 +887,7 @@ class PagedBatcher:
             toks = np.asarray(toks)  # (steps, B)
             for slot in range(self.num_slots):
                 req = self.slots[slot]
-                if req is None:
+                if req is None or slot in self.pending:
                     continue
                 for i in range(steps):
                     if req.done:
@@ -813,7 +903,7 @@ class PagedBatcher:
         )
         greedy = np.asarray(jnp.argmax(logits, axis=-1), np.int32)
         for slot, req in enumerate(self.slots):
-            if req is None:
+            if req is None or slot in self.pending:
                 continue
             if req.sampling is None or req.sampling.greedy:
                 tok = int(greedy[slot])

@@ -291,3 +291,41 @@ def test_paged_batcher_recovers_from_device_failure(paged_setup, monkeypatch):
     assert b._recoveries == 1
     assert got == want, (got, want)
     assert b.pages_in_use() == len(b._prefix[0]["pages"])  # only pinned prefix left
+
+
+def test_paged_chunked_prefill_matches_whole(paged_setup):
+    """prefill_chunk in the paged batcher: long prompts advance one
+    page-aligned chunk per step with lazily-allocated pages; outputs match
+    the unchunked paged run and decode of other slots never stalls."""
+    cfg, eng, ecfg = paged_setup
+    rng = np.random.default_rng(41)
+    prompts = [
+        rng.integers(0, cfg.vocab_size, size=4).astype(np.int32),   # short
+        rng.integers(0, cfg.vocab_size, size=22).astype(np.int32),  # chunked
+        rng.integers(0, cfg.vocab_size, size=5).astype(np.int32),
+    ]
+
+    def run(**kw):
+        b = PagedBatcher(ecfg, eng, num_slots=3, max_len=64, page_size=8, **kw)
+        for i, p in enumerate(prompts):
+            b.add_request(Request(uid=i, prompt_ids=p, max_new_tokens=5))
+        return b, {r.uid: r.output_ids for r in b.run()}
+
+    _, want = run()
+    b, got = run(prefill_chunk=8)
+    assert got == want, (got, want)
+    assert b.pages_in_use() == 0
+
+    # no head-of-line stall: with the long prompt mid-chunk, short slots
+    # still decode every step
+    b2 = PagedBatcher(ecfg, eng, num_slots=3, max_len=64, page_size=8,
+                      prefill_chunk=8)
+    b2.add_request(Request(uid=0, prompt_ids=prompts[0], max_new_tokens=8))
+    b2.step()  # admit + first decode
+    b2.add_request(Request(uid=1, prompt_ids=prompts[1], max_new_tokens=2))
+    n0 = len(b2.slots[0].output_ids) if b2.slots[0] else 8
+    b2.step()  # long prompt chunk 1 + decode of slot 0
+    assert b2.pending  # still mid-prefill
+    n1 = len(b2.slots[0].output_ids) if b2.slots[0] else 8
+    assert n1 == n0 + 1  # slot 0 decoded during the chunk
+    b2.run()
