@@ -87,6 +87,25 @@ def main():
     print(f"serving metrics: {spec.metrics()}")
     print(f"prefix hits: {spec.prefix_hits}")
 
+    # -- paged KV serving -----------------------------------------------------
+    # memory scales with tokens in flight (pool of 128-token pages, here 8);
+    # prefixes share pool pages across slots instead of copying
+    from dgq_tpu.serving.paged import PagedBatcher
+
+    paged = PagedBatcher.from_checkpoint(
+        "/tmp/tiny_engine.safetensors", num_slots=4, max_len=64,
+        page_size=8, num_pages=24, decode_steps=2)
+    paged.register_prefix(system_prompt)
+    for uid, tail in enumerate(([3, 5, 3, 5], [7, 7, 2], [1, 2, 3])):
+        paged.add_request(Request(uid=20 + uid,
+                                  prompt_ids=np.asarray(system_prompt + tail, np.int32),
+                                  max_new_tokens=8))
+    for r in paged.run():
+        print(f"request {r.uid} (paged): {r.output_ids}")
+    m = paged.metrics()
+    print(f"paged metrics: pages={m['pages_in_use']}/{m['pages_total']} "
+          f"prefix_hits={m['prefix_hits']} preemptions={m['preemptions']}")
+
 
 if __name__ == "__main__":
     main()
