@@ -1,0 +1,32 @@
+#!/bin/bash
+# One-command TPU revalidation after a tunnel outage (run from repo root).
+# Sequence matters: probe first (a wedged tunnel hangs even trivial work),
+# then ONE TPU process at a time, each under timeout.  See
+# ROADMAP.md "Round-2 decode attribution" for the measurement rules.
+set -u
+cd "$(dirname "$0")/.."
+
+echo "== 1/5 tunnel probe (tiny matmul) =="
+timeout 180 python - <<'EOF' || { echo "TUNNEL WEDGED - aborting"; exit 1; }
+import time, jax, jax.numpy as jnp
+t0 = time.time()
+y = jax.jit(lambda a: a @ a)(jnp.ones((256, 256), jnp.bfloat16))
+print("probe ok:", float(jax.device_get(y[0, 0])), jax.devices()[0].device_kind,
+      f"{time.time()-t0:.1f}s")
+EOF
+
+echo "== 2/5 TP=1-mesh kernel smoke (shard_map + real kernels on chip) =="
+timeout 600 python scripts/tp1_kernel_smoke.py || echo "tp1 smoke FAILED"
+
+echo "== 3/5 paged vs dense decode attention (B=8, 2k ctx) =="
+timeout 900 python scripts/bench_paged.py --batch 8 --max-len 2048 \
+  --steps 16 --layers 2 --skip-step || echo "bench_paged attention FAILED"
+
+echo "== 4/5 paged vs dense batched decode step (7B shapes, 2 layers) =="
+timeout 900 python scripts/bench_paged.py --batch 8 --max-len 2048 \
+  --steps 16 --layers 2 --occupied 256 --skip-attention \
+  || echo "bench_paged step FAILED"
+
+echo "== 5/5 driver benchmark (GEMM roofline + decode) =="
+timeout 3000 python bench.py || echo "bench.py FAILED"
+echo "done"
