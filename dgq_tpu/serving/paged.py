@@ -496,6 +496,29 @@ class PagedBatcher:
     def has_work(self) -> bool:
         return bool(self.queue) or any(r is not None for r in self.slots)
 
+    def cancel(self, uid: int) -> bool:
+        """Cancel a request by uid (queued, mid-prefill, or decoding); its
+        pages release back to the pool immediately.  Same contract as
+        ContinuousBatcher.cancel."""
+        for i, r in enumerate(self.queue):
+            if r.uid == uid:
+                del self.queue[i]
+                return self._finish_cancelled(r)
+        for s, r in enumerate(self.slots):
+            if r is not None and r.uid == uid:
+                self.pending.pop(s, None)
+                self._free_slot(s)
+                return self._finish_cancelled(r)
+        return False
+
+    def _finish_cancelled(self, req) -> bool:
+        req.done = True
+        req.cancelled = True
+        self.finished.append(req)
+        self._finished_count += 1
+        self._finished_tokens += len(req.output_ids)
+        return True
+
     def register_prefix(self, prefix_ids) -> None:
         """Prefill ``prefix_ids`` ONCE into pool pages; admitted prompts
         starting with it share those pages (full pages by reference, the

@@ -45,6 +45,7 @@ class Request:
     # filled in by the scheduler:
     output_ids: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
+    cancelled: bool = False
 
 
 class ContinuousBatcher:
@@ -266,6 +267,31 @@ class ContinuousBatcher:
         self.next_tokens[slot] = tok
         self.prefix_hits += 1
         self._maybe_finish(slot)
+        return True
+
+    def cancel(self, uid: int) -> bool:
+        """Cancel a request by uid, wherever it is: still queued, mid
+        chunked-prefill, or actively decoding.  The request is finished
+        immediately with ``cancelled=True`` and whatever tokens it has
+        produced so far; its slot (if any) frees for the next admit.
+        Returns False when the uid is unknown or already finished."""
+        for i, r in enumerate(self.queue):
+            if r.uid == uid:
+                del self.queue[i]
+                return self._finish_cancelled(r)
+        for s, r in enumerate(self.slots):
+            if r is not None and r.uid == uid:
+                self.slots[s] = None  # freed; next admit re-prefills from 0
+                self.pending.pop(s, None)
+                return self._finish_cancelled(r)
+        return False
+
+    def _finish_cancelled(self, req: Request) -> bool:
+        req.done = True
+        req.cancelled = True
+        self.finished.append(req)
+        self._finished_count += 1
+        self._finished_tokens += len(req.output_ids)
         return True
 
     def metrics(self) -> dict:

@@ -329,3 +329,23 @@ def test_paged_chunked_prefill_matches_whole(paged_setup):
     n1 = len(b2.slots[0].output_ids) if b2.slots[0] else 8
     assert n1 == n0 + 1  # slot 0 decoded during the chunk
     b2.run()
+
+
+def test_paged_cancel_releases_pages(paged_setup):
+    """Cancelling an active paged request returns its pages to the pool."""
+    cfg, eng, ecfg = paged_setup
+    b = PagedBatcher(ecfg, eng, num_slots=2, max_len=32, page_size=8)
+    p = np.arange(6, dtype=np.int32) % cfg.vocab_size
+    r0 = Request(uid=0, prompt_ids=p, max_new_tokens=20)
+    b.add_request(r0)
+    b.step()
+    assert b.pages_in_use() > 0 and r0.output_ids
+    assert b.cancel(0)
+    assert r0.cancelled
+    assert b.pages_in_use() == 0
+    assert not b.has_work
+    # pool fully usable afterwards
+    b.add_request(Request(uid=1, prompt_ids=p, max_new_tokens=3))
+    done = b.run()
+    assert [r.uid for r in done if r.uid == 1]
+    assert b.pages_in_use() == 0

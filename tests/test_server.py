@@ -172,3 +172,58 @@ def test_serve_cli_paged(engine, tmp_path):
             assert resp["done"] and len(resp["output_ids"]) == 6
             m = _rpc(f, s, {"op": "metrics"})
             assert m["pages_total"] > 0 and m["prefix_hits"] == 1
+
+
+def test_server_streaming(engine):
+    """stream:true delivers partial token lines whose concatenation equals
+    the non-streamed greedy output."""
+    cfg, eng = engine
+    prompt = [3, 5, 3, 5, 3, 5]
+    ref_b = _batcher(cfg, eng)
+    ref_b.add_request(Request(uid=0, prompt_ids=np.asarray(prompt, np.int32),
+                              max_new_tokens=8))
+    ref = ref_b.run()[0].output_ids
+
+    with BatcherServer(_batcher(cfg, eng)) as srv:
+        with socket.create_connection((srv.host, srv.port), timeout=60) as s:
+            f = s.makefile("r")
+            s.sendall((json.dumps({"prompt_ids": prompt, "max_new_tokens": 8,
+                                   "stream": True}) + "\n").encode())
+            partial, lines = [], []
+            while True:
+                msg = json.loads(f.readline())
+                lines.append(msg)
+                partial.extend(msg.get("token_ids", []))
+                if msg["done"]:
+                    break
+            assert partial == ref, (partial, ref)
+            assert lines[-1]["output_ids"] == ref
+            assert any(not m["done"] for m in lines)  # actually streamed
+
+
+def test_server_cancel(engine):
+    """op:cancel finishes an in-flight request early with cancelled:true."""
+    cfg, eng = engine
+    with BatcherServer(_batcher(cfg, eng)) as srv:
+        with socket.create_connection((srv.host, srv.port), timeout=60) as s:
+            f = s.makefile("r")
+            s.sendall((json.dumps({"prompt_ids": [3, 5, 3, 5],
+                                   "max_new_tokens": 50,
+                                   "stream": True}) + "\n").encode())
+            first = json.loads(f.readline())  # at least one token decoded
+            assert not first["done"]
+            s.sendall((json.dumps({"op": "cancel", "uid": first["uid"]})
+                       + "\n").encode())
+            got_ack = got_final = None
+            while got_ack is None or got_final is None:
+                msg = json.loads(f.readline())
+                if "cancelled_ok" in msg:
+                    got_ack = msg
+                elif msg.get("done"):
+                    got_final = msg
+            assert got_ack["cancelled_ok"] is True
+            assert got_final["cancelled"] is True
+            assert len(got_final["output_ids"]) < 50
+            # unknown uid cancel is a clean no-op
+            resp = _rpc(f, s, {"op": "cancel", "uid": 12345})
+            assert resp["cancelled_ok"] is False

@@ -381,3 +381,35 @@ def test_batcher_recovers_from_device_failure(serving_setup, monkeypatch):
     assert calls["n"] > 3  # the failure actually fired and work continued
     assert flaky_b._recoveries == 1
     assert got == want, (got, want)
+
+
+def test_batcher_cancel_queued_and_active(serving_setup):
+    """cancel() finishes a queued request untouched and frees an active
+    slot mid-generation; remaining requests are unaffected."""
+    cfg, eng, ecfg = serving_setup
+    b = ContinuousBatcher(ecfg, eng, num_slots=1, max_len=64, prefill_pad=16)
+    p = np.asarray([3, 5, 3, 5], np.int32)
+    r0 = Request(uid=0, prompt_ids=p, max_new_tokens=30)
+    r1 = Request(uid=1, prompt_ids=p, max_new_tokens=4)  # stays queued (1 slot)
+    b.add_request(r0)
+    b.add_request(r1)
+    b.step()  # r0 admitted + first decode
+    assert b.cancel(1)  # cancel while queued
+    assert r1.cancelled and r1.done and r1.output_ids == []
+    n_before = len(r0.output_ids)
+    assert n_before >= 1
+    assert b.cancel(0)  # cancel while decoding
+    assert r0.cancelled and len(r0.output_ids) == n_before
+    assert not b.cancel(0)  # already finished
+    assert not b.cancel(99)  # unknown uid
+    assert not b.has_work
+    assert {r.uid for r in b.finished} == {0, 1}
+    assert b.metrics()["requests_finished"] == 2
+
+    # the freed slot serves a new request normally
+    ref = ContinuousBatcher(ecfg, eng, num_slots=1, max_len=64, prefill_pad=16)
+    ref.add_request(Request(uid=5, prompt_ids=p, max_new_tokens=4))
+    want = ref.run()[0].output_ids
+    b.add_request(Request(uid=2, prompt_ids=p, max_new_tokens=4))
+    got = b.run()
+    assert [r for r in got if r.uid == 2][0].output_ids == want
