@@ -60,6 +60,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="path to mmlu jsonl, 'sample' for the vendored sample, or 'no'")
     p.add_argument("--inference_mod", action="store_true",
                    help="convert to the real-quant INT8 engine after load")
+    p.add_argument("--save_engine", type=str, default="",
+                   help="after --inference_mod: save the converted INT8 "
+                        "engine (safetensors) for serving startup")
+    p.add_argument("--save_engine_sharded", type=str, default="",
+                   help="after --inference_mod: save the converted INT8 "
+                        "engine as an orbax/tensorstore sharded checkpoint "
+                        "directory (multi-host: each host writes its shards)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (calibration/fake-quant eval "
+                        "run fine on CPU; useful when the TPU is busy)")
     p.add_argument("--eval_samples", type=int, default=None, help="cap ppl windows")
     p.add_argument("--data_path", type=str, default=None)
     p.add_argument("--calib_dp", type=int, default=1,
@@ -221,6 +231,10 @@ def _fp_qs():
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.cpu:
+        # env-var pinning alone is not enough when a TPU plugin re-pins the
+        # platform programmatically; the config update always wins
+        jax.config.update("jax_platforms", "cpu")
     params, cfg, arch, model_dir = prepare_model(args.model, args.seed)
     qcfg = generate_qconfig(args)
     print(f"[dgq_tpu] arch={arch} qconfig={qcfg}")
@@ -286,6 +300,19 @@ def main(argv=None):
             print(f"[dgq_tpu] no INT8 engine for {arch} (fake-quant only)")
         if engine_state is not None:
             print("[dgq_tpu] converted to INT8 engine")
+            if args.save_engine:
+                from dgq_tpu.utils.checkpoint import save_engine
+
+                save_engine(args.save_engine, engine_state[1], cfg, arch=arch)
+                print(f"[dgq_tpu] saved engine {args.save_engine}")
+            if args.save_engine_sharded:
+                from dgq_tpu.utils.checkpoint import save_engine_sharded
+
+                save_engine_sharded(args.save_engine_sharded, engine_state[1],
+                                    cfg, arch=arch)
+                print(f"[dgq_tpu] saved sharded engine {args.save_engine_sharded}")
+    elif args.save_engine or args.save_engine_sharded:
+        print("[dgq_tpu] --save_engine* requires --inference_mod; ignoring")
 
     if args.eval:
         apply_fn = apply_fn_for(arch, cfg)

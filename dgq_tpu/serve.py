@@ -57,6 +57,8 @@ def build_parser():
     p.add_argument("--num-pages", type=int, default=0,
                    help="KV pool pages incl. the null page (paged mode); "
                         "0 = dense-equivalent capacity (slots x max-len)")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (XLA fallback engine paths)")
     return p
 
 
@@ -131,6 +133,10 @@ def build_server(args):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     srv = build_server(args)
     print(f"[dgq_tpu.serve] listening on {srv.host}:{srv.port} "
           f"(slots={args.slots}, max_len={args.max_len}, spec_k={args.spec_k})",

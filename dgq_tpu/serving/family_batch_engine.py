@@ -466,9 +466,9 @@ def batcher_from_checkpoint(path: str, *, use_kernel=None, **kw):
     feature set; other families the fns-based scheduler)."""
     import json as _json
 
-    from dgq_tpu.utils.checkpoint import load_engine
+    from dgq_tpu.utils.checkpoint import load_engine_any
 
-    eng, cfg = load_engine(path)
+    eng, cfg = load_engine_any(path)
     with open(path + ".json") as f:
         arch = _json.load(f).get("arch", "llama")
     if use_kernel is None:

@@ -428,9 +428,9 @@ class PagedBatcher:
         """Serving startup straight from a ``save_engine`` checkpoint
         (mirror of ContinuousBatcher.from_checkpoint)."""
         from dgq_tpu.models.llama import LlamaConfig
-        from dgq_tpu.utils.checkpoint import load_engine
+        from dgq_tpu.utils.checkpoint import load_engine_any
 
-        eng, cfg = load_engine(path)
+        eng, cfg = load_engine_any(path, mesh=kw.get("mesh"))
         if not isinstance(cfg, LlamaConfig):
             raise ValueError(
                 f"PagedBatcher serves the LLaMA engine; checkpoint is {type(cfg).__name__}"

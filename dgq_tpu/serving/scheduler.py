@@ -150,9 +150,9 @@ class ContinuousBatcher:
         import jax as _jax
 
         from dgq_tpu.models.llama import LlamaConfig
-        from dgq_tpu.utils.checkpoint import load_engine
+        from dgq_tpu.utils.checkpoint import load_engine_any
 
-        eng, cfg = load_engine(path)
+        eng, cfg = load_engine_any(path, mesh=kw.get("mesh"))
         if not isinstance(cfg, LlamaConfig):
             raise ValueError(
                 f"ContinuousBatcher serves the LLaMA engine; checkpoint is {type(cfg).__name__}"

@@ -361,6 +361,16 @@ def load_engine_sharded(path: str, mesh=None):
     raise ValueError(f"unknown arch {arch!r}")
 
 
+def load_engine_any(path: str, mesh=None):
+    """Engine-checkpoint loader dispatch: a directory is an orbax
+    ``save_engine_sharded`` checkpoint (``mesh`` restores leaves directly
+    into their TP shardings), a file is a ``save_engine`` safetensors
+    checkpoint (``mesh`` ignored; shard after load)."""
+    if os.path.isdir(path):
+        return load_engine_sharded(path, mesh=mesh)
+    return load_engine(path)
+
+
 def _rebuild_namedtuple(cls, tensors, prefix: str = ""):
     """Reconstruct a (possibly nested) NamedTuple pytree from flat
     ``a/b/c``-keyed tensors; missing keys (Optional fields saved as None)

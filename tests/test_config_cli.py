@@ -65,3 +65,25 @@ def test_cli_no_quant_modes():
     q = generate_qconfig(args)
     assert q.act_quant is None and q.wt_quant is None
     assert not q.actq and not q.wtq
+
+
+def test_cli_save_engine_sharded_then_serve(tmp_path):
+    """Full CLI pipeline: tiny fixture -> PTQ -> --inference_mod ->
+    --save_engine_sharded DIR, then serving starts from the orbax dir via
+    the same from_checkpoint entry point as safetensors checkpoints."""
+    import numpy as np
+
+    from dgq_tpu.entry import main
+    from dgq_tpu.serving.scheduler import ContinuousBatcher, Request
+
+    d = str(tmp_path / "eng_orbax")
+    main(
+        f"tiny:llama synthetic --wt_fun search --w4w8 --kvquant --groupsize 32 "
+        f"--nsamples 2 --inference_mod --save_engine_sharded {d}".split()
+    )
+    b = ContinuousBatcher.from_checkpoint(d, use_kernel=False, num_slots=2,
+                                          max_len=64, prefill_pad=16)
+    b.add_request(Request(uid=0, prompt_ids=np.asarray([3, 5, 3, 5], np.int32),
+                          max_new_tokens=4))
+    out = b.run()[0].output_ids
+    assert len(out) == 4
