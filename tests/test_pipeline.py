@@ -1,0 +1,86 @@
+"""Pipeline parallelism: pp (and pp x tp) engine forward vs the dense engine.
+
+Runs on the virtual 8-CPU mesh (conftest).  The correctness contract is the
+sharding spec (SURVEY §2.3): pipeline-parallel prefill and decode must
+reproduce the single-device engine's logits and cache.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dgq_tpu.models.engine import EngineConfig, engine_forward, init_kv_cache
+from dgq_tpu.models.llama import tiny_llama_config
+from dgq_tpu.models.synthetic import build_llama_engine
+from dgq_tpu.parallel.pipeline import (
+    make_pp_mesh,
+    pp_engine_forward,
+    pp_shard_engine_params,
+    pp_shard_kv_cache,
+)
+
+
+@pytest.fixture(scope="module")
+def pp_setup():
+    # hidden 512 keeps row-parallel K/tp=2 span-aligned (2*groupsize=256);
+    # 4 layers so pp in {2, 4} divides L
+    cfg = tiny_llama_config(
+        hidden_size=512, intermediate_size=1024, num_hidden_layers=4,
+        num_attention_heads=4, num_key_value_heads=4,
+    )
+    eng = build_llama_engine(cfg)
+    ecfg = EngineConfig(cfg=cfg, use_kernel=False)
+    return cfg, eng, ecfg
+
+
+def _dense_reference(cfg, eng, ecfg, ids, max_len):
+    cache = init_kv_cache(cfg, ids.shape[0], max_len)
+    logits, cache = engine_forward(ecfg, eng, ids, cache)
+    nxt = jnp.argmax(logits[:, -1:, :], axis=-1).astype(jnp.int32)
+    logits2, cache = engine_forward(ecfg, eng, nxt, cache)
+    return logits, logits2, cache
+
+
+@pytest.mark.parametrize("pp,tp,M", [(4, 1, 4), (2, 2, 2), (2, 1, 4)])
+def test_pp_forward_matches_dense(pp_setup, pp, tp, M):
+    cfg, eng, ecfg = pp_setup
+    B, S, max_len = 4, 8, 32
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, S)), jnp.int32)
+
+    want1, want2, want_cache = _dense_reference(cfg, eng, ecfg, ids, max_len)
+
+    mesh = make_pp_mesh(pp, tp)
+    eng_sh = pp_shard_engine_params(eng, mesh)
+    cache = pp_shard_kv_cache(init_kv_cache(cfg, B, max_len), mesh)
+
+    logits, cache = pp_engine_forward(ecfg, eng_sh, ids, cache, mesh, microbatches=M)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(want1),
+                               rtol=2e-4, atol=2e-4)
+    assert int(cache.length) == S
+
+    # decode step continues from the pipeline-parallel cache
+    nxt = jnp.argmax(logits[:, -1:, :], axis=-1).astype(jnp.int32)
+    logits2, cache = pp_engine_forward(ecfg, eng_sh, nxt, cache, mesh, microbatches=M)
+    np.testing.assert_allclose(np.asarray(logits2), np.asarray(want2),
+                               rtol=2e-4, atol=2e-4)
+    assert int(cache.length) == S + 1
+
+    # the KV cache matches the dense engine's (pp shards hold real state)
+    np.testing.assert_array_equal(np.asarray(cache.k), np.asarray(want_cache.k))
+    np.testing.assert_array_equal(np.asarray(cache.v), np.asarray(want_cache.v))
+
+
+def test_pp_validation(pp_setup):
+    cfg, eng, ecfg = pp_setup
+    mesh = make_pp_mesh(3, 1)  # 4 layers % 3 != 0
+    with pytest.raises(ValueError, match="not divisible by pp"):
+        pp_shard_engine_params(eng, mesh)
+
+    mesh = make_pp_mesh(2, 1)
+    eng_sh = pp_shard_engine_params(eng, mesh)
+    cache = pp_shard_kv_cache(init_kv_cache(cfg, 4, 32), mesh)
+    ids = jnp.zeros((3, 4), jnp.int32)  # 3 % microbatches(2) != 0
+    with pytest.raises(ValueError, match="not divisible by microbatches"):
+        pp_engine_forward(ecfg, eng_sh, ids, cache, mesh, microbatches=2)
