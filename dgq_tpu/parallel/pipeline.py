@@ -128,6 +128,72 @@ def pp_shard_kv_cache(cache: KVCache, mesh: Mesh) -> KVCache:
     )
 
 
+def pp_layer_pipeline(pp: int, M: int, layer_body, layers_l, x, k_c, v_c,
+                      extras=None):
+    """Generic GPipe tick loop.  Runs INSIDE shard_map with a 'pp' axis.
+
+    ``layer_body(x_mb, layer, k_layer, v_layer, extras_mb) -> (x_mb,
+    k_layer, v_layer)`` is applied per local layer by an inner lax.scan.
+
+    x: (B, ...) activations (batch axis 0), B % M == 0;
+    k_c/v_c: (Llocal, B, ...) caches (batch axis 1);
+    extras: optional pytree of (B, ...) per-slot side inputs (lengths,
+    per-slot rope), microbatch-sliced along axis 0.
+
+    Returns (final (B, ...) activations — meaningful on the LAST 'pp'
+    rank — and the updated local caches).  Bubble ticks compute but mask
+    their cache writes.
+    """
+    B = x.shape[0]
+    mb = B // M
+    T = pp + M - 1
+    rank = lax.axis_index("pp")
+    xs = x.reshape(M, mb, *x.shape[1:])
+
+    def inner(x_mb, k_mb, v_mb, ex_mb):
+        def body(xc, layer_and_cache):
+            layer, k_l, v_l = layer_and_cache
+            xc, k_l, v_l = layer_body(xc, layer, k_l, v_l, ex_mb)
+            return xc, (k_l, v_l)
+
+        out, (k_new, v_new) = lax.scan(body, x_mb, (layers_l, k_mb, v_mb))
+        return out, k_new, v_new
+
+    def tick(carry, t):
+        buf, k_c, v_c = carry
+        m = t - rank  # microbatch this rank works on at tick t
+        valid = (m >= 0) & (m < M)
+        mc = jnp.clip(m, 0, M - 1)
+        # rank 0 ingests its scheduled microbatch; others take the
+        # activation that arrived over the ring
+        inp = jnp.where(rank == 0, xs[jnp.clip(t, 0, M - 1)], buf)
+        k_mb = lax.dynamic_slice_in_dim(k_c, mc * mb, mb, axis=1)
+        v_mb = lax.dynamic_slice_in_dim(v_c, mc * mb, mb, axis=1)
+        ex_mb = (
+            None if extras is None
+            else jax.tree.map(
+                lambda a: lax.dynamic_slice_in_dim(a, mc * mb, mb, axis=0), extras
+            )
+        )
+        out, k_new, v_new = inner(inp, k_mb, v_mb, ex_mb)
+        # bubble ticks must not touch the cache
+        k_c = lax.dynamic_update_slice_in_dim(
+            k_c, jnp.where(valid, k_new, k_mb), mc * mb, axis=1
+        )
+        v_c = lax.dynamic_update_slice_in_dim(
+            v_c, jnp.where(valid, v_new, v_mb), mc * mb, axis=1
+        )
+        nxt = lax.ppermute(out, "pp", [(r, (r + 1) % pp) for r in range(pp)])
+        return (nxt, k_c, v_c), out
+
+    (_, k_c, v_c), outs = lax.scan(
+        tick, (jnp.zeros_like(xs[0]), k_c, v_c), jnp.arange(T)
+    )
+    # on the LAST rank, outs[pp-1 + m] is microbatch m's final activation
+    final = outs[pp - 1 : pp - 1 + M].reshape(B, *x.shape[1:])
+    return final, k_c, v_c
+
+
 def pp_engine_forward(
     ecfg: EngineConfig,
     params: EngineParams,
@@ -150,21 +216,17 @@ def pp_engine_forward(
     b, s = input_ids.shape
     if b % M != 0:
         raise ValueError(f"batch {b} not divisible by microbatches={M}")
-    mb = b // M
-    T = pp + M - 1
 
     ecfg_local = dataclasses.replace(ecfg, tp_axis="tp" if tp > 1 else None)
     pspecs = pp_engine_param_specs(params)
     cspecs = pp_kv_cache_specs()
 
     def local_step(params_l, ids, k_c, v_c, length):
-        rank = lax.axis_index("pp")
         smax = k_c.shape[4]
         d = params_l.embed_tokens.shape[1]
 
         # prologue (replicated compute: embeddings/norms are small)
         x = params_l.embed_tokens[ids].astype(jnp.float32)  # (B, S, D)
-        xs = x.reshape(M, mb, s, d)
         positions = length + jnp.arange(s)
         pos_cos, pos_sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta, jnp.float32)
         i = (length + jnp.arange(s))[:, None]
@@ -172,42 +234,14 @@ def pp_engine_forward(
         mask = jnp.where(j <= i, 0.0, jnp.finfo(jnp.float32).min)
         bm = ecfg.bm_prefill if s > 8 else ecfg.bm_decode
 
-        def layer_scan(x_mb, k_mb, v_mb):
-            def body(xc, layer_and_cache):
-                layer, k_l, v_l = layer_and_cache
-                xc, k_l, v_l = _block(
-                    ecfg_local, layer, xc, k_l, v_l, length, pos_cos, pos_sin, mask, bm
-                )
-                return xc, (k_l, v_l)
-
-            return lax.scan(body, x_mb, (params_l.layers, k_mb, v_mb))
-
-        def tick(carry, t):
-            buf, k_c, v_c = carry
-            m = t - rank  # microbatch this rank works on at tick t
-            valid = (m >= 0) & (m < M)
-            mc = jnp.clip(m, 0, M - 1)
-            # rank 0 ingests its scheduled microbatch; others take the
-            # activation that arrived over the ring
-            inp = jnp.where(rank == 0, xs[jnp.clip(t, 0, M - 1)], buf)
-            k_mb = lax.dynamic_slice_in_dim(k_c, mc * mb, mb, axis=1)
-            v_mb = lax.dynamic_slice_in_dim(v_c, mc * mb, mb, axis=1)
-            out, (k_new, v_new) = layer_scan(inp, k_mb, v_mb)
-            # bubble ticks must not touch the cache
-            k_c = lax.dynamic_update_slice_in_dim(
-                k_c, jnp.where(valid, k_new, k_mb), mc * mb, axis=1
+        def layer_body(xc, layer, k_l, v_l, _ex):
+            return _block(
+                ecfg_local, layer, xc, k_l, v_l, length, pos_cos, pos_sin, mask, bm
             )
-            v_c = lax.dynamic_update_slice_in_dim(
-                v_c, jnp.where(valid, v_new, v_mb), mc * mb, axis=1
-            )
-            nxt = lax.ppermute(out, "pp", [(r, (r + 1) % pp) for r in range(pp)])
-            return (nxt, k_c, v_c), out
 
-        (_, k_c, v_c), outs = lax.scan(
-            tick, (jnp.zeros((mb, s, d), jnp.float32), k_c, v_c), jnp.arange(T)
+        final, k_c, v_c = pp_layer_pipeline(
+            pp, M, layer_body, params_l.layers, x.reshape(b, s, d), k_c, v_c
         )
-        # on the LAST rank, outs[pp-1 + m] is microbatch m's final activation
-        final = outs[pp - 1 : pp - 1 + M].reshape(b, s, d)
         x = rms_norm(final, params_l.norm_weight.astype(final.dtype), cfg.rms_norm_eps)
         logits = jnp.einsum("bsd,vd->bsv", x, params_l.lm_head.astype(x.dtype))
         # every rank computes the epilogue SPMD-uniformly; only the last

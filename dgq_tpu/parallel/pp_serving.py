@@ -1,0 +1,251 @@
+"""Pipeline-parallel continuous batching.
+
+`pp_serving_fns(mesh)` is a drop-in device-fn namespace for
+``ContinuousBatcher(fns=...)`` (serving/scheduler.py): the same host
+scheduler drives a model whose layers are sharded over a ('pp', 'tp') mesh
+(parallel/pipeline.py).  Decode runs the B slots as pp microbatches through
+the GPipe tick schedule — in the steady state every stage decodes a
+microbatch per tick, so pipeline decode throughput approaches the dense
+single-stage rate while the model is P times bigger than one stage's
+memory.  Prefill programs run a single sequence (one microbatch) straight
+through the stages — correct, utilization 1/P; chunked prefill still bounds
+head-of-line latency.
+
+Intended placement (BASELINE config 5): 'tp' inside a host over ICI, 'pp'
+across hosts over DCN — each inter-host transfer is one microbatch
+activation per tick.  No reference counterpart (single GPU, SURVEY §2.3).
+
+Usage:
+    mesh = make_pp_mesh(pp=2, tp=2)
+    eng_pp = pp_shard_engine_params(eng, mesh)
+    b = ContinuousBatcher(ecfg, eng_pp, fns=pp_serving_fns(mesh), ...)
+
+Speculative decoding and batched admission are not pipelined yet — build
+the batcher with spec_k=0, admit_batch=1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from types import SimpleNamespace
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dgq_tpu.models.engine import EngineConfig, _block
+from dgq_tpu.models.llama import rms_norm, rope_cos_sin
+from dgq_tpu.parallel.pipeline import pp_engine_param_specs, pp_layer_pipeline
+from dgq_tpu.serving import batch_engine as be
+from dgq_tpu.serving.batch_engine import BatchedKVCache, _decode_block_batched
+
+R = P()
+
+
+def pp_batched_cache_specs() -> BatchedKVCache:
+    # (L, B, Hkv, ...): layers over 'pp', kv heads over 'tp'
+    return BatchedKVCache(
+        k=P("pp", None, "tp", None, None),
+        v=P("pp", None, "tp", None, None),
+        lengths=R,
+    )
+
+
+def pp_serving_fns(mesh: Mesh) -> SimpleNamespace:
+    pp = mesh.shape["pp"]
+    tp = mesh.shape.get("tp", 1)
+    cs = pp_batched_cache_specs()
+
+    def _local_ecfg(ecfg: EngineConfig) -> EngineConfig:
+        return dataclasses.replace(ecfg, tp_axis="tp" if tp > 1 else None)
+
+    def _shmap(local, in_specs, out_specs):
+        return jax.shard_map(
+            local, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
+
+    def init_batched_cache(cfg, batch: int, max_len: int) -> BatchedKVCache:
+        c = be.init_batched_cache(cfg, batch, max_len)
+        return BatchedKVCache(
+            k=jax.device_put(c.k, NamedSharding(mesh, cs.k)),
+            v=jax.device_put(c.v, NamedSharding(mesh, cs.v)),
+            lengths=jax.device_put(c.lengths, NamedSharding(mesh, cs.lengths)),
+        )
+
+    # -- prefill (single sequence: one microbatch through the stages) -------
+
+    def _prefill_local(ecfg, params_l, slot_idx, chunk_ids, start, valid,
+                       k_c, v_c, lengths):
+        """Shared body for whole-prompt and chunked prefill: run one
+        (1, C, D) activation through the local stages and write slot
+        ``slot_idx``'s K/V starting at cache position ``start``."""
+        cfg = ecfg.cfg
+        el = _local_ecfg(ecfg)
+        c = chunk_ids.shape[0]
+        x = params_l.embed_tokens[chunk_ids[None, :]].astype(jnp.float32)
+
+        positions = start + jnp.arange(c)
+        pos_cos, pos_sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta, jnp.float32)
+        smax = k_c.shape[4]
+        i = positions[:, None]
+        j = jnp.arange(smax)[None, :]
+        mask = jnp.where(j <= i, 0.0, jnp.finfo(jnp.float32).min)
+
+        k_slot = lax.dynamic_slice_in_dim(k_c, slot_idx, 1, axis=1)
+        v_slot = lax.dynamic_slice_in_dim(v_c, slot_idx, 1, axis=1)
+
+        def layer_body(xc, layer, k_l, v_l, _ex):
+            return _block(el, layer, xc, k_l, v_l, start, pos_cos, pos_sin,
+                          mask, ecfg.bm_prefill)
+
+        final, k_slot, v_slot = pp_layer_pipeline(
+            pp, 1, layer_body, params_l.layers, x, k_slot, v_slot
+        )
+        k_c = lax.dynamic_update_slice_in_dim(k_c, k_slot, slot_idx, axis=1)
+        v_c = lax.dynamic_update_slice_in_dim(v_c, v_slot, slot_idx, axis=1)
+        lengths = lengths.at[slot_idx].set(start + valid)
+
+        x = rms_norm(final, params_l.norm_weight.astype(final.dtype), cfg.rms_norm_eps)
+        last = x[0, valid - 1]
+        logits = params_l.lm_head.astype(x.dtype) @ last
+        return logits[None], k_c, v_c, lengths
+
+    @partial(jax.jit, static_argnames=("ecfg",))
+    def engine_prefill_slot(ecfg, params, slot_idx, input_ids, prompt_len, cache):
+        f = _shmap(
+            lambda p, si, ids, pl, kc, vc, ln: _prefill_local(
+                ecfg, p, si, ids, jnp.int32(0), pl, kc, vc, ln
+            ),
+            (pp_engine_param_specs(params), R, R, R, cs.k, cs.v, R),
+            (P("pp", None), cs.k, cs.v, R),
+        )
+        logits_all, k, v, lengths = f(
+            params, slot_idx, input_ids, prompt_len, cache.k, cache.v, cache.lengths
+        )
+        return logits_all[-1], BatchedKVCache(k=k, v=v, lengths=lengths)
+
+    @partial(jax.jit, static_argnames=("ecfg",))
+    def engine_prefill_chunk(ecfg, params, slot_idx, chunk_ids, start, valid, cache):
+        f = _shmap(
+            lambda p, si, ids, st, va, kc, vc, ln: _prefill_local(
+                ecfg, p, si, ids, st, va, kc, vc, ln
+            ),
+            (pp_engine_param_specs(params), R, R, R, R, cs.k, cs.v, R),
+            (P("pp", None), cs.k, cs.v, R),
+        )
+        logits_all, k, v, lengths = f(
+            params, slot_idx, chunk_ids, start, valid, cache.k, cache.v, cache.lengths
+        )
+        return logits_all[-1], BatchedKVCache(k=k, v=v, lengths=lengths)
+
+    # -- decode (B slots as microbatches through the pipeline) ---------------
+
+    def _decode_core(ecfg, params_l, tokens, k_c, v_c, lengths):
+        """One decode step inside shard_map -> (logits (B, V) [last rank],
+        updated local caches).  Lengths are NOT advanced here."""
+        cfg = ecfg.cfg
+        el = _local_ecfg(ecfg)
+        b = tokens.shape[0]
+        M = pp if b % pp == 0 else 1
+        x = params_l.embed_tokens[tokens[:, None]].astype(jnp.float32)  # (B, 1, D)
+
+        pos_cos, pos_sin = jax.vmap(
+            lambda p_: rope_cos_sin(p_[None], cfg.head_dim, cfg.rope_theta, jnp.float32)
+        )(lengths)
+
+        def layer_body(xc, layer, k_l, v_l, ex):
+            ln_mb, cos_mb, sin_mb = ex
+            return _decode_block_batched(el, layer, xc, k_l, v_l, ln_mb, cos_mb, sin_mb)
+
+        final, k_c, v_c = pp_layer_pipeline(
+            pp, M, layer_body, params_l.layers, x, k_c, v_c,
+            extras=(lengths, pos_cos, pos_sin),
+        )
+        x = rms_norm(final, params_l.norm_weight.astype(final.dtype), cfg.rms_norm_eps)
+        logits = jnp.einsum("bd,vd->bv", x[:, 0], params_l.lm_head.astype(x.dtype))
+        return logits, k_c, v_c
+
+    @partial(jax.jit, static_argnames=("ecfg",))
+    def engine_decode_batched(ecfg, params, tokens, cache, active=None):
+        def local(p, t, kc, vc, ln, act):
+            logits, kc, vc = _decode_core(ecfg, p, t, kc, vc, ln)
+            return logits[None], kc, vc
+
+        if active is None:
+            active = jnp.ones_like(cache.lengths, bool)
+        f = _shmap(
+            local,
+            (pp_engine_param_specs(params), R, cs.k, cs.v, R, R),
+            (P("pp", None, None), cs.k, cs.v),
+        )
+        logits_all, k, v = f(params, tokens, cache.k, cache.v, cache.lengths, active)
+        lengths = cache.lengths + active.astype(jnp.int32)
+        return logits_all[-1], BatchedKVCache(k=k, v=v, lengths=lengths)
+
+    @partial(jax.jit, static_argnames=("ecfg", "steps"))
+    def engine_decode_multi(ecfg, params, tokens, cache, active, steps: int):
+        """``steps`` greedy decode steps in ONE device program.  The next
+        token exists only on the last stage, so it is psum-broadcast along
+        'pp' between steps (a (B,)-int32 all-reduce — negligible next to
+        the activation ppermutes)."""
+
+        def local(p, t0, kc, vc, ln0, act):
+            rank = lax.axis_index("pp")
+            is_last = (rank == pp - 1).astype(jnp.int32)
+
+            def step(carry, _):
+                t, kc, vc, ln = carry
+                logits, kc, vc = _decode_core(ecfg, p, t, kc, vc, ln)
+                nt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                nt = lax.psum(nt * is_last, "pp")  # broadcast from last stage
+                nt = jnp.where(act, nt, t)
+                ln = ln + act.astype(jnp.int32)
+                return (nt, kc, vc, ln), nt
+
+            (_, kc, vc, ln), toks = lax.scan(
+                step, (t0, kc, vc, ln0), None, length=steps
+            )
+            return toks, kc, vc, ln
+
+        f = _shmap(
+            local,
+            (pp_engine_param_specs(params), R, cs.k, cs.v, R, R),
+            (R, cs.k, cs.v, R),
+        )
+        toks, k, v, lengths = f(
+            params, tokens, cache.k, cache.v, cache.lengths, active
+        )
+        return toks, BatchedKVCache(k=k, v=v, lengths=lengths)
+
+    # -- prefix caching ------------------------------------------------------
+
+    @jax.jit
+    def copy_prefix_into_slot(cache, slot_idx, k_template, v_template, prefix_len):
+        # pure sharded-array surgery: GSPMD handles the pp/tp shardings
+        return be.copy_prefix_into_slot(
+            cache, slot_idx, k_template, v_template, prefix_len
+        )
+
+    def _unsupported(name):
+        def f(*a, **kw):
+            raise NotImplementedError(
+                f"{name} is not pipelined yet — build the ContinuousBatcher "
+                f"with spec_k=0 and admit_batch=1 when using pp_serving_fns"
+            )
+
+        return f
+
+    return SimpleNamespace(
+        init_batched_cache=init_batched_cache,
+        engine_prefill_slot=engine_prefill_slot,
+        engine_prefill_chunk=engine_prefill_chunk,
+        engine_decode_batched=engine_decode_batched,
+        engine_decode_multi=engine_decode_multi,
+        copy_prefix_into_slot=copy_prefix_into_slot,
+        engine_prefill_batched=_unsupported("engine_prefill_batched"),
+        engine_verify_batched=_unsupported("engine_verify_batched"),
+        engine_spec_decode_multi=_unsupported("engine_spec_decode_multi"),
+    )

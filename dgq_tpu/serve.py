@@ -47,6 +47,12 @@ def build_parser():
                    help="tensor-parallel shards: serve over a (dp=1, tp) "
                         "device mesh (packed weights column/row-sharded, KV "
                         "over kv heads; parallel/sharded_serving.py)")
+    p.add_argument("--pp", type=int, default=1,
+                   help="pipeline-parallel stages over a ('pp','tp') mesh: "
+                        "layers + KV cache sharded over pp, decode runs the "
+                        "slots as GPipe microbatches (parallel/pp_serving.py); "
+                        "composes with --tp, forces spec_k=0/admit_batch=1, "
+                        "not compatible with --paged")
     p.add_argument("--paged", action="store_true",
                    help="paged KV cache (serving/paged.py): memory scales "
                         "with tokens in flight, prefixes share pool pages; "
@@ -82,6 +88,40 @@ def build_server(args):
 
         _, batcher = batcher_from_checkpoint(
             args.checkpoint, num_slots=args.slots, max_len=args.max_len,
+            prefill_pad=min(args.prefill_pad, args.max_len),
+            prefill_chunk=args.prefill_chunk, decode_steps=args.decode_steps,
+        )
+        for path in args.prefix or ():
+            with open(path) as f:
+                text = f.read().strip()
+            ids = (_json.loads(text) if text.startswith("[")
+                   else [int(t) for t in text.split()])
+            batcher.register_prefix(ids)
+            print(f"[dgq_tpu.serve] prefix cached: {len(ids)} tokens", flush=True)
+        return BatcherServer(batcher, host=args.host, port=args.port)
+
+    if args.pp > 1:
+        if args.paged or args.spec_k:
+            raise SystemExit(
+                "--pp is incompatible with --paged/--spec-k (not pipelined yet)"
+            )
+        # batched admission is not pipelined either; prompts admit one at a
+        # time (the default --admit-batch 4 silently degrades to 1)
+        import jax as _jax
+
+        from dgq_tpu.models.engine import EngineConfig
+        from dgq_tpu.parallel.pipeline import make_pp_mesh, pp_shard_engine_params
+        from dgq_tpu.parallel.pp_serving import pp_serving_fns
+        from dgq_tpu.utils.checkpoint import load_engine_any
+
+        eng, cfg = load_engine_any(args.checkpoint)
+        mesh = make_pp_mesh(args.pp, args.tp)
+        batcher = ContinuousBatcher(
+            EngineConfig(cfg=cfg,
+                         use_kernel=_jax.default_backend() not in ("cpu",)),
+            pp_shard_engine_params(eng, mesh),
+            fns=pp_serving_fns(mesh),
+            num_slots=args.slots, max_len=args.max_len,
             prefill_pad=min(args.prefill_pad, args.max_len),
             prefill_chunk=args.prefill_chunk, decode_steps=args.decode_steps,
         )

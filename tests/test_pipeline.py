@@ -84,3 +84,36 @@ def test_pp_validation(pp_setup):
     ids = jnp.zeros((3, 4), jnp.int32)  # 3 % microbatches(2) != 0
     with pytest.raises(ValueError, match="not divisible by microbatches"):
         pp_engine_forward(ecfg, eng_sh, ids, cache, mesh, microbatches=2)
+
+
+def test_pp_continuous_batching_matches_dense(pp_setup):
+    """ContinuousBatcher(fns=pp_serving_fns(mesh)) emits exactly the dense
+    batcher's greedy tokens — with chunked prefill, multi-step decode, and
+    prefix caching engaged."""
+    from dgq_tpu.parallel.pp_serving import pp_serving_fns
+    from dgq_tpu.serving.scheduler import ContinuousBatcher, Request
+
+    cfg, eng, ecfg = pp_setup
+    rng = np.random.default_rng(2)
+    prompts = [rng.integers(0, cfg.vocab_size, size=ln).astype(np.int32)
+               for ln in (6, 9, 21, 4)]
+    prefix = prompts[2][:8].copy()
+    prompts.append(np.concatenate([prefix, [7, 7, 2]]).astype(np.int32))
+
+    def run(**kw):
+        b = ContinuousBatcher(ecfg, kw.pop("params", eng), num_slots=2,
+                              max_len=32, prefill_pad=8, prefill_chunk=8,
+                              decode_steps=2, **kw)
+        b.register_prefix(prefix)
+        for i, p in enumerate(prompts):
+            b.add_request(Request(uid=i, prompt_ids=p, max_new_tokens=4))
+        done = b.run()
+        return {r.uid: r.output_ids for r in done}, b.prefix_hits
+
+    want, want_hits = run()
+
+    mesh = make_pp_mesh(2, 2)
+    eng_pp = pp_shard_engine_params(eng, mesh)
+    got, got_hits = run(params=eng_pp, fns=pp_serving_fns(mesh))
+    assert got == want, (got, want)
+    assert got_hits == want_hits > 0
