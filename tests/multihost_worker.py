@@ -77,6 +77,26 @@ def main():
     local = np.asarray(jax.device_get(logits.addressable_shards[0].data))
     assert np.isfinite(local).all()
 
+    # pipeline parallelism with one stage PER PROCESS: the 'pp' axis spans
+    # the process boundary (the intended DCN placement — each inter-stage
+    # hop moves one microbatch activation), 'tp' stays intra-process
+    from dgq_tpu.parallel.pipeline import (
+        make_pp_mesh,
+        pp_engine_forward,
+        pp_shard_engine_params,
+        pp_shard_kv_cache,
+    )
+
+    pmesh = make_pp_mesh(nproc, 4)  # jax.devices() is process-major, so
+    #                                 pp rank == process id
+    eng_pp = pp_shard_engine_params(eng, pmesh)
+    pcache = pp_shard_kv_cache(init_kv_cache(cfg, 2, 16), pmesh)
+    plogits, pcache = pp_engine_forward(ecfg, eng_pp, ids, pcache, pmesh)
+    assert plogits.shape == (2, 8, cfg.vocab_size)
+    assert int(pcache.length) == 8
+    for sh in plogits.addressable_shards:
+        assert np.isfinite(np.asarray(jax.device_get(sh.data))).all()
+
     print(f"MULTIHOST_WORKER_OK pid={pid}", flush=True)
 
 
