@@ -20,8 +20,11 @@ Usage:
     eng_pp = pp_shard_engine_params(eng, mesh)
     b = ContinuousBatcher(ecfg, eng_pp, fns=pp_serving_fns(mesh), ...)
 
-Speculative decoding and batched admission are not pipelined yet — build
-the batcher with spec_k=0, admit_batch=1.
+Speculative decoding works through the host-loop verify path (spec_k > 0
+with decode_steps == 1: drafts propose host-side, engine_verify_batched
+pipelines the verification windows).  The on-device speculation scan
+(engine_spec_decode_multi) and batched admission are not pipelined yet —
+keep decode_steps == 1 when spec_k > 0, and admit_batch == 1.
 """
 
 from __future__ import annotations
@@ -39,7 +42,11 @@ from dgq_tpu.models.engine import EngineConfig, _block
 from dgq_tpu.models.llama import rms_norm, rope_cos_sin
 from dgq_tpu.parallel.pipeline import pp_engine_param_specs, pp_layer_pipeline
 from dgq_tpu.serving import batch_engine as be
-from dgq_tpu.serving.batch_engine import BatchedKVCache, _decode_block_batched
+from dgq_tpu.serving.batch_engine import (
+    BatchedKVCache,
+    _decode_block_batched,
+    _verify_block_batched,
+)
 
 R = P()
 
@@ -220,6 +227,45 @@ def pp_serving_fns(mesh: Mesh) -> SimpleNamespace:
         )
         return toks, BatchedKVCache(k=k, v=v, lengths=lengths)
 
+    @partial(jax.jit, static_argnames=("ecfg",))
+    def engine_verify_batched(ecfg, params, tokens, cache):
+        """Speculative verification through the pipeline: each slot's
+        [pending, K drafts] window rides the same microbatch schedule as a
+        decode step (verification is decode with K+1 query rows — the
+        serving/batch_engine.py contract, lengths unchanged)."""
+        cfg = ecfg.cfg
+        el = _local_ecfg(ecfg)
+
+        def local(p, toks, kc, vc, ln):
+            b, k1 = toks.shape
+            M = pp if b % pp == 0 else 1
+            x = p.embed_tokens[toks].astype(jnp.float32)  # (B, K1, D)
+            pos_cos, pos_sin = jax.vmap(
+                lambda l0: rope_cos_sin(l0 + jnp.arange(k1), cfg.head_dim,
+                                        cfg.rope_theta, jnp.float32)
+            )(ln)
+
+            def layer_body(xc, layer, k_l, v_l, ex):
+                ln_mb, cos_mb, sin_mb = ex
+                return _verify_block_batched(el, layer, xc, k_l, v_l,
+                                             ln_mb, cos_mb, sin_mb)
+
+            final, kc, vc = pp_layer_pipeline(
+                pp, M, layer_body, p.layers, x, kc, vc,
+                extras=(ln, pos_cos, pos_sin),
+            )
+            xo = rms_norm(final, p.norm_weight.astype(final.dtype), cfg.rms_norm_eps)
+            logits = jnp.einsum("bkd,vd->bkv", xo, p.lm_head.astype(xo.dtype))
+            return logits[None], kc, vc
+
+        f = _shmap(
+            local,
+            (pp_engine_param_specs(params), R, cs.k, cs.v, R),
+            (P("pp", None, None, None), cs.k, cs.v),
+        )
+        logits_all, k, v = f(params, tokens, cache.k, cache.v, cache.lengths)
+        return logits_all[-1], BatchedKVCache(k=k, v=v, lengths=cache.lengths)
+
     # -- prefix caching ------------------------------------------------------
 
     @jax.jit
@@ -244,8 +290,8 @@ def pp_serving_fns(mesh: Mesh) -> SimpleNamespace:
         engine_prefill_chunk=engine_prefill_chunk,
         engine_decode_batched=engine_decode_batched,
         engine_decode_multi=engine_decode_multi,
+        engine_verify_batched=engine_verify_batched,
         copy_prefix_into_slot=copy_prefix_into_slot,
         engine_prefill_batched=_unsupported("engine_prefill_batched"),
-        engine_verify_batched=_unsupported("engine_verify_batched"),
         engine_spec_decode_multi=_unsupported("engine_spec_decode_multi"),
     )

@@ -101,9 +101,11 @@ def build_server(args):
         return BatcherServer(batcher, host=args.host, port=args.port)
 
     if args.pp > 1:
-        if args.paged or args.spec_k:
+        if args.paged or (args.spec_k and args.decode_steps > 1):
             raise SystemExit(
-                "--pp is incompatible with --paged/--spec-k (not pipelined yet)"
+                "--pp is incompatible with --paged and with --spec-k combined "
+                "with --decode-steps>1 (on-device speculation scan is not "
+                "pipelined yet)"
             )
         # batched admission is not pipelined either; prompts admit one at a
         # time (the default --admit-batch 4 silently degrades to 1)
@@ -124,6 +126,7 @@ def build_server(args):
             num_slots=args.slots, max_len=args.max_len,
             prefill_pad=min(args.prefill_pad, args.max_len),
             prefill_chunk=args.prefill_chunk, decode_steps=args.decode_steps,
+            spec_k=args.spec_k,
         )
         for path in args.prefix or ():
             with open(path) as f:

@@ -117,3 +117,29 @@ def test_pp_continuous_batching_matches_dense(pp_setup):
     got, got_hits = run(params=eng_pp, fns=pp_serving_fns(mesh))
     assert got == want, (got, want)
     assert got_hits == want_hits > 0
+
+
+def test_pp_speculative_serving_matches_dense(pp_setup):
+    """spec_k>0 under pp_serving_fns: host-loop drafts + pipelined
+    verification emit exactly the dense spec batcher's tokens."""
+    from dgq_tpu.parallel.pp_serving import pp_serving_fns
+    from dgq_tpu.serving.scheduler import ContinuousBatcher, Request
+
+    cfg, eng, ecfg = pp_setup
+    # repetitive prompt so prompt-lookup drafts actually accept
+    prompts = [np.asarray([3, 5, 3, 5, 3, 5], np.int32),
+               np.asarray([7, 7, 2, 7, 7, 2], np.int32)]
+
+    def run(**kw):
+        b = ContinuousBatcher(ecfg, kw.pop("params", eng), num_slots=2,
+                              max_len=32, prefill_pad=8, spec_k=3, **kw)
+        for i, p in enumerate(prompts):
+            b.add_request(Request(uid=i, prompt_ids=p, max_new_tokens=6))
+        return {r.uid: r.output_ids for r in b.run()}, dict(b.spec_stats)
+
+    want, want_stats = run()
+    mesh = make_pp_mesh(2, 2)
+    got, got_stats = run(params=pp_shard_engine_params(eng, mesh),
+                         fns=pp_serving_fns(mesh))
+    assert got == want, (got, want)
+    assert got_stats == want_stats and want_stats["steps"] > 0
