@@ -22,9 +22,10 @@ Usage:
 
 Speculative decoding works through the host-loop verify path (spec_k > 0
 with decode_steps == 1: drafts propose host-side, engine_verify_batched
-pipelines the verification windows).  The on-device speculation scan
-(engine_spec_decode_multi) and batched admission are not pipelined yet —
-keep decode_steps == 1 when spec_k > 0, and admit_batch == 1.
+pipelines the verification windows), and batched admission
+(engine_prefill_batched) pipelines the admission rows as microbatches.
+Only the on-device speculation scan (engine_spec_decode_multi) is not
+pipelined yet — keep decode_steps == 1 when spec_k > 0.
 """
 
 from __future__ import annotations
@@ -145,6 +146,55 @@ def pp_serving_fns(mesh: Mesh) -> SimpleNamespace:
         )
         logits_all, k, v, lengths = f(
             params, slot_idx, chunk_ids, start, valid, cache.k, cache.v, cache.lengths
+        )
+        return logits_all[-1], BatchedKVCache(k=k, v=v, lengths=lengths)
+
+    @partial(jax.jit, static_argnames=("ecfg",))
+    def engine_prefill_batched(ecfg, params, slot_idx, input_ids, prompt_lens, cache):
+        """A prompts into A distinct slots in one pipelined program; the A
+        admission rows microbatch through the stages when A % pp == 0,
+        else they travel as one microbatch."""
+        cfg = ecfg.cfg
+        el = _local_ecfg(ecfg)
+
+        def local(p, si, ids, pl, kc, vc, ln):
+            a, s = ids.shape
+            M = pp if a % pp == 0 else 1
+            x = p.embed_tokens[ids].astype(jnp.float32)  # (A, S, D)
+            pos_cos, pos_sin = rope_cos_sin(
+                jnp.arange(s), cfg.head_dim, cfg.rope_theta, jnp.float32
+            )
+            smax = kc.shape[4]
+            i = jnp.arange(s)[:, None]
+            j = jnp.arange(smax)[None, :]
+            mask = jnp.where(j <= i, 0.0, jnp.finfo(jnp.float32).min)
+
+            k_slots = jnp.take(kc, si, axis=1)  # (Ll, A, Hkv, Dh, Smax)
+            v_slots = jnp.take(vc, si, axis=1)
+
+            def layer_body(xc, layer, k_l, v_l, _ex):
+                return _block(el, layer, xc, k_l, v_l, jnp.int32(0),
+                              pos_cos, pos_sin, mask, ecfg.bm_prefill)
+
+            final, k_slots, v_slots = pp_layer_pipeline(
+                pp, M, layer_body, p.layers, x, k_slots, v_slots
+            )
+            kc = kc.at[:, si].set(k_slots)
+            vc = vc.at[:, si].set(v_slots)
+            ln = ln.at[si].set(pl)
+
+            xo = rms_norm(final, p.norm_weight.astype(final.dtype), cfg.rms_norm_eps)
+            last = jnp.take_along_axis(xo, (pl - 1)[:, None, None], axis=1)[:, 0]
+            logits = jnp.einsum("ad,vd->av", last, p.lm_head.astype(xo.dtype))
+            return logits[None], kc, vc, ln
+
+        f = _shmap(
+            local,
+            (pp_engine_param_specs(params), R, R, R, cs.k, cs.v, R),
+            (P("pp", None, None), cs.k, cs.v, R),
+        )
+        logits_all, k, v, lengths = f(
+            params, slot_idx, input_ids, prompt_lens, cache.k, cache.v, cache.lengths
         )
         return logits_all[-1], BatchedKVCache(k=k, v=v, lengths=lengths)
 
@@ -291,7 +341,7 @@ def pp_serving_fns(mesh: Mesh) -> SimpleNamespace:
         engine_decode_batched=engine_decode_batched,
         engine_decode_multi=engine_decode_multi,
         engine_verify_batched=engine_verify_batched,
+        engine_prefill_batched=engine_prefill_batched,
         copy_prefix_into_slot=copy_prefix_into_slot,
-        engine_prefill_batched=_unsupported("engine_prefill_batched"),
         engine_spec_decode_multi=_unsupported("engine_spec_decode_multi"),
     )

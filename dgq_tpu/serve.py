@@ -51,8 +51,8 @@ def build_parser():
                    help="pipeline-parallel stages over a ('pp','tp') mesh: "
                         "layers + KV cache sharded over pp, decode runs the "
                         "slots as GPipe microbatches (parallel/pp_serving.py); "
-                        "composes with --tp, forces spec_k=0/admit_batch=1, "
-                        "not compatible with --paged")
+                        "composes with --tp/--spec-k/--admit-batch, not "
+                        "compatible with --paged")
     p.add_argument("--paged", action="store_true",
                    help="paged KV cache (serving/paged.py): memory scales "
                         "with tokens in flight, prefixes share pool pages; "
@@ -107,8 +107,6 @@ def build_server(args):
                 "with --decode-steps>1 (on-device speculation scan is not "
                 "pipelined yet)"
             )
-        # batched admission is not pipelined either; prompts admit one at a
-        # time (the default --admit-batch 4 silently degrades to 1)
         import jax as _jax
 
         from dgq_tpu.models.engine import EngineConfig
@@ -126,7 +124,7 @@ def build_server(args):
             num_slots=args.slots, max_len=args.max_len,
             prefill_pad=min(args.prefill_pad, args.max_len),
             prefill_chunk=args.prefill_chunk, decode_steps=args.decode_steps,
-            spec_k=args.spec_k,
+            spec_k=args.spec_k, admit_batch=args.admit_batch,
         )
         for path in args.prefix or ():
             with open(path) as f:

@@ -103,7 +103,7 @@ def test_pp_continuous_batching_matches_dense(pp_setup):
     def run(**kw):
         b = ContinuousBatcher(ecfg, kw.pop("params", eng), num_slots=2,
                               max_len=32, prefill_pad=8, prefill_chunk=8,
-                              decode_steps=2, **kw)
+                              decode_steps=2, admit_batch=2, **kw)
         b.register_prefix(prefix)
         for i, p in enumerate(prompts):
             b.add_request(Request(uid=i, prompt_ids=p, max_new_tokens=4))
