@@ -20,12 +20,11 @@ Usage:
     eng_pp = pp_shard_engine_params(eng, mesh)
     b = ContinuousBatcher(ecfg, eng_pp, fns=pp_serving_fns(mesh), ...)
 
-Speculative decoding works through the host-loop verify path (spec_k > 0
-with decode_steps == 1: drafts propose host-side, engine_verify_batched
-pipelines the verification windows), and batched admission
-(engine_prefill_batched) pipelines the admission rows as microbatches.
-Only the on-device speculation scan (engine_spec_decode_multi) is not
-pipelined yet — keep decode_steps == 1 when spec_k > 0.
+The FULL scheduler feature set is pipelined: chunked and batched prefill,
+multi-step decode, prefix caching, speculative decoding in both modes
+(host-loop verify, and the on-device speculation scan — drafting,
+verification and acceptance inside one shard_map program, with only the
+(B, K+1) greedy tokens psum-broadcast from the last stage per step).
 """
 
 from __future__ import annotations
@@ -277,35 +276,42 @@ def pp_serving_fns(mesh: Mesh) -> SimpleNamespace:
         )
         return toks, BatchedKVCache(k=k, v=v, lengths=lengths)
 
+    def _verify_core(ecfg, p, toks, kc, vc, ln):
+        """Pipelined K+1-window verification inside shard_map ->
+        (logits (B, K1, V) [meaningful on the last rank], caches).
+        Lengths are not advanced (batch_engine contract)."""
+        cfg = ecfg.cfg
+        el = _local_ecfg(ecfg)
+        b, k1 = toks.shape
+        M = pp if b % pp == 0 else 1
+        x = p.embed_tokens[toks].astype(jnp.float32)  # (B, K1, D)
+        pos_cos, pos_sin = jax.vmap(
+            lambda l0: rope_cos_sin(l0 + jnp.arange(k1), cfg.head_dim,
+                                    cfg.rope_theta, jnp.float32)
+        )(ln)
+
+        def layer_body(xc, layer, k_l, v_l, ex):
+            ln_mb, cos_mb, sin_mb = ex
+            return _verify_block_batched(el, layer, xc, k_l, v_l,
+                                         ln_mb, cos_mb, sin_mb)
+
+        final, kc, vc = pp_layer_pipeline(
+            pp, M, layer_body, p.layers, x, kc, vc,
+            extras=(ln, pos_cos, pos_sin),
+        )
+        xo = rms_norm(final, p.norm_weight.astype(final.dtype), cfg.rms_norm_eps)
+        logits = jnp.einsum("bkd,vd->bkv", xo, p.lm_head.astype(xo.dtype))
+        return logits, kc, vc
+
     @partial(jax.jit, static_argnames=("ecfg",))
     def engine_verify_batched(ecfg, params, tokens, cache):
         """Speculative verification through the pipeline: each slot's
         [pending, K drafts] window rides the same microbatch schedule as a
         decode step (verification is decode with K+1 query rows — the
         serving/batch_engine.py contract, lengths unchanged)."""
-        cfg = ecfg.cfg
-        el = _local_ecfg(ecfg)
 
         def local(p, toks, kc, vc, ln):
-            b, k1 = toks.shape
-            M = pp if b % pp == 0 else 1
-            x = p.embed_tokens[toks].astype(jnp.float32)  # (B, K1, D)
-            pos_cos, pos_sin = jax.vmap(
-                lambda l0: rope_cos_sin(l0 + jnp.arange(k1), cfg.head_dim,
-                                        cfg.rope_theta, jnp.float32)
-            )(ln)
-
-            def layer_body(xc, layer, k_l, v_l, ex):
-                ln_mb, cos_mb, sin_mb = ex
-                return _verify_block_batched(el, layer, xc, k_l, v_l,
-                                             ln_mb, cos_mb, sin_mb)
-
-            final, kc, vc = pp_layer_pipeline(
-                pp, M, layer_body, p.layers, x, kc, vc,
-                extras=(ln, pos_cos, pos_sin),
-            )
-            xo = rms_norm(final, p.norm_weight.astype(final.dtype), cfg.rms_norm_eps)
-            logits = jnp.einsum("bkd,vd->bkv", xo, p.lm_head.astype(xo.dtype))
+            logits, kc, vc = _verify_core(ecfg, p, toks, kc, vc, ln)
             return logits[None], kc, vc
 
         f = _shmap(
@@ -316,6 +322,67 @@ def pp_serving_fns(mesh: Mesh) -> SimpleNamespace:
         logits_all, k, v = f(params, tokens, cache.k, cache.v, cache.lengths)
         return logits_all[-1], BatchedKVCache(k=k, v=v, lengths=cache.lengths)
 
+    @partial(jax.jit, static_argnames=("ecfg", "steps", "spec_k", "max_ngram"))
+    def engine_spec_decode_multi(ecfg, params, bufs, buf_lens, tokens, cache,
+                                 active, steps: int, spec_k: int = 4,
+                                 max_ngram: int = 3):
+        """``steps`` on-device speculative steps through the pipeline —
+        drafting, verification and acceptance all inside one shard_map
+        program.  Only the (B, K+1) greedy argmaxes are psum-broadcast from
+        the last stage between steps (never the (B, K+1, V) logits)."""
+        from dgq_tpu.serving.speculative import device_ngram_propose
+
+        def local(p, bufs0, lens0, toks0, kc0, vc0, cln0, act):
+            rank = lax.axis_index("pp")
+            is_last = (rank == pp - 1).astype(jnp.int32)
+
+            def body(carry, _):
+                bufs_c, lens_c, toks_c, kc, vc, cln = carry
+                drafts = jax.vmap(
+                    lambda bf, ln: device_ngram_propose(bf, ln, spec_k, max_ngram)
+                )(bufs_c, lens_c)  # (B, K) — replicated compute
+                ids = jnp.concatenate([toks_c[:, None], drafts], axis=1)
+                logits, kc, vc = _verify_core(ecfg, p, ids, kc, vc, cln)
+                greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                greedy = lax.psum(greedy * is_last, "pp")  # from last stage
+                # acceptance (identical to serving/batch_engine.py)
+                match = (drafts == greedy[:, :-1]).astype(jnp.int32)
+                n_acc = jnp.cumprod(match, axis=1).sum(axis=1)
+                corr = jnp.take_along_axis(greedy, n_acc[:, None], axis=1)[:, 0]
+                pos = jnp.arange(spec_k + 1)[None, :]
+                drafts_pad = jnp.concatenate(
+                    [drafts, jnp.zeros((drafts.shape[0], 1), jnp.int32)], axis=1)
+                out = jnp.where(pos < n_acc[:, None], drafts_pad,
+                                jnp.where(pos == n_acc[:, None], corr[:, None], 0))
+                n_out = jnp.where(act, n_acc + 1, 0)
+                bufs_new = jax.vmap(
+                    lambda bf, row, ln: lax.dynamic_update_slice(bf, row, (ln,))
+                )(bufs_c, out, lens_c)
+                bufs_next = jnp.where(act[:, None], bufs_new, bufs_c)
+                lens_next = lens_c + n_out
+                toks_next = jnp.where(act, corr, toks_c)
+                cln = cln + jnp.where(act, 1 + n_acc, 0)
+                return (bufs_next, lens_next, toks_next, kc, vc, cln), (out, n_out)
+
+            (bufs_f, lens_f, toks_f, kc, vc, cln), (outs, n_outs) = lax.scan(
+                body, (bufs0, lens0, toks0, kc0, vc0, cln0), None, length=steps
+            )
+            return bufs_f, lens_f, toks_f, kc, vc, cln, outs, n_outs
+
+        f = _shmap(
+            local,
+            (pp_engine_param_specs(params), R, R, R, cs.k, cs.v, R, R),
+            (R, R, R, cs.k, cs.v, R, R, R),
+        )
+        bufs, buf_lens, tokens, k, v, clens, outs, n_outs = f(
+            params, bufs, buf_lens, tokens, cache.k, cache.v,
+            cache.lengths, active,
+        )
+        return (bufs, buf_lens, tokens,
+                BatchedKVCache(k=k, v=v, lengths=clens), outs, n_outs)
+
+    # -- prefix caching ------------------------------------------------------
+
     # -- prefix caching ------------------------------------------------------
 
     @jax.jit
@@ -325,15 +392,6 @@ def pp_serving_fns(mesh: Mesh) -> SimpleNamespace:
             cache, slot_idx, k_template, v_template, prefix_len
         )
 
-    def _unsupported(name):
-        def f(*a, **kw):
-            raise NotImplementedError(
-                f"{name} is not pipelined yet — build the ContinuousBatcher "
-                f"with spec_k=0 and admit_batch=1 when using pp_serving_fns"
-            )
-
-        return f
-
     return SimpleNamespace(
         init_batched_cache=init_batched_cache,
         engine_prefill_slot=engine_prefill_slot,
@@ -342,6 +400,6 @@ def pp_serving_fns(mesh: Mesh) -> SimpleNamespace:
         engine_decode_multi=engine_decode_multi,
         engine_verify_batched=engine_verify_batched,
         engine_prefill_batched=engine_prefill_batched,
+        engine_spec_decode_multi=engine_spec_decode_multi,
         copy_prefix_into_slot=copy_prefix_into_slot,
-        engine_spec_decode_multi=_unsupported("engine_spec_decode_multi"),
     )

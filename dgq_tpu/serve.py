@@ -101,12 +101,9 @@ def build_server(args):
         return BatcherServer(batcher, host=args.host, port=args.port)
 
     if args.pp > 1:
-        if args.paged or (args.spec_k and args.decode_steps > 1):
-            raise SystemExit(
-                "--pp is incompatible with --paged and with --spec-k combined "
-                "with --decode-steps>1 (on-device speculation scan is not "
-                "pipelined yet)"
-            )
+        if args.paged:
+            raise SystemExit("--pp is incompatible with --paged (the paged "
+                             "pool is not pipelined yet)")
         import jax as _jax
 
         from dgq_tpu.models.engine import EngineConfig

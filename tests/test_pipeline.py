@@ -132,7 +132,8 @@ def test_pp_speculative_serving_matches_dense(pp_setup):
 
     def run(**kw):
         b = ContinuousBatcher(ecfg, kw.pop("params", eng), num_slots=2,
-                              max_len=32, prefill_pad=8, spec_k=3, **kw)
+                              max_len=32, prefill_pad=8, spec_k=3,
+                              decode_steps=2, **kw)  # engages spec_decode_multi
         for i, p in enumerate(prompts):
             b.add_request(Request(uid=i, prompt_ids=p, max_new_tokens=6))
         return {r.uid: r.output_ids for r in b.run()}, dict(b.spec_stats)
