@@ -194,6 +194,50 @@ def pp_layer_pipeline(pp: int, M: int, layer_body, layers_l, x, k_c, v_c,
     return final, k_c, v_c
 
 
+def pp_layer_pipeline_shared(pp: int, M: int, layer_body, layers_l, x,
+                             c1, c2, extras=None):
+    """Tick-loop variant for SHARED caches that cannot be sliced by
+    microbatch (the paged pool: pages are not partitioned by slot).  The
+    caches pass through every tick whole; ``layer_body(x_mb, layer,
+    c1_layer, c2_layer, extras_mb, valid)`` receives the tick's validity
+    flag and must neutralize its own writes on bubble ticks (the paged
+    block masks them by pinning inactive slots to the null page)."""
+    B = x.shape[0]
+    mb = B // M
+    T = pp + M - 1
+    rank = lax.axis_index("pp")
+    xs = x.reshape(M, mb, *x.shape[1:])
+
+    def inner(x_mb, c1_, c2_, ex_mb, valid):
+        def body(xc, layer_and_cache):
+            layer, a, b = layer_and_cache
+            xc, a, b = layer_body(xc, layer, a, b, ex_mb, valid)
+            return xc, (a, b)
+
+        out, (c1_, c2_) = lax.scan(body, x_mb, (layers_l, c1_, c2_))
+        return out, c1_, c2_
+
+    def tick(carry, t):
+        buf, c1_, c2_ = carry
+        m = t - rank
+        valid = (m >= 0) & (m < M)
+        mc = jnp.clip(m, 0, M - 1)
+        inp = jnp.where(rank == 0, xs[jnp.clip(t, 0, M - 1)], buf)
+        ex_mb = (
+            None if extras is None
+            else jax.tree.map(
+                lambda a: lax.dynamic_slice_in_dim(a, mc * mb, mb, axis=0), extras
+            )
+        )
+        out, c1_, c2_ = inner(inp, c1_, c2_, ex_mb, valid)
+        nxt = lax.ppermute(out, "pp", [(r, (r + 1) % pp) for r in range(pp)])
+        return (nxt, c1_, c2_), out
+
+    (_, c1, c2), outs = lax.scan(tick, (jnp.zeros_like(xs[0]), c1, c2), jnp.arange(T))
+    final = outs[pp - 1 : pp - 1 + M].reshape(B, *x.shape[1:])
+    return final, c1, c2
+
+
 def pp_engine_forward(
     ecfg: EngineConfig,
     params: EngineParams,

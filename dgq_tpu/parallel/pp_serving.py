@@ -40,7 +40,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from dgq_tpu.models.engine import EngineConfig, _block
 from dgq_tpu.models.llama import rms_norm, rope_cos_sin
-from dgq_tpu.parallel.pipeline import pp_engine_param_specs, pp_layer_pipeline
+from dgq_tpu.parallel.pipeline import (
+    pp_engine_param_specs,
+    pp_layer_pipeline,
+    pp_layer_pipeline_shared,
+)
 from dgq_tpu.serving import batch_engine as be
 from dgq_tpu.serving.batch_engine import (
     BatchedKVCache,
@@ -402,4 +406,250 @@ def pp_serving_fns(mesh: Mesh) -> SimpleNamespace:
         engine_prefill_batched=engine_prefill_batched,
         engine_spec_decode_multi=engine_spec_decode_multi,
         copy_prefix_into_slot=copy_prefix_into_slot,
+    )
+
+
+def pp_paged_cache_specs():
+    from dgq_tpu.serving.paged import PagedKVCache
+
+    # kt (L, P, Hkv, Dh, ps) / v (L, P, Hkv, ps, Dh): layers over 'pp',
+    # kv heads over 'tp'; the page axis is replicated (memory concept)
+    return PagedKVCache(
+        kt=P("pp", None, "tp", None, None),
+        v=P("pp", None, "tp", None, None),
+        lengths=R,
+    )
+
+
+def pp_paged_serving_fns(mesh: Mesh) -> SimpleNamespace:
+    """Pipeline-parallel paged serving (PagedBatcher(fns=...)): the page
+    POOL is layer-sharded over 'pp' — each stage holds its layers' pages —
+    while the page table and allocator stay host-side exactly as in the
+    dense PagedBatcher.  Decode microbatches the slots through the stages
+    (pp_layer_pipeline_shared: the pool passes through every tick whole,
+    bubble ticks neutralized by pinning their writes to the null page);
+    prefill runs one sequence straight through the stages and scatters each
+    stage's local scratch into its local pages.
+
+    Usage:
+        mesh = make_pp_mesh(pp=2, tp=2)
+        b = PagedBatcher(ecfg, pp_shard_engine_params(eng, mesh),
+                         fns=pp_paged_serving_fns(mesh), ...)
+    """
+    from dgq_tpu.serving import paged as pg
+    from dgq_tpu.serving.paged import _paged_decode_block
+
+    pp = mesh.shape["pp"]
+    tp = mesh.shape.get("tp", 1)
+    cs = pp_paged_cache_specs()
+
+    def _local_ecfg(ecfg: EngineConfig) -> EngineConfig:
+        return dataclasses.replace(ecfg, tp_axis="tp" if tp > 1 else None)
+
+    def _shmap(local, in_specs, out_specs):
+        return jax.shard_map(
+            local, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=False,
+        )
+
+    def init_paged_cache(cfg, batch, num_pages, page_size=128):
+        c = pg.init_paged_cache(cfg, batch, num_pages, page_size)
+        return pg.PagedKVCache(
+            kt=jax.device_put(c.kt, NamedSharding(mesh, cs.kt)),
+            v=jax.device_put(c.v, NamedSharding(mesh, cs.v)),
+            lengths=jax.device_put(c.lengths, NamedSharding(mesh, cs.lengths)),
+        )
+
+    def _pageify(k_scr, v_scr, npg, ps):
+        # (Ll, 1, hk, dh, npg*ps) -> (Ll, npg, hk, dh, ps) and v analog
+        ll, _, hk, dh, s = k_scr.shape
+        pk = k_scr[:, 0].reshape(ll, hk, dh, npg, ps).transpose(0, 3, 1, 2, 4)
+        pv = v_scr[:, 0].reshape(ll, hk, npg, ps, dh).transpose(0, 2, 1, 3, 4)
+        return pk, pv
+
+    @partial(jax.jit, static_argnames=("ecfg", "write_slot"))
+    def paged_prefill(ecfg, params, slot_idx, input_ids, prompt_len, pages,
+                      cache, write_slot=True):
+        cfg = ecfg.cfg
+        el = _local_ecfg(ecfg)
+
+        def local(p, si, ids, plen, pgs, kt, v, ln):
+            ll = p.layers.ln1_weight.shape[0]
+            hk, dh, ps = kt.shape[2], kt.shape[3], kt.shape[4]
+            s = ids.shape[0]
+            npg = s // ps
+            x = p.embed_tokens[ids[None, :]].astype(jnp.float32)
+            pos_cos, pos_sin = rope_cos_sin(
+                jnp.arange(s), cfg.head_dim, cfg.rope_theta, jnp.float32
+            )
+            i = jnp.arange(s)[:, None]
+            j = jnp.arange(s)[None, :]
+            mask = jnp.where((j <= i) & (j < plen), 0.0,
+                             jnp.finfo(jnp.float32).min)
+            k_scr = jnp.zeros((ll, 1, hk, dh, s), jnp.int8)
+            v_scr = jnp.zeros((ll, 1, hk, s, dh), jnp.int8)
+
+            def layer_body(xc, layer, k_l, v_l, _ex):
+                return _block(el, layer, xc, k_l, v_l, jnp.int32(0),
+                              pos_cos, pos_sin, mask, ecfg.bm_prefill)
+
+            final, k_scr, v_scr = pp_layer_pipeline(
+                pp, 1, layer_body, p.layers, x, k_scr, v_scr
+            )
+            pk, pv = _pageify(k_scr, v_scr, npg, ps)
+            kt = kt.at[:, pgs].set(pk)
+            v = v.at[:, pgs].set(pv)
+            if write_slot:
+                ln = ln.at[si].set(plen)
+            xo = rms_norm(final, p.norm_weight.astype(final.dtype), cfg.rms_norm_eps)
+            logits = p.lm_head.astype(xo.dtype) @ xo[0, plen - 1]
+            return logits[None], kt, v, ln
+
+        f = _shmap(
+            local,
+            (pp_engine_param_specs(params), R, R, R, R, cs.kt, cs.v, R),
+            (P("pp", None), cs.kt, cs.v, R),
+        )
+        logits_all, kt, v, lengths = f(
+            params, slot_idx, input_ids, prompt_len, pages,
+            cache.kt, cache.v, cache.lengths,
+        )
+        return logits_all[-1], pg.PagedKVCache(kt=kt, v=v, lengths=lengths)
+
+    @partial(jax.jit, static_argnames=("ecfg",))
+    def paged_prefill_chunk(ecfg, params, slot_idx, chunk_ids, start, valid,
+                            table_row, cache):
+        cfg = ecfg.cfg
+        el = _local_ecfg(ecfg)
+
+        def local(p, si, ids, st, va, tbr, kt, v, ln):
+            ll = p.layers.ln1_weight.shape[0]
+            hk, dh, ps = kt.shape[2], kt.shape[3], kt.shape[4]
+            c = ids.shape[0]
+            npg = tbr.shape[0]
+            smax = npg * ps
+            x = p.embed_tokens[ids[None, :]].astype(jnp.float32)
+            positions = st + jnp.arange(c)
+            pos_cos, pos_sin = rope_cos_sin(positions, cfg.head_dim,
+                                            cfg.rope_theta, jnp.float32)
+            i = positions[:, None]
+            j = jnp.arange(smax)[None, :]
+            mask = jnp.where(j <= i, 0.0, jnp.finfo(jnp.float32).min)
+            k_dense = jnp.take(kt, tbr, axis=1).transpose(0, 2, 3, 1, 4).reshape(
+                ll, 1, hk, dh, smax
+            )
+            v_dense = jnp.take(v, tbr, axis=1).transpose(0, 2, 1, 3, 4).reshape(
+                ll, 1, hk, smax, dh
+            )
+
+            def layer_body(xc, layer, k_l, v_l, _ex):
+                return _block(el, layer, xc, k_l, v_l, st, pos_cos, pos_sin,
+                              mask, ecfg.bm_prefill)
+
+            final, k_dense, v_dense = pp_layer_pipeline(
+                pp, 1, layer_body, p.layers, x, k_dense, v_dense
+            )
+            pk, pv = _pageify(k_dense, v_dense, npg, ps)
+            kt = kt.at[:, tbr].set(pk)
+            v = v.at[:, tbr].set(pv)
+            ln = ln.at[si].set(st + va)
+            xo = rms_norm(final, p.norm_weight.astype(final.dtype), cfg.rms_norm_eps)
+            logits = p.lm_head.astype(xo.dtype) @ xo[0, va - 1]
+            return logits[None], kt, v, ln
+
+        f = _shmap(
+            local,
+            (pp_engine_param_specs(params), R, R, R, R, R, cs.kt, cs.v, R),
+            (P("pp", None), cs.kt, cs.v, R),
+        )
+        logits_all, kt, v, lengths = f(
+            params, slot_idx, chunk_ids, start, valid, table_row,
+            cache.kt, cache.v, cache.lengths,
+        )
+        return logits_all[-1], pg.PagedKVCache(kt=kt, v=v, lengths=lengths)
+
+    def _paged_decode_core(ecfg, p, toks, kt, v, ln, tb, act):
+        """One paged decode step inside shard_map -> (logits [last rank],
+        pool).  Lengths not advanced."""
+        cfg = ecfg.cfg
+        el = _local_ecfg(ecfg)
+        b = toks.shape[0]
+        M = pp if b % pp == 0 else 1
+        x = p.embed_tokens[toks[:, None]].astype(jnp.float32)
+        pos_cos, pos_sin = jax.vmap(
+            lambda p_: rope_cos_sin(p_[None], cfg.head_dim, cfg.rope_theta,
+                                    jnp.float32)
+        )(ln)
+
+        def layer_body(xc, layer, kt_l, v_l, ex, tick_valid):
+            tb_mb, ln_mb, act_mb, cos_mb, sin_mb = ex
+            return _paged_decode_block(
+                el, layer, xc, kt_l, v_l, tb_mb, ln_mb,
+                act_mb & tick_valid, cos_mb, sin_mb,
+            )
+
+        final, kt, v = pp_layer_pipeline_shared(
+            pp, M, layer_body, p.layers, x, kt, v,
+            extras=(tb, ln, act, pos_cos, pos_sin),
+        )
+        xo = rms_norm(final, p.norm_weight.astype(final.dtype), cfg.rms_norm_eps)
+        logits = jnp.einsum("bd,vd->bv", xo[:, 0], p.lm_head.astype(xo.dtype))
+        return logits, kt, v
+
+    @partial(jax.jit, static_argnames=("ecfg",))
+    def paged_decode_batched(ecfg, params, tokens, cache, table, active):
+        def local(p, t, kt, v, ln, tb, act):
+            logits, kt, v = _paged_decode_core(ecfg, p, t, kt, v, ln, tb, act)
+            return logits[None], kt, v
+
+        f = _shmap(
+            local,
+            (pp_engine_param_specs(params), R, cs.kt, cs.v, R, R, R),
+            (P("pp", None, None), cs.kt, cs.v),
+        )
+        logits_all, kt, v = f(params, tokens, cache.kt, cache.v,
+                              cache.lengths, table, active)
+        lengths = cache.lengths + active.astype(jnp.int32)
+        return logits_all[-1], pg.PagedKVCache(kt=kt, v=v, lengths=lengths)
+
+    @partial(jax.jit, static_argnames=("ecfg", "steps"))
+    def paged_decode_multi(ecfg, params, tokens, cache, table, active, steps):
+        def local(p, t0, kt0, v0, ln0, tb, act):
+            rank = lax.axis_index("pp")
+            is_last = (rank == pp - 1).astype(jnp.int32)
+
+            def step(carry, _):
+                t, kt, v, ln = carry
+                logits, kt, v = _paged_decode_core(ecfg, p, t, kt, v, ln, tb, act)
+                nt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                nt = lax.psum(nt * is_last, "pp")
+                nt = jnp.where(act, nt, t)
+                ln = ln + act.astype(jnp.int32)
+                return (nt, kt, v, ln), nt
+
+            (_, kt, v, ln), toks = lax.scan(step, (t0, kt0, v0, ln0), None,
+                                            length=steps)
+            return toks, kt, v, ln
+
+        f = _shmap(
+            local,
+            (pp_engine_param_specs(params), R, cs.kt, cs.v, R, R, R),
+            (R, cs.kt, cs.v, R),
+        )
+        toks, kt, v, lengths = f(params, tokens, cache.kt, cache.v,
+                                 cache.lengths, table, active)
+        return toks, pg.PagedKVCache(kt=kt, v=v, lengths=lengths)
+
+    @jax.jit
+    def copy_page(cache, src, dst):
+        # pure sharded-array surgery; GSPMD handles the pp/tp shardings
+        return pg.copy_page(cache, src, dst)
+
+    return SimpleNamespace(
+        init_paged_cache=init_paged_cache,
+        paged_prefill=paged_prefill,
+        paged_prefill_chunk=paged_prefill_chunk,
+        paged_decode_batched=paged_decode_batched,
+        paged_decode_multi=paged_decode_multi,
+        copy_page=copy_page,
     )

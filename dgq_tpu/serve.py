@@ -51,8 +51,8 @@ def build_parser():
                    help="pipeline-parallel stages over a ('pp','tp') mesh: "
                         "layers + KV cache sharded over pp, decode runs the "
                         "slots as GPipe microbatches (parallel/pp_serving.py); "
-                        "composes with --tp/--spec-k/--admit-batch, not "
-                        "compatible with --paged")
+                        "composes with --tp/--spec-k/--admit-batch/--paged "
+                        "(the page pool layer-shards per stage)")
     p.add_argument("--paged", action="store_true",
                    help="paged KV cache (serving/paged.py): memory scales "
                         "with tokens in flight, prefixes share pool pages; "
@@ -101,28 +101,39 @@ def build_server(args):
         return BatcherServer(batcher, host=args.host, port=args.port)
 
     if args.pp > 1:
-        if args.paged:
-            raise SystemExit("--pp is incompatible with --paged (the paged "
-                             "pool is not pipelined yet)")
         import jax as _jax
 
         from dgq_tpu.models.engine import EngineConfig
         from dgq_tpu.parallel.pipeline import make_pp_mesh, pp_shard_engine_params
-        from dgq_tpu.parallel.pp_serving import pp_serving_fns
         from dgq_tpu.utils.checkpoint import load_engine_any
 
         eng, cfg = load_engine_any(args.checkpoint)
         mesh = make_pp_mesh(args.pp, args.tp)
-        batcher = ContinuousBatcher(
-            EngineConfig(cfg=cfg,
-                         use_kernel=_jax.default_backend() not in ("cpu",)),
-            pp_shard_engine_params(eng, mesh),
-            fns=pp_serving_fns(mesh),
-            num_slots=args.slots, max_len=args.max_len,
-            prefill_pad=min(args.prefill_pad, args.max_len),
-            prefill_chunk=args.prefill_chunk, decode_steps=args.decode_steps,
-            spec_k=args.spec_k, admit_batch=args.admit_batch,
-        )
+        ecfg = EngineConfig(cfg=cfg,
+                            use_kernel=_jax.default_backend() not in ("cpu",))
+        eng_pp = pp_shard_engine_params(eng, mesh)
+        if args.paged:
+            from dgq_tpu.parallel.pp_serving import pp_paged_serving_fns
+            from dgq_tpu.serving.paged import PagedBatcher
+
+            chunk = (args.prefill_chunk // args.page_size) * args.page_size
+            batcher = PagedBatcher(
+                ecfg, eng_pp, fns=pp_paged_serving_fns(mesh),
+                num_slots=args.slots, max_len=args.max_len,
+                page_size=args.page_size,
+                num_pages=args.num_pages or None,
+                decode_steps=args.decode_steps, prefill_chunk=chunk,
+            )
+        else:
+            from dgq_tpu.parallel.pp_serving import pp_serving_fns
+
+            batcher = ContinuousBatcher(
+                ecfg, eng_pp, fns=pp_serving_fns(mesh),
+                num_slots=args.slots, max_len=args.max_len,
+                prefill_pad=min(args.prefill_pad, args.max_len),
+                prefill_chunk=args.prefill_chunk, decode_steps=args.decode_steps,
+                spec_k=args.spec_k, admit_batch=args.admit_batch,
+            )
         for path in args.prefix or ():
             with open(path) as f:
                 text = f.read().strip()

@@ -359,6 +359,7 @@ class PagedBatcher:
         num_pages: Optional[int] = None,
         decode_steps: int = 1,
         mesh=None,
+        fns=None,
         max_recoveries: int = 3,
         prefill_chunk: int = 0,
     ):
@@ -371,6 +372,8 @@ class PagedBatcher:
             )
         self.ecfg = ecfg
         self._mesh = mesh
+        if mesh is not None and fns is not None:
+            raise ValueError("mesh and fns are mutually exclusive")
         if mesh is not None:
             # tensor-sharded paged serving: params TP-placed, pool kv heads
             # sharded, every device call under shard_map
@@ -381,7 +384,10 @@ class PagedBatcher:
             params = shard_engine_params(params, mesh)
             self._f = paged_serving_fns(mesh)
         else:
-            self._f = None
+            # ``fns`` swaps in an alternative device-fn namespace (e.g.
+            # parallel/pp_serving.pp_paged_serving_fns for pipeline
+            # parallelism; params must already be placed to match)
+            self._f = fns
         self.params = params
         self.num_slots = num_slots
         self.max_len = max_len

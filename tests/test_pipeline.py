@@ -144,3 +144,37 @@ def test_pp_speculative_serving_matches_dense(pp_setup):
                          fns=pp_serving_fns(mesh))
     assert got == want, (got, want)
     assert got_stats == want_stats and want_stats["steps"] > 0
+
+
+def test_pp_paged_batcher_matches_dense(pp_setup):
+    """PagedBatcher(fns=pp_paged_serving_fns(mesh)): layer-sharded page
+    pool emits exactly the dense paged batcher's tokens — with prefix
+    sharing, chunked prefill and multi-step decode engaged."""
+    from dgq_tpu.parallel.pp_serving import pp_paged_serving_fns
+    from dgq_tpu.serving.paged import PagedBatcher
+    from dgq_tpu.serving.scheduler import Request
+
+    cfg, eng, ecfg = pp_setup
+    rng = np.random.default_rng(3)
+    prompts = [rng.integers(0, cfg.vocab_size, size=ln).astype(np.int32)
+               for ln in (6, 9, 21, 4)]
+    prefix = prompts[2][:8].copy()
+    prompts.append(np.concatenate([prefix, [7, 7, 2]]).astype(np.int32))
+
+    def run(**kw):
+        b = PagedBatcher(ecfg, kw.pop("params", eng), num_slots=2,
+                         max_len=32, page_size=8, prefill_chunk=8,
+                         decode_steps=2, **kw)
+        b.register_prefix(prefix)
+        for i, p in enumerate(prompts):
+            b.add_request(Request(uid=i, prompt_ids=p, max_new_tokens=4))
+        done = b.run()
+        used = b.pages_in_use()  # only the registered prefix template's pages
+        return {r.uid: r.output_ids for r in done}, (b.prefix_hits, used)
+
+    want, want_hits = run()
+    mesh = make_pp_mesh(2, 2)
+    got, got_hits = run(params=pp_shard_engine_params(eng, mesh),
+                        fns=pp_paged_serving_fns(mesh))
+    assert got == want, (got, want)
+    assert got_hits == want_hits and want_hits[0] > 0
