@@ -47,6 +47,11 @@ def build_parser():
                    help="tensor-parallel shards: serve over a (dp=1, tp) "
                         "device mesh (packed weights column/row-sharded, KV "
                         "over kv heads; parallel/sharded_serving.py)")
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel serving replicas: dp independent "
+                        "batchers on disjoint device groups (each of size "
+                        "--tp), requests routed to the least-loaded replica; "
+                        "throughput scales with dp for replica-sized models")
     p.add_argument("--pp", type=int, default=1,
                    help="pipeline-parallel stages over a ('pp','tp') mesh: "
                         "layers + KV cache sharded over pp, decode runs the "
@@ -79,10 +84,11 @@ def build_server(args):
     if arch != "llama":
         # non-LLaMA families ride the fns-based scheduler (family_batch_
         # engine); llama-only features are rejected up front
-        if args.paged or args.tp > 1 or args.spec_k or args.admit_batch > 1:
+        if (args.paged or args.tp > 1 or args.spec_k or args.admit_batch > 1
+                or args.dp > 1 or args.pp > 1):
             raise SystemExit(
-                f"--paged/--tp/--spec-k/--admit-batch are LLaMA-only; "
-                f"checkpoint is {arch}"
+                f"--paged/--tp/--pp/--dp/--spec-k/--admit-batch are "
+                f"LLaMA-only; checkpoint is {arch}"
             )
         from dgq_tpu.serving.family_batch_engine import batcher_from_checkpoint
 
@@ -101,6 +107,9 @@ def build_server(args):
         return BatcherServer(batcher, host=args.host, port=args.port)
 
     if args.pp > 1:
+        if args.dp > 1:
+            raise SystemExit("--pp with --dp is not supported (run one "
+                             "daemon per dp replica behind a router)")
         import jax as _jax
 
         from dgq_tpu.models.engine import EngineConfig
@@ -143,31 +152,51 @@ def build_server(args):
             print(f"[dgq_tpu.serve] prefix cached: {len(ids)} tokens", flush=True)
         return BatcherServer(batcher, host=args.host, port=args.port)
 
-    mesh = None
-    if args.tp > 1:
-        from dgq_tpu.parallel.mesh import make_mesh
+    import jax as _jax
 
-        mesh = make_mesh(dp=1, tp=args.tp)
-    if args.paged:
-        from dgq_tpu.serving.paged import PagedBatcher
+    from dgq_tpu.models.engine import EngineConfig
+    from dgq_tpu.parallel.mesh import make_mesh
+    from dgq_tpu.utils.checkpoint import load_engine_any
 
-        chunk = args.prefill_chunk
-        if chunk % args.page_size != 0:
-            chunk = (chunk // args.page_size) * args.page_size  # page-align
-        batcher = PagedBatcher.from_checkpoint(
-            args.checkpoint, num_slots=args.slots, max_len=args.max_len,
-            page_size=args.page_size,
-            num_pages=args.num_pages or None,
-            decode_steps=args.decode_steps, mesh=mesh,
-            prefill_chunk=chunk,
-        )
-    else:
-        batcher = ContinuousBatcher.from_checkpoint(
-            args.checkpoint, num_slots=args.slots, max_len=args.max_len,
+    chunk = args.prefill_chunk
+    if args.paged and chunk % args.page_size != 0:
+        chunk = (chunk // args.page_size) * args.page_size  # page-align
+
+    def build_one(mesh):
+        if args.paged:
+            from dgq_tpu.serving.paged import PagedBatcher
+
+            return PagedBatcher(
+                ecfg, eng, num_slots=args.slots, max_len=args.max_len,
+                page_size=args.page_size, num_pages=args.num_pages or None,
+                decode_steps=args.decode_steps, mesh=mesh, prefill_chunk=chunk,
+            )
+        return ContinuousBatcher(
+            ecfg, eng, num_slots=args.slots, max_len=args.max_len,
             prefill_pad=min(args.prefill_pad, args.max_len),
             prefill_chunk=args.prefill_chunk, admit_batch=args.admit_batch,
             decode_steps=args.decode_steps, spec_k=args.spec_k, mesh=mesh,
         )
+
+    eng, cfg = load_engine_any(args.checkpoint)
+    ecfg = EngineConfig(cfg=cfg, use_kernel=_jax.default_backend() not in ("cpu",))
+    if args.dp > 1:
+        # data-parallel serving scale-out: one full batcher replica per
+        # disjoint device group (each its own tp submesh + scheduler loop);
+        # BatcherServer routes requests to the least-loaded replica
+        devices = _jax.devices()
+        need = args.dp * args.tp
+        if need > len(devices):
+            raise SystemExit(f"--dp {args.dp} x --tp {args.tp} needs {need} "
+                             f"devices, have {len(devices)}")
+        batchers = [
+            build_one(make_mesh(dp=1, tp=args.tp,
+                                devices=devices[r * args.tp:(r + 1) * args.tp]))
+            for r in range(args.dp)
+        ]
+    else:
+        mesh = make_mesh(dp=1, tp=args.tp) if args.tp > 1 else None
+        batchers = [build_one(mesh)]
     for path in args.prefix or ():
         import json as _json
 
@@ -175,9 +204,11 @@ def build_server(args):
             text = f.read().strip()
         ids = (_json.loads(text) if text.startswith("[")
                else [int(t) for t in text.split()])
-        batcher.register_prefix(ids)
+        for b in batchers:
+            b.register_prefix(ids)
         print(f"[dgq_tpu.serve] prefix cached: {len(ids)} tokens", flush=True)
-    return BatcherServer(batcher, host=args.host, port=args.port)
+    return BatcherServer(batchers if len(batchers) > 1 else batchers[0],
+                         host=args.host, port=args.port)
 
 
 def main(argv=None):

@@ -46,18 +46,31 @@ from dgq_tpu.serving.scheduler import ContinuousBatcher, Request
 
 
 class BatcherServer:
-    def __init__(self, batcher: ContinuousBatcher, host: str = "127.0.0.1",
+    """TCP front end over one batcher — or over N independent batcher
+    REPLICAS for data-parallel serving scale-out: each replica owns its own
+    device placement (e.g. a per-replica tp submesh) and scheduler loop;
+    requests route to the replica with the fewest outstanding requests.
+    Greedy outputs are placement-independent, so routing is invisible to
+    clients."""
+
+    def __init__(self, batcher, host: str = "127.0.0.1",
                  port: int = 0, *, idle_sleep_s: float = 0.002):
-        self.batcher = batcher
-        self._lock = threading.Lock()  # batcher is not thread-safe
+        self.replicas = list(batcher) if isinstance(batcher, (list, tuple)) else [batcher]
+        self.batcher = self.replicas[0]  # back-compat alias
+        n = len(self.replicas)
+        self._locks = [threading.Lock() for _ in range(n)]  # batchers are not thread-safe
+        self._lock = self._locks[0]  # back-compat alias
         self._uid = itertools.count()
-        # uid -> (send_fn, n_tokens_already_sent); guarded by self._lock
+        # uid -> (send_fn, n_tokens_already_sent); single-writer per uid
+        # (the owning replica's loop), registered under that replica's lock
         self._streams: Dict[int, Tuple[Callable, int]] = {}
-        # cancels are queued and drained by the scheduler loop: the loop
-        # holds self._lock nearly continuously while work exists, so a
+        # cancels are queued and drained by the owning scheduler loop: a
+        # loop holds its lock nearly continuously while work exists, so a
         # cancel() that contended for the lock directly could starve until
         # the request it wants to stop has already finished
-        self._cancel_q: "queue.Queue" = queue.Queue()
+        self._cancel_qs = [queue.Queue() for _ in range(n)]
+        self._uid_replica: Dict[int, int] = {}
+        self._outstanding = [0] * n
         self._done: Dict[int, Request] = {}
         self._done_cv = threading.Condition()
         self._fatal: Optional[str] = None
@@ -67,9 +80,9 @@ class BatcherServer:
         self._sock.settimeout(0.2)
         self.host, self.port = self._sock.getsockname()[:2]
         self._threads = [
-            threading.Thread(target=self._scheduler_loop, daemon=True),
-            threading.Thread(target=self._accept_loop, daemon=True),
-        ]
+            threading.Thread(target=self._scheduler_loop, args=(r,), daemon=True)
+            for r in range(n)
+        ] + [threading.Thread(target=self._accept_loop, daemon=True)]
         for t in self._threads:
             t.start()
 
@@ -85,8 +98,11 @@ class BatcherServer:
         req = Request(uid=uid, prompt_ids=np.asarray(prompt_ids, np.int32),
                       max_new_tokens=int(max_new_tokens),
                       eos_token_id=eos_token_id, sampling=sampling)
-        with self._lock:
-            self.batcher.add_request(req)
+        r = self._outstanding.index(min(self._outstanding))  # least loaded
+        with self._locks[r]:
+            self.replicas[r].add_request(req)
+            self._uid_replica[uid] = r
+            self._outstanding[r] += 1
             if stream_send is not None:
                 self._streams[uid] = (stream_send, 0)
         return uid
@@ -95,9 +111,12 @@ class BatcherServer:
         """Cancel a queued or running request; its waiter receives the final
         reply with ``cancelled: true``.  Processed by the scheduler loop
         within one step (returns False if the request already finished)."""
+        r = self._uid_replica.get(uid)
+        if r is None:
+            return False  # unknown or already reaped
         ev = threading.Event()
         holder: list = []
-        self._cancel_q.put((uid, holder, ev))
+        self._cancel_qs[r].put((uid, holder, ev))
         if not ev.wait(timeout):
             if self._fatal is not None:
                 raise RuntimeError(f"serving loop died: {self._fatal}")
@@ -116,9 +135,23 @@ class BatcherServer:
             return self._done.pop(uid)
 
     def metrics(self) -> dict:
-        """Thread-safe batcher metrics (the batcher itself is not)."""
-        with self._lock:
-            return self.batcher.metrics()
+        """Thread-safe batcher metrics (the batchers themselves are not).
+        With replicas, numeric fields aggregate and per-replica dicts ride
+        under "replicas"."""
+        per = []
+        for r, b in enumerate(self.replicas):
+            with self._locks[r]:
+                per.append(b.metrics())
+        if len(per) == 1:
+            return per[0]
+        agg: dict = {"replicas": per, "num_replicas": len(per)}
+        for key in ("tokens_generated", "requests_finished", "requests_queued",
+                    "slots_active", "prefills_pending", "recoveries",
+                    "tokens_per_s"):
+            vals = [m.get(key) for m in per if m.get(key) is not None]
+            if vals:
+                agg[key] = round(sum(vals), 3) if isinstance(vals[0], float) else sum(vals)
+        return agg
 
     def close(self):
         self._stop.set()
@@ -134,48 +167,53 @@ class BatcherServer:
 
     # -- internals ------------------------------------------------------------
 
-    def _scheduler_loop(self):
+    def _scheduler_loop(self, ridx: int):
+        b = self.replicas[ridx]
+        lock = self._locks[ridx]
         while not self._stop.is_set():
             stepped = False
             try:
-                with self._lock:
-                    self._drain_cancels()
-                    if self.batcher.has_work:
-                        self.batcher.step()
+                with lock:
+                    self._drain_cancels(ridx)
+                    if b.has_work:
+                        b.step()
                         stepped = True
                     if self._streams:
-                        self._send_stream_deltas()
-                    finished = self.batcher.finished
+                        self._send_stream_deltas(b)
+                    finished = b.finished
                     if finished:
                         with self._done_cv:
                             for r in finished:
                                 self._done[r.uid] = r
+                                self._uid_replica.pop(r.uid, None)
+                                self._outstanding[ridx] -= 1
                             self._done_cv.notify_all()
-                        self.batcher.finished = []
+                        b.finished = []
             except Exception as e:  # noqa: BLE001 — a dead loop must not strand waiters
                 with self._done_cv:
                     self._fatal = repr(e)
                     self._done_cv.notify_all()
-                self._drain_cancels(dead=True)
+                self._drain_cancels(ridx, dead=True)
                 return
             if not stepped:
                 self._stop.wait(self._idle_sleep_s)
 
-    def _drain_cancels(self, dead: bool = False):
-        """Apply queued cancels (caller holds self._lock unless ``dead``)."""
+    def _drain_cancels(self, ridx: int, dead: bool = False):
+        """Apply queued cancels (caller holds the replica's lock unless
+        ``dead``)."""
         while True:
             try:
-                uid, holder, ev = self._cancel_q.get_nowait()
+                uid, holder, ev = self._cancel_qs[ridx].get_nowait()
             except queue.Empty:
                 return
-            holder.append(False if dead else self.batcher.cancel(uid))
+            holder.append(False if dead else self.replicas[ridx].cancel(uid))
             ev.set()
 
-    def _send_stream_deltas(self):
+    def _send_stream_deltas(self, b):
         """Push newly-decoded tokens of streaming requests (caller holds
-        self._lock).  Finished requests get their tail in the final reply
-        (_finish_and_reply) — here only live slots are walked."""
-        for req in self.batcher.slots:
+        the replica's lock).  Finished requests get their tail in the final
+        reply (_finish_and_reply) — here only live slots are walked."""
+        for req in b.slots:
             if req is None:
                 continue
             entry = self._streams.get(req.uid)
@@ -225,8 +263,9 @@ class BatcherServer:
 
         def finish_and_reply(uid):
             req = self.wait(uid)
-            with self._lock:
-                entry = self._streams.pop(uid, None)
+            # by the time wait() returns, the owning replica's loop no
+            # longer touches this uid; dict pop is GIL-atomic
+            entry = self._streams.pop(uid, None)
             final = {"uid": uid,
                      "output_ids": [int(t) for t in req.output_ids],
                      "done": True}

@@ -227,3 +227,40 @@ def test_server_cancel(engine):
             # unknown uid cancel is a clean no-op
             resp = _rpc(f, s, {"op": "cancel", "uid": 12345})
             assert resp["cancelled_ok"] is False
+
+
+def test_server_dp_replicas(engine):
+    """Two batcher replicas behind one server: outputs identical to the
+    single-replica server per request, and both replicas take work."""
+    cfg, eng = engine
+    prompts = [[3, 5, 3, 5], [7, 7, 2, 7], [1, 2, 3, 4], [9, 9, 9, 9]]
+
+    # single-replica reference
+    refs = {}
+    with BatcherServer(_batcher(cfg, eng)) as srv:
+        with socket.create_connection((srv.host, srv.port), timeout=120) as s:
+            f = s.makefile("r")
+            for p in prompts:
+                s.sendall((json.dumps({"prompt_ids": p, "max_new_tokens": 6})
+                           + "\n").encode())
+            for _ in prompts:
+                m = json.loads(f.readline())
+                refs[m["uid"]] = m["output_ids"]
+
+    with BatcherServer([_batcher(cfg, eng), _batcher(cfg, eng)]) as srv:
+        with socket.create_connection((srv.host, srv.port), timeout=120) as s:
+            f = s.makefile("r")
+            for p in prompts:
+                s.sendall((json.dumps({"prompt_ids": p, "max_new_tokens": 6})
+                           + "\n").encode())
+            got = {}
+            for _ in prompts:
+                m = json.loads(f.readline())
+                got[m["uid"]] = m["output_ids"]
+            assert got == refs, (got, refs)
+            metrics = _rpc(f, s, {"op": "metrics"})
+    assert metrics["num_replicas"] == 2
+    assert metrics["requests_finished"] == 4
+    # least-loaded routing spread the requests over both replicas
+    per = [m["requests_finished"] for m in metrics["replicas"]]
+    assert all(n > 0 for n in per), per
