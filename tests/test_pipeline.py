@@ -178,3 +178,65 @@ def test_pp_paged_batcher_matches_dense(pp_setup):
                         fns=pp_paged_serving_fns(mesh))
     assert got == want, (got, want)
     assert got_hits == want_hits and want_hits[0] > 0
+
+
+@pytest.mark.parametrize("kv_heads", [4, 2])
+def test_sp_ring_prefill_matches_dense(kv_heads):
+    """Sequence-parallel ring-attention prefill: logits and the INT8 KV
+    cache match the dense engine exactly; decode continues from the
+    gathered cache."""
+    from dgq_tpu.parallel.sequence import (
+        gather_sp_cache,
+        make_sp_mesh,
+        sp_engine_prefill,
+    )
+
+    cfg = tiny_llama_config(
+        hidden_size=512, intermediate_size=1024, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=kv_heads,
+    )
+    eng = build_llama_engine(cfg)
+    ecfg = EngineConfig(cfg=cfg, use_kernel=False)
+    B, S, max_len = 2, 16, 32
+    rng = np.random.default_rng(4)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, S)), jnp.int32)
+
+    want, want_cache = engine_forward(ecfg, eng, ids, init_kv_cache(cfg, B, S))
+
+    mesh = make_sp_mesh(4)
+    logits, cache = sp_engine_prefill(ecfg, eng, ids, mesh)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    # INT8 KV bit-identical (quantization points are shared code)
+    np.testing.assert_array_equal(np.asarray(cache.k), np.asarray(want_cache.k))
+    np.testing.assert_array_equal(np.asarray(cache.v), np.asarray(want_cache.v))
+    assert int(cache.length) == S
+
+    # decode handoff: gather to a max_len cache, one dense decode step
+    dense_cache = init_kv_cache(cfg, B, max_len)
+    dense_cache = dense_cache._replace(
+        k=dense_cache.k.at[..., :S].set(jnp.asarray(np.asarray(want_cache.k))),
+        v=dense_cache.v.at[:, :, :, :S, :].set(jnp.asarray(np.asarray(want_cache.v))),
+        length=jnp.asarray(S, jnp.int32),
+    )
+    nxt = jnp.argmax(want[:, -1:, :], axis=-1).astype(jnp.int32)
+    want2, _ = engine_forward(ecfg, eng, nxt, dense_cache)
+
+    got_cache = gather_sp_cache(cache, max_len=max_len)
+    got2, _ = engine_forward(ecfg, eng, nxt, got_cache)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_sp_validation():
+    from dgq_tpu.parallel.sequence import make_sp_mesh, sp_engine_prefill
+
+    cfg = tiny_llama_config(hidden_size=256, intermediate_size=512,
+                            num_hidden_layers=2, num_attention_heads=4,
+                            num_key_value_heads=4)
+    eng = build_llama_engine(cfg)
+    ecfg = EngineConfig(cfg=cfg, use_kernel=False)
+    mesh = make_sp_mesh(4)
+    ids = jnp.zeros((1, 10), jnp.int32)  # 10 % 4 != 0
+    with pytest.raises(ValueError, match="not divisible by sp"):
+        sp_engine_prefill(ecfg, eng, ids, mesh)
