@@ -46,11 +46,14 @@ from dgq_tpu.models.llama import rms_norm, rope_cos_sin, rotate_half
 _NEG = jnp.float32(jnp.finfo(jnp.float32).min)
 
 
-def make_sp_mesh(sp: int, devices=None) -> Mesh:
+def make_sp_mesh(sp: int, tp: int = 1, devices=None) -> Mesh:
+    """('sp',) or ('sp', 'tp') mesh; 'tp' innermost (fastest interconnect)."""
     import numpy as np
 
     devices = list(devices if devices is not None else jax.devices())
-    assert sp <= len(devices), (sp, len(devices))
+    assert sp * tp <= len(devices), (sp, tp, len(devices))
+    if tp > 1:
+        return Mesh(np.asarray(devices[: sp * tp]).reshape(sp, tp), ("sp", "tp"))
     return Mesh(np.asarray(devices[:sp]).reshape(sp), ("sp",))
 
 
@@ -142,16 +145,30 @@ def sp_engine_prefill(
     """Sequence-parallel prefill from position 0.
 
     Returns (logits (B, S, V), KVCache with Smax == S sharded over 'sp').
-    Params are replicated over the mesh.  Prompts are full-length (no
-    per-row padding); pad S only to a multiple of sp.
+    Prompts are full-length (no per-row padding); pad S only to a multiple
+    of sp.  On an ('sp', 'tp') mesh the heads additionally shard over 'tp'
+    (pass params through ``shard_engine_params`` first): the ring rotates
+    each rank's LOCAL kv heads' block, and the block's row-parallel psums
+    stay 'tp' collectives — sequence and tensor parallelism compose.
     """
+    import dataclasses as _dc
+
     cfg = ecfg.cfg
     sp = mesh.shape["sp"]
+    tp = mesh.shape.get("tp", 1)
     b, s = input_ids.shape
     if s % sp != 0:
         raise ValueError(f"sequence {s} not divisible by sp={sp}")
     s_l = s // sp
-    rspec = jax.tree_util.tree_map(lambda _: P(), params)
+    if tp > 1:
+        from dgq_tpu.parallel.sharded_engine import engine_param_specs
+
+        rspec = engine_param_specs(params)
+        ecfg = _dc.replace(ecfg, tp_axis="tp")
+        kv_tp = "tp"
+    else:
+        rspec = jax.tree_util.tree_map(lambda _: P(), params)
+        kv_tp = None
 
     def local_step(params_l, ids_l):
         rank = lax.axis_index("sp")
@@ -176,8 +193,8 @@ def sp_engine_prefill(
         mesh=mesh,
         in_specs=(rspec, P(None, "sp")),
         out_specs=(P(None, "sp", None),
-                   P(None, None, None, None, "sp"),
-                   P(None, None, None, "sp", None)),
+                   P(None, None, kv_tp, None, "sp"),
+                   P(None, None, kv_tp, "sp", None)),
         check_vma=False,
     )
     logits, k, v = fn(params, input_ids)

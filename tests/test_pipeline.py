@@ -240,3 +240,23 @@ def test_sp_validation():
     ids = jnp.zeros((1, 10), jnp.int32)  # 10 % 4 != 0
     with pytest.raises(ValueError, match="not divisible by sp"):
         sp_engine_prefill(ecfg, eng, ids, mesh)
+
+
+def test_sp_tp_composed_prefill_matches_dense(pp_setup):
+    """Ring-attention sequence parallelism composed with tensor
+    parallelism on an ('sp','tp') mesh."""
+    from dgq_tpu.parallel.sequence import make_sp_mesh, sp_engine_prefill
+    from dgq_tpu.parallel.sharded_engine import shard_engine_params
+
+    cfg, eng, ecfg = pp_setup
+    B, S = 2, 16
+    rng = np.random.default_rng(5)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, S)), jnp.int32)
+    want, want_cache = engine_forward(ecfg, eng, ids, init_kv_cache(cfg, B, S))
+
+    mesh = make_sp_mesh(2, tp=2)
+    eng_sh = shard_engine_params(eng, mesh)
+    logits, cache = sp_engine_prefill(ecfg, eng_sh, ids, mesh)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(cache.k), np.asarray(want_cache.k))
