@@ -425,6 +425,9 @@ class PagedBatcher:
         self.max_recoveries = max_recoveries
         self._recoveries = 0
         self._seed = 0
+        from collections import deque as _dq
+
+        self._lat = _dq(maxlen=512)  # (ttft_s, e2e_s) samples
         import time as _time
 
         self._t0 = _time.time()
@@ -496,6 +499,10 @@ class PagedBatcher:
             )
         if req.max_new_tokens < 1:
             raise ValueError("max_new_tokens must be >= 1")
+        if getattr(req, "t_submit", None) is None:
+            import time as _time
+
+            req.t_submit = _time.time()
         self.queue.append(req)
 
     @property
@@ -518,12 +525,29 @@ class PagedBatcher:
         return False
 
     def _finish_cancelled(self, req) -> bool:
-        req.done = True
         req.cancelled = True
+        self._finish_req(req)
+        return True
+
+    def _finish_req(self, req):
+        """Single point for completion bookkeeping (mirrors
+        ContinuousBatcher._finish_req)."""
+        import time as _time
+
+        now = _time.time()
+        req.done = True
+        if getattr(req, "t_first", None) is None and req.output_ids:
+            req.t_first = now
+        if getattr(req, "t_done", None) is None:
+            req.t_done = now
         self.finished.append(req)
         self._finished_count += 1
         self._finished_tokens += len(req.output_ids)
-        return True
+        if getattr(req, "t_submit", None) is not None:
+            self._lat.append((
+                (req.t_first - req.t_submit) if req.t_first else None,
+                req.t_done - req.t_submit,
+            ))
 
     def register_prefix(self, prefix_ids) -> None:
         """Prefill ``prefix_ids`` ONCE into pool pages; admitted prompts
@@ -579,6 +603,15 @@ class PagedBatcher:
             "preemptions": self.preemptions,
             "prefills_pending": len(self.pending),
         }
+        if self._lat:
+            e2e = sorted(s[1] for s in self._lat)
+            out["e2e_ms_p50"] = round(e2e[len(e2e) // 2] * 1e3, 1)
+            out["e2e_ms_p95"] = round(e2e[min(len(e2e) - 1, int(len(e2e) * 0.95))] * 1e3, 1)
+            ttft = sorted(s[0] for s in self._lat if s[0] is not None)
+            if ttft:
+                out["ttft_ms_p50"] = round(ttft[len(ttft) // 2] * 1e3, 1)
+                out["ttft_ms_p95"] = round(
+                    ttft[min(len(ttft) - 1, int(len(ttft) * 0.95))] * 1e3, 1)
         if self._prefix is not None:
             out["prefix_hits"] = self.prefix_hits
         return out
@@ -957,14 +990,15 @@ class PagedBatcher:
         req = self.slots[slot]
         if req is None:
             return
+        if getattr(req, "t_first", None) is None and req.output_ids:
+            import time as _time
+
+            req.t_first = _time.time()
         hit_eos = req.eos_token_id is not None and req.output_ids[-1] == req.eos_token_id
         hit_max = len(req.output_ids) >= req.max_new_tokens
         hit_cap = int(self.cache.lengths[slot]) + 1 >= self.max_len
         if hit_eos or hit_max or hit_cap:
-            req.done = True
-            self.finished.append(req)
-            self._finished_count += 1
-            self._finished_tokens += len(req.output_ids)
+            self._finish_req(req)
             self._free_slot(slot)
             self.cache = self.cache._replace(
                 lengths=self.cache.lengths.at[slot].set(0)

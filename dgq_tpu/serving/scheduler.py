@@ -46,6 +46,11 @@ class Request:
     output_ids: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
     cancelled: bool = False
+    # latency stamps (seconds, time.time()): submission, first emitted
+    # token, completion — basis for TTFT / e2e observability
+    t_submit: Optional[float] = None
+    t_first: Optional[float] = None
+    t_done: Optional[float] = None
 
 
 class ContinuousBatcher:
@@ -128,6 +133,7 @@ class ContinuousBatcher:
         self._finished_tokens = 0
         self._prefix = None  # set by register_prefix
         self.prefix_hits = 0
+        self._lat: Deque = deque(maxlen=512)  # (ttft_s, e2e_s) samples
         import time as _time
 
         self._t0 = _time.time()
@@ -176,11 +182,35 @@ class ContinuousBatcher:
             )
         if req.max_new_tokens < 1:
             raise ValueError("max_new_tokens must be >= 1")
+        if req.t_submit is None:
+            import time as _time
+
+            req.t_submit = _time.time()
         self.queue.append(req)
 
     @property
     def has_work(self) -> bool:
         return bool(self.queue) or any(r is not None for r in self.slots)
+
+    def _finish_req(self, req: Request):
+        """Single point for completion bookkeeping: done flag, latency
+        stamps, finished list, cumulative counters, latency samples."""
+        import time as _time
+
+        now = _time.time()
+        req.done = True
+        if req.t_first is None and req.output_ids:
+            req.t_first = now
+        if req.t_done is None:
+            req.t_done = now
+        self.finished.append(req)
+        self._finished_count += 1
+        self._finished_tokens += len(req.output_ids)
+        if req.t_submit is not None:
+            self._lat.append((
+                (req.t_first - req.t_submit) if req.t_first else None,
+                req.t_done - req.t_submit,
+            ))
 
     def register_prefix(self, prefix_ids) -> None:
         """Prefix caching: prefill ``prefix_ids`` ONCE into a template KV;
@@ -287,11 +317,8 @@ class ContinuousBatcher:
         return False
 
     def _finish_cancelled(self, req: Request) -> bool:
-        req.done = True
         req.cancelled = True
-        self.finished.append(req)
-        self._finished_count += 1
-        self._finished_tokens += len(req.output_ids)
+        self._finish_req(req)
         return True
 
     def metrics(self) -> dict:
@@ -316,6 +343,15 @@ class ContinuousBatcher:
             "prefills_pending": len(self.pending),
             "recoveries": self._recoveries,
         }
+        if self._lat:
+            e2e = sorted(s[1] for s in self._lat)
+            out["e2e_ms_p50"] = round(e2e[len(e2e) // 2] * 1e3, 1)
+            out["e2e_ms_p95"] = round(e2e[min(len(e2e) - 1, int(len(e2e) * 0.95))] * 1e3, 1)
+            ttft = sorted(s[0] for s in self._lat if s[0] is not None)
+            if ttft:
+                out["ttft_ms_p50"] = round(ttft[len(ttft) // 2] * 1e3, 1)
+                out["ttft_ms_p95"] = round(
+                    ttft[min(len(ttft) - 1, int(len(ttft) * 0.95))] * 1e3, 1)
         if self.spec_k > 0:
             st = self.spec_stats
             out["spec_steps"] = st["steps"]
@@ -469,11 +505,12 @@ class ContinuousBatcher:
                         finished = True
                         break
             if finished:
-                req.done = True
-                self.finished.append(req)
-                self._finished_count += 1
-                self._finished_tokens += len(req.output_ids)
+                self._finish_req(req)
                 self.slots[s] = None  # freed; next admit re-prefills from 0
+            elif req.t_first is None and req.output_ids:
+                import time as _time
+
+                req.t_first = _time.time()
 
     def _can_decode_spec(self) -> bool:
         if self.spec_k <= 0 or self.pending:
@@ -540,12 +577,13 @@ class ContinuousBatcher:
                     finished = True
                     break
             if finished:
-                req.done = True
-                self.finished.append(req)
-                self._finished_count += 1
-                self._finished_tokens += len(req.output_ids)
+                self._finish_req(req)
                 self.slots[s] = None  # freed; next admit re-prefills from 0
             else:
+                if req.t_first is None and req.output_ids:
+                    import time as _time
+
+                    req.t_first = _time.time()
                 # cache covers prompt + consumed tokens: the previously
                 # pending token plus the accepted drafts were fed; the
                 # correction is the new pending token (not yet fed)
@@ -743,12 +781,13 @@ class ContinuousBatcher:
         req = self.slots[slot]
         if req is None:
             return
+        if req.t_first is None and req.output_ids:
+            import time as _time
+
+            req.t_first = _time.time()
         hit_eos = req.eos_token_id is not None and req.output_ids[-1] == req.eos_token_id
         hit_max = len(req.output_ids) >= req.max_new_tokens
         hit_cap = int(self.cache.lengths[slot]) + 1 >= self.max_len
         if hit_eos or hit_max or hit_cap:
-            req.done = True
-            self.finished.append(req)
-            self._finished_count += 1
-            self._finished_tokens += len(req.output_ids)
+            self._finish_req(req)
             self.slots[slot] = None  # slot freed; next admit overwrites it

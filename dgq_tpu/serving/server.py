@@ -273,6 +273,10 @@ class BatcherServer:
                 final["token_ids"] = [int(t) for t in req.output_ids[entry[1]:]]
             if req.cancelled:
                 final["cancelled"] = True
+            if req.t_submit is not None and req.t_done is not None:
+                final["e2e_ms"] = round((req.t_done - req.t_submit) * 1e3, 1)
+                if req.t_first is not None:
+                    final["ttft_ms"] = round((req.t_first - req.t_submit) * 1e3, 1)
             send(final)
 
         try:

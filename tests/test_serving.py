@@ -413,3 +413,24 @@ def test_batcher_cancel_queued_and_active(serving_setup):
     b.add_request(Request(uid=2, prompt_ids=p, max_new_tokens=4))
     got = b.run()
     assert [r for r in got if r.uid == 2][0].output_ids == want
+
+
+def test_latency_metrics(serving_setup):
+    """TTFT / e2e latency stamps and percentile metrics."""
+    import time
+
+    cfg, eng, ecfg = serving_setup
+    b = ContinuousBatcher(ecfg, eng, num_slots=2, max_len=64, prefill_pad=16)
+    p = np.asarray([3, 5, 3, 5], np.int32)
+    t0 = time.time()
+    for i in range(3):
+        b.add_request(Request(uid=i, prompt_ids=p, max_new_tokens=4))
+    done = b.run()
+    t1 = time.time()
+    for r in done:
+        assert r.t_submit is not None and t0 <= r.t_submit <= t1
+        assert r.t_first is not None and r.t_first >= r.t_submit
+        assert r.t_done is not None and r.t_done >= r.t_first
+    m = b.metrics()
+    assert m["e2e_ms_p50"] > 0 and m["ttft_ms_p50"] > 0
+    assert m["e2e_ms_p95"] >= m["e2e_ms_p50"] >= m["ttft_ms_p50"]
