@@ -153,7 +153,17 @@ class BatcherServer:
                 agg[key] = round(sum(vals), 3) if isinstance(vals[0], float) else sum(vals)
         return agg
 
-    def close(self):
+    def close(self, drain: bool = False, drain_timeout: float = 300.0):
+        """Stop the server.  ``drain=True`` first waits (up to
+        ``drain_timeout``) for every outstanding request to finish, so an
+        orderly shutdown never drops accepted work."""
+        if drain:
+            import time as _time
+
+            deadline = _time.time() + drain_timeout
+            while (sum(self._outstanding) > 0 and self._fatal is None
+                   and _time.time() < deadline):
+                _time.sleep(0.01)
         self._stop.set()
         for t in self._threads:
             t.join(timeout=10)
