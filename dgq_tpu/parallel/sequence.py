@@ -30,7 +30,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from dgq_tpu.models.engine import (
     EngineConfig,
@@ -43,7 +43,11 @@ from dgq_tpu.models.engine import (
 )
 from dgq_tpu.models.llama import rms_norm, rope_cos_sin, rotate_half
 
-_NEG = jnp.float32(jnp.finfo(jnp.float32).min)
+# plain numpy: a module-level jnp constant would initialize the device
+# backend at import time (and hang on a wedged remote attachment)
+import numpy as _np
+
+_NEG = float(_np.finfo(_np.float32).min)
 
 
 def make_sp_mesh(sp: int, tp: int = 1, devices=None) -> Mesh:
