@@ -195,6 +195,61 @@ def worker_decode():
     }), flush=True)
 
 
+def worker_serving():
+    """Continuous-batching serving throughput (BASELINE config 4): 7B
+    random engine, 8 slots, multi-step decode dispatch; reports sustained
+    tokens/s across the whole request stream (prefill + decode + scheduler
+    overhead included — the number a deployment sees)."""
+    _maybe_force_cpu()
+    import numpy as np
+
+    import jax
+
+    from dgq_tpu.models.engine import EngineConfig
+    from dgq_tpu.models.llama import LlamaConfig
+    from dgq_tpu.models.synthetic import build_llama_engine
+    from dgq_tpu.serving.scheduler import ContinuousBatcher, Request
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    cfg = (
+        LlamaConfig(num_hidden_layers=32)
+        if on_tpu
+        else LlamaConfig(vocab_size=512, hidden_size=256, intermediate_size=512,
+                         num_hidden_layers=2, num_attention_heads=4,
+                         num_key_value_heads=4)
+    )
+    eng = build_llama_engine(cfg)
+    b = ContinuousBatcher(
+        EngineConfig(cfg=cfg, use_kernel=on_tpu), eng,
+        num_slots=8, max_len=512, prefill_pad=128,
+        admit_batch=4, decode_steps=8 if on_tpu else 2,
+    )
+    rng = np.random.default_rng(0)
+    n_req, new_toks = (16, 64) if on_tpu else (4, 8)
+    reqs = [Request(uid=i,
+                    prompt_ids=rng.integers(0, cfg.vocab_size, 48).astype(np.int32),
+                    max_new_tokens=new_toks)
+            for i in range(n_req)]
+    # warm the compiled programs with one throwaway request
+    b.add_request(Request(uid=10_000, prompt_ids=reqs[0].prompt_ids.copy(),
+                          max_new_tokens=2))
+    b.run()
+    b.finished = []
+    t0 = time.time()
+    for r in reqs:
+        b.add_request(r)
+    done = b.run()
+    dt = time.time() - t0
+    toks = sum(len(r.output_ids) for r in done)
+    print(json.dumps({
+        "ok": True,
+        "serving_tok_s": round(toks / dt, 1),
+        "serving_requests": len(done),
+        "serving_tokens": toks,
+        "layers": cfg.num_hidden_layers,
+    }), flush=True)
+
+
 def _parse_worker_json(text: str):
     for line in reversed(text.strip().splitlines()):
         line = line.strip()
@@ -303,6 +358,34 @@ def main():
         except Exception as e:  # noqa: BLE001
             errors.append("decode: " + repr(e)[:200])
 
+    # serving-throughput round (extras only; failure never sinks the metric)
+    serving = None
+    if on_tpu:
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker-serving"],
+                capture_output=True, text=True, timeout=WORKER_TIMEOUT_FIRST,
+            )
+            serving = _parse_worker_json(proc.stdout)
+            if serving is None:
+                errors.append("serving: " + " | ".join(
+                    (proc.stderr or "").strip().splitlines()[-2:])[:300])
+        except subprocess.TimeoutExpired:
+            errors.append("serving worker timeout")
+        except Exception as e:  # noqa: BLE001
+            errors.append("serving: " + repr(e)[:200])
+    else:
+        try:
+            import io
+            import contextlib
+
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                worker_serving()
+            serving = _parse_worker_json(buf.getvalue())
+        except Exception as e:  # noqa: BLE001
+            errors.append("serving: " + repr(e)[:200])
+
     # aggregate: best sustained (max over per-round medians) — the tunnel has
     # minutes-long degraded windows that depress absolutes ~40%
     peak = (PEAK_INT8_OPS[_tpu_gen()] if on_tpu else 1e12)
@@ -346,6 +429,8 @@ def main():
         if decode:
             result["extra"]["decode_ms_per_step_7b_b1"] = decode.get("decode_ms_per_step")
             result["extra"]["decode_tok_s_7b_b1"] = decode.get("decode_tok_s_b1")
+        if serving:
+            result["extra"]["serving_tok_s_7b_8slots"] = serving.get("serving_tok_s")
         if errors:
             result["degraded"] = True
             result["rounds_failed"] = len(errors)
@@ -371,7 +456,9 @@ def main():
 
 
 if __name__ == "__main__":
-    if "--worker-decode" in sys.argv:
+    if "--worker-serving" in sys.argv:
+        worker_serving()
+    elif "--worker-decode" in sys.argv:
         worker_decode()
     elif "--worker" in sys.argv:
         worker_round()
