@@ -122,11 +122,13 @@ class KVCache(NamedTuple):
     length: jax.Array  # () int32 tokens already cached
 
 
-def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int, num_layers: Optional[int] = None) -> KVCache:
+def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int, num_layers: Optional[int] = None,
+                  kv_bits: int = 8) -> KVCache:
     L = num_layers or cfg.num_hidden_layers
+    dh = cfg.head_dim if kv_bits == 8 else cfg.head_dim // 2  # int4: packed
     return KVCache(
-        k=jnp.zeros((L, batch, cfg.num_key_value_heads, cfg.head_dim, max_len), jnp.int8),
-        v=jnp.zeros((L, batch, cfg.num_key_value_heads, max_len, cfg.head_dim), jnp.int8),
+        k=jnp.zeros((L, batch, cfg.num_key_value_heads, dh, max_len), jnp.int8),
+        v=jnp.zeros((L, batch, cfg.num_key_value_heads, max_len, dh), jnp.int8),
         length=jnp.zeros((), jnp.int32),
     )
 
@@ -511,12 +513,20 @@ class EngineConfig:
     # quantize costs more VPU time than the V dequant it removes), so it is
     # a memory knob, not a speed knob.
     quant_pv: bool = False
+    # KV-cache precision: 8 (default, reference parity: INT8 KV) or 4 —
+    # symmetric INT4 packed two-per-byte along the head dim (ops/kv4.py),
+    # HALVING cache memory (2x serving slots / context at equal HBM).
+    # Attention then runs the XLA path (unpack is a shift/mask);
+    # quality-gated in tests/test_kv4.py.  Scales derive from the
+    # calibrated INT8 scales (same absmax on the int4 grid).
+    kv_bits: int = 8
 
     def __hash__(self):
         return hash(
             (self.cfg, self.use_kernel, self.interpret, self.bm_prefill,
              self.bm_decode, self.tp_axis, self.flash_prefill, self.fp_scales,
-             self.decode_attn_chunk, self.fused_decode, self.quant_pv)
+             self.decode_attn_chunk, self.fused_decode, self.quant_pv,
+             self.kv_bits)
         )
 
 
@@ -686,6 +696,39 @@ def _block(ecfg: EngineConfig, layer: EngineLayer, x: jax.Array,
     k = k * cos + rotate_half(k) * sin
 
     # post-RoPE requant to int8 — the KV cache lives in INT8
+    if ecfg.kv_bits == 4:
+        # INT4 KV mode (ops/kv4.py): quantize to the int4 grid, pack two
+        # values/byte along Dh, attend over the unpacked cache on the XLA
+        # path with scale4 folded into the epilogues
+        from dgq_tpu.ops.kv4 import (
+            KV4_RATIO,
+            pack_nibbles,
+            quantize_kv4,
+            unpack_nibbles,
+        )
+
+        q_s8 = _requant(q, layer.q_scale)
+        k4 = quantize_kv4(k, layer.k_scale)
+        v4 = quantize_kv4(v, layer.v_scale)
+        k_cache = jax.lax.dynamic_update_slice(
+            k_cache, pack_nibbles(k4, axis=-1).transpose(0, 1, 3, 2),
+            (0, 0, 0, cache_len))
+        v_cache = jax.lax.dynamic_update_slice(
+            v_cache, pack_nibbles(v4, axis=-1), (0, 0, cache_len, 0))
+        rep = h // hk
+        k_all = unpack_nibbles(k_cache, axis=2)   # (B, Hkv, Dh, Smax)
+        v_all = unpack_nibbles(v_cache, axis=-1)  # (B, Hkv, Smax, Dh)
+        qg = q_s8.reshape(b, hk, rep * s, dh)
+        scores = _attention_scores(qg, k_all, layer.q_scale,
+                                   layer.k_scale * KV4_RATIO, dh)
+        scores = scores.reshape(b, hk, rep, s, -1) + mask[None, None, None, :, :]
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+        vf = v_all.astype(jnp.float32) * (layer.v_scale * KV4_RATIO)
+        ctx = jnp.einsum("bgrqk,bgkd->bgrqd", probs, vf)
+        ctx = ctx.transpose(0, 3, 1, 2, 4).reshape(b, s, h * dh)
+        x = _block_tail(ecfg, layer, x, ctx, bm, fused)
+        return x, k_cache, v_cache
+
     q_s8 = _requant(q, layer.q_scale)
     k_s8 = _requant(k, layer.k_scale)
     v_s8 = _requant(v, layer.v_scale)
@@ -857,7 +900,7 @@ def generate(
         return sample_logits(lg[:, -1, :], sampling, key)
 
     b, s = prompt_ids.shape
-    cache = init_kv_cache(ecfg.cfg, b, max_len)
+    cache = init_kv_cache(ecfg.cfg, b, max_len, kv_bits=ecfg.kv_bits)
     logits, cache = engine_forward(ecfg, params, prompt_ids, cache)
     key = None
     if not sampling.greedy:

@@ -78,8 +78,8 @@ def pp_serving_fns(mesh: Mesh) -> SimpleNamespace:
             check_vma=False,
         )
 
-    def init_batched_cache(cfg, batch: int, max_len: int) -> BatchedKVCache:
-        c = be.init_batched_cache(cfg, batch, max_len)
+    def init_batched_cache(cfg, batch: int, max_len: int, kv_bits: int = 8) -> BatchedKVCache:
+        c = be.init_batched_cache(cfg, batch, max_len, kv_bits=kv_bits)
         return BatchedKVCache(
             k=jax.device_put(c.k, NamedSharding(mesh, cs.k)),
             v=jax.device_put(c.v, NamedSharding(mesh, cs.v)),

@@ -156,8 +156,9 @@ def serving_fns(mesh: Mesh) -> SimpleNamespace:
         )
         return f(cache, slot_idx, k_template, v_template, prefix_len)
 
-    def init_batched_cache(cfg, batch, max_len):
-        return shard_batched_cache(be.init_batched_cache(cfg, batch, max_len), mesh)
+    def init_batched_cache(cfg, batch, max_len, kv_bits=8):
+        return shard_batched_cache(
+            be.init_batched_cache(cfg, batch, max_len, kv_bits=kv_bits), mesh)
 
     return SimpleNamespace(
         engine_prefill_slot=engine_prefill_slot,

@@ -70,6 +70,10 @@ def build_parser():
                         "0 = dense-equivalent capacity (slots x max-len)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (XLA fallback engine paths)")
+    p.add_argument("--kv-bits", type=int, default=8, choices=[4, 8],
+                   help="KV-cache precision: 8 (INT8, reference parity) or "
+                        "4 (packed INT4 — half the cache memory, XLA "
+                        "attention; dense batcher only)")
     return p
 
 
@@ -178,8 +182,12 @@ def build_server(args):
             decode_steps=args.decode_steps, spec_k=args.spec_k, mesh=mesh,
         )
 
+    if args.kv_bits != 8 and args.paged:
+        raise SystemExit("--kv-bits 4 is the dense batcher's knob "
+                         "(incompatible with --paged)")
     eng, cfg = load_engine_any(args.checkpoint)
-    ecfg = EngineConfig(cfg=cfg, use_kernel=_jax.default_backend() not in ("cpu",))
+    ecfg = EngineConfig(cfg=cfg, use_kernel=_jax.default_backend() not in ("cpu",),
+                        kv_bits=args.kv_bits)
     if args.dp > 1:
         # data-parallel serving scale-out: one full batcher replica per
         # disjoint device group (each its own tp submesh + scheduler loop);

@@ -42,11 +42,12 @@ class BatchedKVCache(NamedTuple):
     lengths: jax.Array  # (B,) int32 per-slot valid token counts
 
 
-def init_batched_cache(cfg, batch: int, max_len: int) -> BatchedKVCache:
+def init_batched_cache(cfg, batch: int, max_len: int, kv_bits: int = 8) -> BatchedKVCache:
     L = cfg.num_hidden_layers
+    dh = cfg.head_dim if kv_bits == 8 else cfg.head_dim // 2  # int4: packed
     return BatchedKVCache(
-        k=jnp.zeros((L, batch, cfg.num_key_value_heads, cfg.head_dim, max_len), jnp.int8),
-        v=jnp.zeros((L, batch, cfg.num_key_value_heads, max_len, cfg.head_dim), jnp.int8),
+        k=jnp.zeros((L, batch, cfg.num_key_value_heads, dh, max_len), jnp.int8),
+        v=jnp.zeros((L, batch, cfg.num_key_value_heads, max_len, dh), jnp.int8),
         lengths=jnp.zeros((batch,), jnp.int32),
     )
 
@@ -131,8 +132,6 @@ def _decode_block_batched(ecfg: EngineConfig, layer, x, k_cache, v_cache, length
     k = k * cos + rotate_half(k) * sin
 
     q_s8 = _requant(q, layer.q_scale)
-    k_s8 = _requant(k, layer.k_scale)
-    v_s8 = _requant(v, layer.v_scale)
 
     # per-slot cache append (vmapped dynamic updates)
     def upd_k(kc, knew, ln):
@@ -140,6 +139,28 @@ def _decode_block_batched(ecfg: EngineConfig, layer, x, k_cache, v_cache, length
 
     def upd_v(vc, vnew, ln):
         return jax.lax.dynamic_update_slice(vc, vnew, (0, ln, 0))
+
+    if ecfg.kv_bits == 4:
+        # INT4 KV (ops/kv4.py): packed append + unpacked XLA attention
+        from dgq_tpu.ops.kv4 import KV4_RATIO, pack_nibbles, quantize_kv4, unpack_nibbles
+
+        k4 = quantize_kv4(k, layer.k_scale)
+        v4 = quantize_kv4(v, layer.v_scale)
+        k_cache = jax.vmap(upd_k)(k_cache, pack_nibbles(k4, axis=-1).transpose(0, 1, 3, 2), lengths)
+        v_cache = jax.vmap(upd_v)(v_cache, pack_nibbles(v4, axis=-1), lengths)
+        from dgq_tpu.ops.attention import int8_decode_attention_xla
+
+        ctx = int8_decode_attention_xla(
+            q_s8[:, :, 0, :], unpack_nibbles(k_cache, axis=2),
+            unpack_nibbles(v_cache, axis=-1), lengths + 1,
+            layer.q_scale, layer.k_scale * KV4_RATIO,
+            layer.v_scale * KV4_RATIO,
+        ).reshape(b, 1, h * dh)
+        x = _block_tail(ecfg, layer, x, ctx, ecfg.bm_decode, fused)
+        return x, k_cache, v_cache
+
+    k_s8 = _requant(k, layer.k_scale)
+    v_s8 = _requant(v, layer.v_scale)
 
     k_cache = jax.vmap(upd_k)(k_cache, k_s8.transpose(0, 1, 3, 2), lengths)
     v_cache = jax.vmap(upd_v)(v_cache, v_s8, lengths)
@@ -276,8 +297,6 @@ def _verify_block_batched(ecfg: EngineConfig, layer, x, k_cache, v_cache,
     k = k * cos + rotate_half(k) * sin
 
     q_s8 = _requant(q, layer.q_scale)
-    k_s8 = _requant(k, layer.k_scale)
-    v_s8 = _requant(v, layer.v_scale)
 
     def upd_k(kc, knew, ln):
         return jax.lax.dynamic_update_slice(kc, knew, (0, 0, ln))
@@ -285,13 +304,30 @@ def _verify_block_batched(ecfg: EngineConfig, layer, x, k_cache, v_cache,
     def upd_v(vc, vnew, ln):
         return jax.lax.dynamic_update_slice(vc, vnew, (0, ln, 0))
 
-    k_cache = jax.vmap(upd_k)(k_cache, k_s8.transpose(0, 1, 3, 2), lengths)
-    v_cache = jax.vmap(upd_v)(v_cache, v_s8, lengths)
+    if ecfg.kv_bits == 4:  # INT4 KV: packed append, unpacked attention
+        from dgq_tpu.ops.kv4 import KV4_RATIO, pack_nibbles, quantize_kv4, unpack_nibbles
 
-    smax = k_cache.shape[-1]
-    qk = layer.q_scale * layer.k_scale / (dh ** 0.5)
+        k4 = quantize_kv4(k, layer.k_scale)
+        v4 = quantize_kv4(v, layer.v_scale)
+        k_cache = jax.vmap(upd_k)(
+            k_cache, pack_nibbles(k4, axis=-1).transpose(0, 1, 3, 2), lengths)
+        v_cache = jax.vmap(upd_v)(v_cache, pack_nibbles(v4, axis=-1), lengths)
+        kt_att = unpack_nibbles(k_cache, axis=2)
+        v_att = unpack_nibbles(v_cache, axis=-1)
+        k_eff = layer.k_scale * KV4_RATIO
+        v_eff = layer.v_scale * KV4_RATIO
+    else:
+        k_s8 = _requant(k, layer.k_scale)
+        v_s8 = _requant(v, layer.v_scale)
+        k_cache = jax.vmap(upd_k)(k_cache, k_s8.transpose(0, 1, 3, 2), lengths)
+        v_cache = jax.vmap(upd_v)(v_cache, v_s8, lengths)
+        kt_att, v_att = k_cache, v_cache
+        k_eff, v_eff = layer.k_scale, layer.v_scale
+
+    smax = kt_att.shape[-1]
+    qk = layer.q_scale * k_eff / (dh ** 0.5)
     qg = q_s8.reshape(b, hk, rep * k1, dh)
-    s32 = jnp.einsum("bgrd,bgds->bgrs", qg, k_cache,
+    s32 = jnp.einsum("bgrd,bgds->bgrs", qg, kt_att,
                      preferred_element_type=jnp.int32)
     scores = s32.astype(jnp.float32).reshape(b, hk, rep, k1, smax) * qk
     # query i of a slot attends its history plus window tokens 0..i
@@ -299,7 +335,7 @@ def _verify_block_batched(ecfg: EngineConfig, layer, x, k_cache, v_cache,
     qpos = lengths[:, None, None, None, None] + jnp.arange(k1)[None, None, None, :, None]
     scores = jnp.where(kpos <= qpos, scores, jnp.finfo(jnp.float32).min)
     p = jax.nn.softmax(scores, axis=-1)
-    vf = v_cache.astype(jnp.float32) * layer.v_scale
+    vf = v_att.astype(jnp.float32) * v_eff
     ctx = jnp.einsum("bgrqs,bgsd->bgrqd", p, vf)  # (B, Hkv, rep, K1, Dh)
     ctx = ctx.transpose(0, 3, 1, 2, 4).reshape(b, k1, h * dh)
 

@@ -365,6 +365,11 @@ class PagedBatcher:
     ):
         if max_len % page_size != 0:
             raise ValueError(f"max_len {max_len} must be a multiple of page_size {page_size}")
+        if getattr(ecfg, "kv_bits", 8) != 8:
+            raise ValueError(
+                "PagedBatcher serves the INT8 pool; kv_bits=4 is the dense "
+                "batcher's knob (ContinuousBatcher + EngineConfig(kv_bits=4))"
+            )
         if prefill_chunk and prefill_chunk % page_size != 0:
             raise ValueError(
                 f"prefill_chunk {prefill_chunk} must be a multiple of "

@@ -120,7 +120,7 @@ class ContinuousBatcher:
         self.spec_stats = {"steps": 0, "tokens": 0}
         self.max_recoveries = max_recoveries
         self._recoveries = 0
-        self.cache = self._fn("init_batched_cache")(ecfg.cfg, num_slots, max_len)
+        self.cache = self._fn("init_batched_cache")(ecfg.cfg, num_slots, max_len, kv_bits=ecfg.kv_bits)
         self.queue: Deque[Request] = deque()
         self.slots: List[Optional[Request]] = [None] * num_slots
         # slot -> in-progress chunked prefill: {"padded", "pos", "n"}
@@ -150,9 +150,11 @@ class ContinuousBatcher:
     # -- public API ---------------------------------------------------------
 
     @classmethod
-    def from_checkpoint(cls, path: str, *, use_kernel: Optional[bool] = None, **kw):
+    def from_checkpoint(cls, path: str, *, use_kernel: Optional[bool] = None,
+                        kv_bits: int = 8, **kw):
         """Serving startup straight from a ``save_engine`` checkpoint —
-        skips the PTQ-result -> engine conversion entirely."""
+        skips the PTQ-result -> engine conversion entirely.  ``kv_bits=4``
+        serves on the packed INT4 KV cache (half the cache memory)."""
         import jax as _jax
 
         from dgq_tpu.models.llama import LlamaConfig
@@ -165,7 +167,8 @@ class ContinuousBatcher:
             )
         if use_kernel is None:
             use_kernel = _jax.default_backend() not in ("cpu",)
-        return cls(EngineConfig(cfg=cfg, use_kernel=use_kernel), eng, **kw)
+        return cls(EngineConfig(cfg=cfg, use_kernel=use_kernel, kv_bits=kv_bits),
+                   eng, **kw)
 
     def add_request(self, req: Request):
         # validate up front: a deterministically-unservable request must be
@@ -229,7 +232,7 @@ class ContinuousBatcher:
             raise ValueError(f"prefix of {len(ids)} tokens (padded "
                              f"{padded_len}) leaves no room in "
                              f"max_len={self.max_len}")
-        tmp = self._fn("init_batched_cache")(self.ecfg.cfg, 1, self.max_len)
+        tmp = self._fn("init_batched_cache")(self.ecfg.cfg, 1, self.max_len, kv_bits=self.ecfg.kv_bits)
         _, tmp = self._fn("engine_prefill_slot")(
             self.ecfg, self.params, jnp.asarray(0, jnp.int32),
             jnp.asarray(self._pad_prompt(ids)), jnp.asarray(len(ids), jnp.int32),
@@ -408,7 +411,7 @@ class ContinuousBatcher:
         the last); the last generated token is the pending next_token.
         Slots mid-chunked-prefill have no history to preserve — their
         requests go back to the queue head and restart."""
-        self.cache = self._fn("init_batched_cache")(self.ecfg.cfg, self.num_slots, self.max_len)
+        self.cache = self._fn("init_batched_cache")(self.ecfg.cfg, self.num_slots, self.max_len, kv_bits=self.ecfg.kv_bits)
         for slot in list(self.pending):
             req = self.slots[slot]
             self.slots[slot] = None
