@@ -115,6 +115,32 @@ def spec_verify_step(
     return out, n_out, corr, cache_rb
 
 
+def draft_model_propose(
+    decfg, dparams, dcache, feed_toks, k: int, forward_fn=None,
+):
+    """Draft ``k`` tokens with a DRAFT MODEL (classic two-model speculative
+    decoding, complementing the model-free prompt-lookup mode): feed the
+    not-yet-consumed tokens (``feed_toks`` — the pending token plus any
+    tokens the draft hasn't eaten from the previous round) in one forward,
+    then roll k-1 greedy single-token steps.
+
+    Returns (drafts (k,) int32 device array, dcache advanced over
+    feed_toks + drafts[:-1]).  Works with any engine family's
+    forward(ecfg, params, ids, cache)."""
+    from dgq_tpu.models.engine import engine_forward as _fwd
+
+    forward_fn = forward_fn or _fwd
+    ids = jnp.asarray(feed_toks, jnp.int32)[None, :]
+    logits, dcache = forward_fn(decfg, dparams, ids, dcache)
+    t = jnp.argmax(logits[:, -1:, :], axis=-1).astype(jnp.int32)  # (1, 1)
+    drafts = [t[0, 0]]
+    for _ in range(k - 1):
+        logits, dcache = forward_fn(decfg, dparams, t, dcache)
+        t = jnp.argmax(logits[:, -1:, :], axis=-1).astype(jnp.int32)
+        drafts.append(t[0, 0])
+    return jnp.stack(drafts), dcache
+
+
 def device_ngram_propose(
     buf: jax.Array,  # (L,) int32 — prompt + emitted tokens, first `length` valid
     length: jax.Array,  # () int32
@@ -205,6 +231,7 @@ def generate_speculative(
     chunk_steps: int = 8,
     forward_fn=None,  # family-generic: any engine's forward(ecfg, p, ids, cache)
     init_cache_fn=None,  # matching init(cfg, batch, max_len)
+    draft=None,  # (draft_ecfg, draft_params): two-model speculative decoding
 ) -> Tuple[jax.Array, dict]:
     """Greedy generation with prompt-lookup speculative decoding.
 
@@ -218,9 +245,20 @@ def generate_speculative(
     ``chunk_steps`` speculative steps instead of one per step — the mode to
     use over a high-latency dispatch path (and strictly less host work
     everywhere).  Drafts come from device_ngram_propose; emitted tokens are
-    greedy argmaxes of the same verify forward either way."""
+    greedy argmaxes of the same verify forward either way.
+
+    ``draft=(draft_ecfg, draft_params)`` switches drafting to a DRAFT MODEL
+    (classic two-model speculation): the small engine rolls K greedy tokens
+    from its own KV cache, the target verifies in one forward, and the
+    draft cache rolls back to the accepted prefix (entries past its length
+    are masked/overwritten — the same rollback contract).  Exactness is
+    unchanged: emitted tokens are always the TARGET's greedy argmaxes, so
+    a bad draft only costs acceptance, never correctness.  Host-loop only
+    (ondevice=False)."""
     b, s = prompt_ids.shape
     assert b == 1, "speculative generate is per-sequence (use the batcher for B>1)"
+    if draft is not None and ondevice:
+        raise ValueError("draft-model speculation is host-loop only (ondevice=False)")
     forward_fn = forward_fn or engine_forward
     init_cache_fn = init_cache_fn or init_kv_cache
     cache = init_cache_fn(ecfg.cfg, b, max_len)
@@ -229,6 +267,12 @@ def generate_speculative(
     history: List[int] = list(np.asarray(prompt_ids[0])) + [int(next_tok[0, 0])]
     toks: List[int] = [int(next_tok[0, 0])]
     steps = 0
+    if draft is not None:
+        decfg, dparams = draft
+        dcache = init_cache_fn(decfg.cfg, b, max_len)
+        _, dcache = forward_fn(decfg, dparams, prompt_ids, dcache)  # draft prefill
+        dvalid = s  # tokens the draft cache validly covers
+        draft_unfed: List[int] = []  # consumed tokens the draft hasn't eaten
     if ondevice:
         buf = jnp.zeros((max_len,), jnp.int32)
         buf = jax.lax.dynamic_update_slice(buf, jnp.asarray(history, jnp.int32), (0,))
@@ -260,13 +304,22 @@ def generate_speculative(
         length_now = s + len(toks)  # tokens fed so far is length_now (prompt + accepted); next step feeds <= spec_k + 1 more
         if length_now + spec_k + 1 > max_len or len(toks) + 1 >= max_new_tokens:
             # capacity edge / single token left: plain decode step
+            if draft is not None:
+                draft_unfed.append(int(next_tok[0, 0]))  # draft never ate it
             logits, cache = forward_fn(ecfg, params, next_tok, cache)
             next_tok = jnp.argmax(logits[:, -1:, :], axis=-1).astype(jnp.int32)
             toks.append(int(next_tok[0, 0]))
             history.append(toks[-1])
             steps += 1
             continue
-        drafts = jnp.asarray(ngram_propose(history, spec_k, max_ngram=max_ngram))[None, :]
+        if draft is not None:
+            feed = draft_unfed + [int(next_tok[0, 0])]
+            dcache = dcache._replace(length=jnp.asarray(dvalid, jnp.int32))
+            d_toks, dcache = draft_model_propose(
+                decfg, dparams, dcache, feed, spec_k, forward_fn=forward_fn)
+            drafts = d_toks[None, :]
+        else:
+            drafts = jnp.asarray(ngram_propose(history, spec_k, max_ngram=max_ngram))[None, :]
         out, n_out, next_tok, cache = spec_verify_step(
             ecfg, params, next_tok, drafts, cache, forward_fn=forward_fn)
         # ONE host round trip per step: out + n_out fetched together
@@ -276,6 +329,16 @@ def generate_speculative(
         toks.extend(new)
         history.extend(new)
         steps += 1
+        if draft is not None:
+            # draft-cache rollback: entries exist for feed + drafts[:-1];
+            # the valid consumed prefix now extends through draft n_acc
+            n_acc = int(n) - 1
+            if n_acc < spec_k:
+                dvalid = dvalid + len(feed) + n_acc
+                draft_unfed = []
+            else:  # all drafts accepted: the last one was never fed
+                dvalid = dvalid + len(feed) + spec_k - 1
+                draft_unfed = [new[spec_k - 1]]
     toks = toks[:max_new_tokens]
     stats = {
         "steps": steps + 1,  # + prefill-step token

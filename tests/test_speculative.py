@@ -217,3 +217,35 @@ def test_spec_generate_capacity_edge_falls_back():
     out, _ = generate_speculative(ecfg, eng, prompt, max_new_tokens=12,
                                   max_len=16, spec_k=4)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+
+def test_draft_model_spec_self_draft_perfect_acceptance():
+    """Two-model speculation with the TARGET as its own draft: every draft
+    IS the greedy continuation, so acceptance is total (K+1 tokens/step)
+    and output is bitwise the plain greedy decode."""
+    cfg, eng = _tiny()
+    ecfg = EngineConfig(cfg=cfg, use_kernel=False)
+    prompt = jnp.asarray(np.random.default_rng(1).integers(0, 128, (1, 12)),
+                         jnp.int32)
+    ref = generate(ecfg, eng, prompt, max_new_tokens=20, max_len=128)
+    out, stats = generate_speculative(ecfg, eng, prompt, max_new_tokens=20,
+                                      max_len=128, spec_k=4,
+                                      draft=(ecfg, eng))
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+    assert stats["tokens_per_step"] > 4.0, stats  # K=4 -> 5 tokens/step
+
+
+def test_draft_model_spec_bad_draft_still_exact():
+    """A DIFFERENT random draft model proposes mostly-wrong tokens; output
+    must still be the target's exact greedy decode."""
+    cfg, eng = _tiny()
+    _, draft_eng = _tiny()[0], build_llama_engine(_tiny()[0], seed=99)
+    ecfg = EngineConfig(cfg=cfg, use_kernel=False)
+    prompt = jnp.asarray(np.random.default_rng(2).integers(0, 128, (1, 12)),
+                         jnp.int32)
+    ref = generate(ecfg, eng, prompt, max_new_tokens=20, max_len=128)
+    out, stats = generate_speculative(ecfg, eng, prompt, max_new_tokens=20,
+                                      max_len=128, spec_k=4,
+                                      draft=(ecfg, draft_eng))
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+    assert stats["tokens"] == 20
