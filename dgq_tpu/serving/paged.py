@@ -999,7 +999,9 @@ class PagedBatcher:
             import time as _time
 
             req.t_first = _time.time()
-        hit_eos = req.eos_token_id is not None and req.output_ids[-1] == req.eos_token_id
+        from dgq_tpu.serving.scheduler import _hit_stop
+
+        hit_eos = _hit_stop(req)
         hit_max = len(req.output_ids) >= req.max_new_tokens
         hit_cap = int(self.cache.lengths[slot]) + 1 >= self.max_len
         if hit_eos or hit_max or hit_cap:

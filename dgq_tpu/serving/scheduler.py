@@ -42,6 +42,9 @@ class Request:
     max_new_tokens: int
     eos_token_id: Optional[int] = None
     sampling: Optional[object] = None  # SamplingParams; None => greedy
+    # multi-token stop sequences: generation finishes when the output ends
+    # with any of them (the sequence itself stays in the output)
+    stop_sequences: Optional[List[List[int]]] = None
     # filled in by the scheduler:
     output_ids: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
@@ -51,6 +54,19 @@ class Request:
     t_submit: Optional[float] = None
     t_first: Optional[float] = None
     t_done: Optional[float] = None
+
+
+def _hit_stop(req: Request) -> bool:
+    """EOS token or any multi-token stop sequence at the output tail."""
+    if not req.output_ids:
+        return False
+    if req.eos_token_id is not None and req.output_ids[-1] == req.eos_token_id:
+        return True
+    for seq in req.stop_sequences or ():
+        n = len(seq)
+        if n and len(req.output_ids) >= n and req.output_ids[-n:] == list(seq):
+            return True
+    return False
 
 
 class ContinuousBatcher:
@@ -502,9 +518,7 @@ class ContinuousBatcher:
                     req.output_ids.append(int(t))
                     self.next_tokens[s] = int(t)
                     self.spec_stats["tokens"] += 1
-                    hit_eos = (req.eos_token_id is not None
-                               and int(t) == req.eos_token_id)
-                    if hit_eos or len(req.output_ids) >= req.max_new_tokens:
+                    if _hit_stop(req) or len(req.output_ids) >= req.max_new_tokens:
                         finished = True
                         break
             if finished:
@@ -575,8 +589,7 @@ class ContinuousBatcher:
                 req.output_ids.append(tok)
                 self.next_tokens[s] = tok
                 self.spec_stats["tokens"] += 1
-                hit_eos = req.eos_token_id is not None and tok == req.eos_token_id
-                if hit_eos or len(req.output_ids) >= req.max_new_tokens:
+                if _hit_stop(req) or len(req.output_ids) >= req.max_new_tokens:
                     finished = True
                     break
             if finished:
@@ -788,9 +801,9 @@ class ContinuousBatcher:
             import time as _time
 
             req.t_first = _time.time()
-        hit_eos = req.eos_token_id is not None and req.output_ids[-1] == req.eos_token_id
+        hit_stop = _hit_stop(req)
         hit_max = len(req.output_ids) >= req.max_new_tokens
         hit_cap = int(self.cache.lengths[slot]) + 1 >= self.max_len
-        if hit_eos or hit_max or hit_cap:
+        if hit_stop or hit_max or hit_cap:
             self._finish_req(req)
             self.slots[slot] = None  # slot freed; next admit overwrites it

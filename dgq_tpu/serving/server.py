@@ -90,14 +90,16 @@ class BatcherServer:
 
     def submit(self, prompt_ids, max_new_tokens: int,
                eos_token_id: Optional[int] = None, sampling=None,
-               stream_send: Optional[Callable] = None) -> int:
+               stream_send: Optional[Callable] = None,
+               stop_sequences=None) -> int:
         """``stream_send``: a callable receiving one JSON-able dict per
         partial-token update; registered atomically with admission so no
         tokens are missed."""
         uid = next(self._uid)
         req = Request(uid=uid, prompt_ids=np.asarray(prompt_ids, np.int32),
                       max_new_tokens=int(max_new_tokens),
-                      eos_token_id=eos_token_id, sampling=sampling)
+                      eos_token_id=eos_token_id, sampling=sampling,
+                      stop_sequences=stop_sequences)
         r = self._outstanding.index(min(self._outstanding))  # least loaded
         with self._locks[r]:
             self.replicas[r].add_request(req)
@@ -323,11 +325,15 @@ class BatcherServer:
                             top_k=int(msg.get("top_k", 0)),
                             top_p=float(msg.get("top_p", 1.0)),
                         )
+                    stops = msg.get("stop_sequences")
+                    if stops is not None:
+                        stops = [[int(t) for t in seq] for seq in stops]
                     uid = self.submit(msg["prompt_ids"],
                                       msg.get("max_new_tokens", 32),
                                       eos_token_id=msg.get("eos_token_id"),
                                       sampling=sampling,
-                                      stream_send=send if msg.get("stream") else None)
+                                      stream_send=send if msg.get("stream") else None,
+                                      stop_sequences=stops)
                 except Exception as e:  # noqa: BLE001 — malformed fields get an error reply
                     send({"error": f"bad request: {e}"})
                     continue

@@ -434,3 +434,30 @@ def test_latency_metrics(serving_setup):
     m = b.metrics()
     assert m["e2e_ms_p50"] > 0 and m["ttft_ms_p50"] > 0
     assert m["e2e_ms_p95"] >= m["e2e_ms_p50"] >= m["ttft_ms_p50"]
+
+
+def test_stop_sequences(serving_setup):
+    """Multi-token stop sequences finish a request as soon as the output
+    tail matches (the sequence stays in the output)."""
+    cfg, eng, ecfg = serving_setup
+    p = np.asarray([3, 5, 3, 5], np.int32)
+
+    # discover the greedy continuation, then stop on a 2-gram from it
+    b0 = ContinuousBatcher(ecfg, eng, num_slots=2, max_len=64, prefill_pad=16)
+    b0.add_request(Request(uid=0, prompt_ids=p, max_new_tokens=10))
+    full = b0.run()[0].output_ids
+    stop = full[2:4]  # a real 2-gram mid-stream
+
+    b = ContinuousBatcher(ecfg, eng, num_slots=2, max_len=64, prefill_pad=16)
+    b.add_request(Request(uid=0, prompt_ids=p, max_new_tokens=10,
+                          stop_sequences=[stop]))
+    got = b.run()[0].output_ids
+    assert got == full[:4], (got, full, stop)
+
+    # decode_steps>1 path discards overshoot past the stop the same way
+    b2 = ContinuousBatcher(ecfg, eng, num_slots=2, max_len=64, prefill_pad=16,
+                           decode_steps=3)
+    b2.add_request(Request(uid=0, prompt_ids=p, max_new_tokens=10,
+                           stop_sequences=[stop]))
+    got2 = b2.run()[0].output_ids
+    assert got2 == full[:4], (got2, full)
