@@ -190,10 +190,13 @@ class BloomEngineConfig:
     bm_prefill: int = 256
     bm_decode: int = 128
     tp_axis: Optional[str] = None
+    # KV-cache precision; only 8 is implemented for BLOOM (INT4 packed KV is
+    # the LLaMA engine's knob, models.engine.EngineConfig.kv_bits)
+    kv_bits: int = 8
 
     def __hash__(self):
         return hash((self.cfg, self.use_kernel, self.interpret, self.bm_prefill,
-                     self.bm_decode, self.tp_axis))
+                     self.bm_decode, self.tp_axis, self.kv_bits))
 
 
 def _bloom_block(ecfg: BloomEngineConfig, layer: BloomEngineLayer, x, k_cache, v_cache,

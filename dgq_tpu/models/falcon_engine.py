@@ -119,10 +119,13 @@ class FalconEngineConfig:
     bm_prefill: int = 256
     bm_decode: int = 128
     tp_axis: Optional[str] = None
+    # KV-cache precision; only 8 is implemented for Falcon (INT4 packed KV
+    # is the LLaMA engine's knob, models.engine.EngineConfig.kv_bits)
+    kv_bits: int = 8
 
     def __hash__(self):
         return hash((self.cfg, self.use_kernel, self.interpret, self.bm_prefill,
-                     self.bm_decode, self.tp_axis))
+                     self.bm_decode, self.tp_axis, self.kv_bits))
 
 
 def _ln_fp(x, w, b, eps):

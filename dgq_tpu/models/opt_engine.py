@@ -178,10 +178,14 @@ class OPTEngineConfig:
     # long-context decode chunking: -1 AUTO / 0 off / >0 manual (mirrors
     # models.engine.EngineConfig.decode_attn_chunk)
     decode_attn_chunk: int = -1
+    # KV-cache precision; only 8 is implemented for OPT (the INT4 packed
+    # cache is the LLaMA engine's knob, models.engine.EngineConfig.kv_bits)
+    kv_bits: int = 8
 
     def __hash__(self):
         return hash((self.cfg, self.use_kernel, self.interpret, self.bm_prefill,
-                     self.bm_decode, self.tp_axis, self.decode_attn_chunk))
+                     self.bm_decode, self.tp_axis, self.decode_attn_chunk,
+                     self.kv_bits))
 
 
 def _opt_block(ecfg: OPTEngineConfig, layer: OPTEngineLayer, x, k_cache, v_cache, cache_len, mask, bm):

@@ -98,7 +98,12 @@ def _vmap_append(k_cache, v_cache, k_s8, v_s8, lengths):
 
 
 def _make_family_fns(adapter) -> SimpleNamespace:
-    def init_batched_cache(cfg, batch, max_len):
+    def init_batched_cache(cfg, batch, max_len, kv_bits: int = 8):
+        if kv_bits != 8:
+            raise ValueError(
+                f"kv_bits={kv_bits}: INT4 KV is implemented for the LLaMA "
+                "engine only (serving/batch_engine.py); this family serves "
+                "the INT8 cache")
         L = cfg.num_hidden_layers
         hk, dh = adapter.hk_dh(cfg)
         return FamilyBatchedKVCache(

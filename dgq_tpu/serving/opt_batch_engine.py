@@ -38,7 +38,12 @@ class OPTBatchedKVCache(NamedTuple):
     lengths: jax.Array  # (B,) int32
 
 
-def init_opt_batched_cache(cfg, batch: int, max_len: int) -> OPTBatchedKVCache:
+def init_opt_batched_cache(cfg, batch: int, max_len: int,
+                           kv_bits: int = 8) -> OPTBatchedKVCache:
+    if kv_bits != 8:
+        raise ValueError(
+            f"kv_bits={kv_bits}: INT4 KV is implemented for the LLaMA engine "
+            "only (serving/batch_engine.py); OPT serves the INT8 cache")
     L = cfg.num_hidden_layers
     return OPTBatchedKVCache(
         k=jnp.zeros((L, batch, cfg.num_attention_heads, cfg.head_dim, max_len), jnp.int8),
