@@ -448,8 +448,23 @@ class ContinuousBatcher:
             )
             self.next_tokens[slot] = req.output_ids[-1]
 
+    def _queue_blocks_multi(self) -> bool:
+        """Queued work normally forces single-step decode so a freed slot is
+        admitted immediately.  But when NO slot is free and every active
+        request still wants >= decode_steps tokens, no slot can free at
+        max_new inside the window — multi-step then costs at most a
+        (decode_steps-1)-step admission delay on an EOS/stop finish, and
+        saves a full host dispatch per step (the dominant cost on
+        high-dispatch-latency paths; see ROADMAP round-2 attribution)."""
+        if not self.queue:
+            return False
+        if any(s is None for s in self.slots):
+            return True
+        return any(r.max_new_tokens - len(r.output_ids) < self.decode_steps
+                   for r in self.slots if r is not None)
+
     def _can_decode_multi(self) -> bool:
-        if self.decode_steps <= 1 or self.pending or self.queue:
+        if self.decode_steps <= 1 or self.pending or self._queue_blocks_multi():
             return False
         active = [r for r in self.slots if r is not None]
         if any(r.sampling is not None and not r.sampling.greedy for r in active):
@@ -465,7 +480,8 @@ class ContinuousBatcher:
         """Speculation AND dispatch amortization compose: ``decode_steps``
         speculative steps in ONE device program (engine_spec_decode_multi —
         drafting runs on-device, so no host round trip per step)."""
-        if self.spec_k <= 0 or self.decode_steps <= 1 or self.pending or self.queue:
+        if (self.spec_k <= 0 or self.decode_steps <= 1 or self.pending
+                or self._queue_blocks_multi()):
             return False
         active = [(s, r) for s, r in enumerate(self.slots) if r is not None]
         if not active:

@@ -164,6 +164,13 @@ def main():
 
     dt_eng = timed(run_eng)
 
+    # free phase (a) before materializing the bf16 weights: 7B bf16 is
+    # ~13.5 GB and the packed engine ~4 GB — both resident OOMs a 16 GB v5e
+    del eng, cache0, logits, run_eng, eng_scan
+    import gc
+
+    gc.collect()
+
     # (b) bf16 dense baseline
     init_params, step = bf16_decode_fns(cfg)
     fp = init_params(jax.random.PRNGKey(0))

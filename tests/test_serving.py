@@ -342,6 +342,47 @@ def test_decode_steps_multi_matches_single(serving_setup):
     assert done_plain == done_multi, (done_plain, done_multi)
 
 
+def test_decode_multi_runs_under_saturated_queue(serving_setup, monkeypatch):
+    """With every slot busy and all active requests wanting >= decode_steps
+    more tokens, queued requests no longer force single-step decode — the
+    multi-step program fires WHILE the queue is non-empty, and outputs stay
+    identical to the per-step scheduler (admission order included)."""
+    cfg, eng, ecfg = serving_setup
+    rng = np.random.default_rng(13)
+
+    def mk_reqs():
+        return [
+            Request(uid=i,
+                    prompt_ids=rng.integers(0, cfg.vocab_size, size=5 + i).astype(np.int32),
+                    max_new_tokens=8)
+            for i in range(4)
+        ]
+
+    rng = np.random.default_rng(13)
+    plain = ContinuousBatcher(ecfg, eng, num_slots=2, max_len=64, prefill_pad=8)
+    for r in mk_reqs():
+        plain.add_request(r)
+    done_plain = {r.uid: r.output_ids for r in plain.run()}
+
+    rng = np.random.default_rng(13)
+    multi = ContinuousBatcher(ecfg, eng, num_slots=2, max_len=64, prefill_pad=8,
+                              decode_steps=4)
+    fired_with_queue = []
+    orig = multi._decode_multi
+
+    def spy(n):
+        fired_with_queue.append(bool(multi.queue))
+        return orig(n)
+
+    monkeypatch.setattr(multi, "_decode_multi", spy)
+    for r in mk_reqs():
+        multi.add_request(r)
+    done_multi = {r.uid: r.output_ids for r in multi.run()}
+
+    assert done_plain == done_multi, (done_plain, done_multi)
+    assert any(fired_with_queue), "multi-step decode never ran while queued"
+
+
 def test_batcher_recovers_from_device_failure(serving_setup, monkeypatch):
     """A transient device error mid-decode (surfacing lazily, as TPU backend
     errors do) triggers _recover: cache rebuilt, live slots re-prefilled
