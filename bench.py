@@ -91,17 +91,25 @@ def worker_round():
     )
     pairs = 3 if on_tpu else 1
 
-    # Measure BOTH fused variants and report the better one: the w-resident
-    # kernel (autotune's pick) and the fat-M packed kernel trade places
-    # across tunnel windows (r2 observation: wres 381 TOPS one window,
-    # 302 the next while packed held), and "best fused W4A8 GEMM" is the
-    # honest metric — the engine's autotuner picks per-shape the same way.
+    # Same-window interleaved variant matrix (VERDICT r2 #1a): EVERY pair
+    # measures every fused variant AND the XLA s8 reference round-robin, so
+    # "window noise vs kernel sensitivity" is decided by in-capture data —
+    # the r2 capture could not distinguish wres collapsing 3x from the
+    # window degrading under it.  Per-variant blocks recorded (ADVICE r2).
+    variant_blocks = {
+        "wres": [min(512, m), min(512, n), -1],
+        "packed": [min(2048, m), 512 if on_tpu else 128, 256],
+        "packed_split": [min(2048, m), 512 if on_tpu else 128, 512],
+    }
     variants = [
         ("wres", functools.partial(w4a8_matmul_wres, bm=min(512, m),
                                    bn=min(512, n), interpret=not on_tpu)),
         ("packed", functools.partial(w4a8_matmul_packed, bm=min(2048, m),
                                      bn=512 if on_tpu else 128,
                                      bk=256, interpret=not on_tpu)),
+        ("packed_split", functools.partial(
+            w4a8_matmul_packed, bm=min(2048, m), bn=512 if on_tpu else 128,
+            bk=512 if on_tpu else 256, split_dots=True, interpret=not on_tpu)),
     ]
 
     def xla_s8(x_, w_):
@@ -114,40 +122,46 @@ def worker_round():
         kw["peak_tops"] = peak_tops  # reject window-crossing >peak artifacts
     out = {"ok": True, "backend": jax.default_backend(),
            "device": jax.devices()[0].device_kind,
-           "shape_mnk": [m, n, k], "block_mn": [bm, bn, bk]}
-    # fused and XLA-s8 measured back-to-back in pairs: the tunnel's absolute
-    # throughput drifts in minutes-long windows, so a single (fused, xla)
-    # sequence can report a drift artifact as a ratio; the median of
-    # per-pair ratios cancels slow drift (same protocol as
-    # scripts/sweep_paired.py)
+           "shape_mnk": [m, n, k], "autotune_blocks": [bm, bn, bk],
+           "variant_blocks": variant_blocks}
     fused_best, fused_dt, ratios, xla_best, xla_dt = -1.0, None, [], -1.0, None
-    best_variant, per_variant = None, {}
+    best_variant = None
+    matrix = {vname: [] for vname, _ in variants}
+    matrix["xla_s8"] = []
     for p in range(pairs):
+        pair_best = -1.0  # ADVICE r2: ratio pairs THIS window's fused best
         for vname, vfn in variants:
-            if p > 0 and vname != best_variant:
-                continue  # after pair 0, keep re-measuring only the winner
             try:
                 dt, tops = gemm_tops(vfn, (x, qw, ws, wz, al), m, n, k, **kw)
             except Exception as e:  # noqa: BLE001
                 out.setdefault("variant_errors", {})[vname] = repr(e)[:150]
+                matrix[vname].append(None)
                 continue
-            per_variant[vname] = max(per_variant.get(vname, -1.0), tops)
+            matrix[vname].append(round(tops, 1))
+            pair_best = max(pair_best, tops)
             if tops > fused_best:
                 fused_best, fused_dt, best_variant = tops, dt, vname
         # the XLA s8 reference is informational; don't let it sink the round
         try:
             dtr, topsr = gemm_tops(xla_s8, (x, w8), m, n, k, **kw)
+            matrix["xla_s8"].append(round(topsr, 1))
             if topsr > xla_best:
                 xla_best, xla_dt = topsr, dtr
-            ratios.append(fused_best / topsr)
+            if pair_best > 0:
+                ratios.append(pair_best / topsr)
         except Exception as e:  # noqa: BLE001
             out["xla_s8_error"] = repr(e)[:200]
+            matrix["xla_s8"].append(None)
     if fused_best < 0:
         raise RuntimeError(f"all fused variants failed: {out.get('variant_errors')}")
     out["fused_tops"] = round(fused_best, 1)
     out["fused_us"] = round(fused_dt * 1e6, 1)
     out["fused_variant"] = best_variant
-    out["variant_tops"] = {kk: round(vv, 1) for kk, vv in per_variant.items()}
+    out["variant_matrix"] = matrix
+    out["variant_tops"] = {
+        kk: max(v for v in vv if v is not None)
+        for kk, vv in matrix.items() if any(v is not None for v in vv)
+    }
     if ratios:
         out["xla_s8_tops"] = round(xla_best, 1)
         out["xla_s8_us"] = round(xla_dt * 1e6, 1)
@@ -205,9 +219,60 @@ def worker_decode():
         tok_f, _ = multi_step(eng, tok, cache)
         jax.device_get(tok_f)
         best = min(best, (time.time() - t0) / steps)
+
+    # independent floor witness (VERDICT r2 #8): an XLA s8 GEMV chain at the
+    # same per-layer shapes, same 32-step scan — a second, fused-kernel-free
+    # measurement of the weight-feed bound the 7B step is claimed to sit at
+    witness_ms = None
+    try:
+        del eng, cache
+        import numpy as _np
+
+        d, f, nq = cfg.hidden_size, cfg.intermediate_size, (
+            cfg.num_attention_heads + 2 * cfg.num_key_value_heads) * cfg.head_dim
+        L = cfg.num_hidden_layers
+        rng = _np.random.default_rng(1)
+        ws = tuple(
+            jnp.asarray(rng.integers(-127, 128, (L,) + shp), jnp.int8)
+            for shp in (((d, nq)), ((d, d)), ((d, 2 * f)), ((f, d)))
+        )
+
+        def _dot8(a, w):
+            r = jax.lax.dot_general(a, w, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.int32)
+            return (r & 127).astype(jnp.int8)
+
+        @jax.jit
+        def witness(x0, wqkv, wo, wgu, wdn):
+            def layer(xc, w):
+                a = _dot8(xc, w[0])[:, :d]
+                b = _dot8(a, w[1])
+                c = _dot8(b, w[2])[:, :f]
+                e = _dot8(c, w[3])
+                return e, None
+
+            def step(xc, _):
+                xc, _ = jax.lax.scan(layer, xc, (wqkv, wo, wgu, wdn))
+                return xc, None
+
+            y, _ = jax.lax.scan(step, x0, None, length=steps)
+            return y
+
+        x0 = jnp.zeros((1, d), jnp.int8)
+        jax.device_get(witness(x0, *ws))  # compile
+        wbest = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            jax.device_get(witness(x0, *ws))
+            wbest = min(wbest, (time.time() - t0) / steps)
+        witness_ms = round(wbest * 1e3, 2)
+    except Exception:  # noqa: BLE001 — witness is informational
+        pass
+
     print(json.dumps({
         "ok": True, "decode_ms_per_step": round(best * 1e3, 2),
         "decode_tok_s_b1": round(1.0 / best, 1),
+        "decode_floor_witness_ms": witness_ms,
         "layers": cfg.num_hidden_layers,
     }), flush=True)
 
@@ -274,6 +339,114 @@ def worker_serving():
         "serving_tokens": toks,
         "layers": cfg.num_hidden_layers,
     }), flush=True)
+
+
+def worker_spec():
+    """Speculative-decoding evidence round (VERDICT r2 #5): 7B B=1 tok/s +
+    acceptance for (a) on-device prompt-lookup speculation on repetitive
+    text, (b) the same on non-repetitive (uniform-random) text, (c) the
+    draft-model path (host loop), plus a same-window plain-decode baseline
+    so the ratio is drift-free."""
+    _maybe_force_cpu()
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from dgq_tpu.models.engine import EngineConfig, engine_forward, init_kv_cache
+    from dgq_tpu.models.llama import LlamaConfig
+    from dgq_tpu.models.synthetic import build_llama_engine
+    from dgq_tpu.serving.speculative import generate_speculative
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    new_toks = 64 if on_tpu else 8
+    cfg = (
+        LlamaConfig(num_hidden_layers=32)
+        if on_tpu
+        else LlamaConfig(vocab_size=512, hidden_size=256, intermediate_size=512,
+                         num_hidden_layers=2, num_attention_heads=4,
+                         num_key_value_heads=4)
+    )
+    ecfg = EngineConfig(cfg=cfg, use_kernel=on_tpu)
+    eng = build_llama_engine(cfg)
+    rng = np.random.default_rng(0)
+    pat = rng.integers(0, cfg.vocab_size, 16).astype(np.int32)
+    rep_prompt = jnp.asarray(np.tile(pat, 8))[None, :]  # repetitive
+    rnd_prompt = jnp.asarray(
+        rng.integers(0, cfg.vocab_size, 128).astype(np.int32))[None, :]
+
+    out = {"ok": True}
+
+    # same-window plain-decode baseline (scan, like worker_decode)
+    steps = 32 if on_tpu else 2
+    cache = init_kv_cache(cfg, 1, 512)
+    logits, cache = engine_forward(ecfg, eng, rep_prompt, cache)
+    tok = jnp.argmax(logits[:, -1:, :], axis=-1).astype(jnp.int32)
+
+    @jax.jit
+    def multi_step(e, tok0, cache0):
+        def body(carry, _):
+            t, c = carry
+            lg, c = engine_forward(ecfg, e, t, c)
+            return (jnp.argmax(lg[:, -1:, :], -1).astype(jnp.int32), c), None
+
+        (tf, cf), _ = jax.lax.scan(body, (tok0, cache0), None, length=steps)
+        return tf, cf
+
+    tf, _ = multi_step(eng, tok, cache)
+    jax.device_get(tf)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        tf, _ = multi_step(eng, tok, cache)
+        jax.device_get(tf)
+        best = min(best, (time.time() - t0) / steps)
+    out["plain_tok_s"] = round(1.0 / best, 1)
+
+    for name, prompt in (("repetitive", rep_prompt), ("random", rnd_prompt)):
+        try:
+            # warm (compiles spec_decode_scan once; same program both prompts)
+            generate_speculative(ecfg, eng, prompt, 4 if on_tpu else 2, 512,
+                                 spec_k=4, ondevice=True, chunk_steps=4)
+            t0 = time.time()
+            toks, stats = generate_speculative(
+                ecfg, eng, prompt, new_toks, 512, spec_k=4, ondevice=True,
+                chunk_steps=4)
+            dt = time.time() - t0
+            out[f"spec_tok_s_{name}"] = round(int(toks.shape[1]) / dt, 1)
+            out[f"spec_accept_{name}"] = round(stats["tokens_per_step"], 3)
+        except Exception as e:  # noqa: BLE001
+            out[f"spec_error_{name}"] = repr(e)[:200]
+
+    # draft-model mode (host loop; random-weight draft ~never matches the
+    # target, so this measures the machinery's overhead floor — a trained
+    # draft only raises acceptance from here)
+    try:
+        dcfg = (
+            LlamaConfig(num_hidden_layers=2, hidden_size=1024,
+                        intermediate_size=2816, num_attention_heads=8,
+                        num_key_value_heads=8)
+            if on_tpu
+            else LlamaConfig(vocab_size=512, hidden_size=256,
+                             intermediate_size=512, num_hidden_layers=1,
+                             num_attention_heads=4, num_key_value_heads=4)
+        )
+        decfg = EngineConfig(cfg=dcfg, use_kernel=on_tpu)
+        deng = build_llama_engine(dcfg)
+        n_draft = 16 if on_tpu else 4
+        generate_speculative(ecfg, eng, rep_prompt, 2, 512, spec_k=4,
+                             draft=(decfg, deng))  # warm
+        t0 = time.time()
+        toks, stats = generate_speculative(
+            ecfg, eng, rep_prompt, n_draft, 512, spec_k=4,
+            draft=(decfg, deng))
+        dt = time.time() - t0
+        out["spec_draft_tok_s"] = round(int(toks.shape[1]) / dt, 1)
+        out["spec_draft_accept"] = round(stats["tokens_per_step"], 3)
+    except Exception as e:  # noqa: BLE001
+        out["spec_draft_error"] = repr(e)[:200]
+
+    print(json.dumps(out), flush=True)
 
 
 def _parse_worker_json(text: str):
@@ -412,6 +585,34 @@ def main():
         except Exception as e:  # noqa: BLE001
             errors.append("serving: " + repr(e)[:200])
 
+    # speculative-decoding evidence round (extras only)
+    spec = None
+    if on_tpu:
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker-spec"],
+                capture_output=True, text=True, timeout=WORKER_TIMEOUT_FIRST,
+            )
+            spec = _parse_worker_json(proc.stdout)
+            if spec is None:
+                errors.append("spec: " + " | ".join(
+                    (proc.stderr or "").strip().splitlines()[-2:])[:300])
+        except subprocess.TimeoutExpired:
+            errors.append("spec worker timeout")
+        except Exception as e:  # noqa: BLE001
+            errors.append("spec: " + repr(e)[:200])
+    else:
+        try:
+            import io
+            import contextlib
+
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                worker_spec()
+            spec = _parse_worker_json(buf.getvalue())
+        except Exception as e:  # noqa: BLE001
+            errors.append("spec: " + repr(e)[:200])
+
     # aggregate: best sustained (max over per-round medians) — the tunnel has
     # minutes-long degraded windows that depress absolutes ~40%
     peak = (PEAK_INT8_OPS[_tpu_gen()] if on_tpu else 1e12)
@@ -446,8 +647,9 @@ def main():
                 ),
                 "fused_variant": best.get("fused_variant"),
                 "variant_tops": best.get("variant_tops"),
+                "variant_matrix": best.get("variant_matrix"),
+                "variant_blocks": best.get("variant_blocks"),
                 "shape_mnk": best.get("shape_mnk"),
-                "block_mn": best.get("block_mn"),
                 "backend": best.get("backend"),
                 "device": best.get("device"),
                 "rounds_ok": len(rounds),
@@ -457,8 +659,13 @@ def main():
         if decode:
             result["extra"]["decode_ms_per_step_7b_b1"] = decode.get("decode_ms_per_step")
             result["extra"]["decode_tok_s_7b_b1"] = decode.get("decode_tok_s_b1")
+            result["extra"]["decode_floor_witness_ms"] = decode.get("decode_floor_witness_ms")
         if serving:
             result["extra"]["serving_tok_s_7b_8slots"] = serving.get("serving_tok_s")
+        if spec:
+            result["extra"]["spec_tok_s_7b_b1"] = {
+                kk: vv for kk, vv in spec.items() if kk != "ok"
+            }
         if errors:
             result["degraded"] = True
             result["rounds_failed"] = len(errors)
@@ -488,6 +695,8 @@ if __name__ == "__main__":
         worker_serving()
     elif "--worker-decode" in sys.argv:
         worker_decode()
+    elif "--worker-spec" in sys.argv:
+        worker_spec()
     elif "--worker" in sys.argv:
         worker_round()
     else:

@@ -57,6 +57,7 @@ def _kernel(
     n_spans: int,
     span: int,
     out_dtype,
+    split_dots: bool = False,
 ):
     k = pl.program_id(2)
 
@@ -78,13 +79,29 @@ def _kernel(
         r = 16 * t
         w_hi = (hi - z_all[r : r + 1, :]) * s_all[r : r + 1, :]
         w_lo = (lo - z_all[r + 8 : r + 9, :]) * s_all[r + 8 : r + 9, :]
-        w_s8 = jnp.concatenate([w_hi, w_lo], axis=0).astype(jnp.int8)  # (span, bn)
-        acc += jax.lax.dot_general(
-            x_ref[:, t * span : (t + 1) * span],
-            w_s8,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
+        if split_dots:
+            # two half-span dots, no (span, bn) concat copy between the VPU
+            # dequant and the MXU — shortens the critical path per step
+            acc += jax.lax.dot_general(
+                x_ref[:, t * span : t * span + half],
+                w_hi.astype(jnp.int8),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            acc += jax.lax.dot_general(
+                x_ref[:, t * span + half : (t + 1) * span],
+                w_lo.astype(jnp.int8),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+        else:
+            w_s8 = jnp.concatenate([w_hi, w_lo], axis=0).astype(jnp.int8)  # (span, bn)
+            acc += jax.lax.dot_general(
+                x_ref[:, t * span : (t + 1) * span],
+                w_s8,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
     acc_ref[:] = acc
 
     @pl.when(k == nk - 1)
@@ -99,7 +116,7 @@ def _kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("groupsize", "span", "bm", "bn", "bk", "out_dtype", "interpret", "scales_replicated", "vmem_limit"),
+    static_argnames=("groupsize", "span", "bm", "bn", "bk", "out_dtype", "interpret", "scales_replicated", "vmem_limit", "split_dots"),
 )
 def w4a8_matmul_packed(
     x_s8: jax.Array,  # (M, K) int8
@@ -118,6 +135,7 @@ def w4a8_matmul_packed(
     interpret: bool = False,
     scales_replicated: bool = False,  # wscales/wzeros already (8G, N)
     vmem_limit: Optional[int] = None,  # raise Mosaic's VMEM budget (<=16MB phys)
+    split_dots: bool = False,  # two half-span dots instead of concat+one dot
 ) -> jax.Array:
     """Raw fused kernel entry: y[m, n] = (sum_k x[m,k] * w_s8[k,n]) * alpha[n].
 
@@ -154,7 +172,8 @@ def w4a8_matmul_packed(
     grid = (m_pad // bm, n // bn, nk)
     out = pl.pallas_call(
         functools.partial(
-            _kernel, nk=nk, n_spans=n_spans, span=span, out_dtype=out_dtype
+            _kernel, nk=nk, n_spans=n_spans, span=span, out_dtype=out_dtype,
+            split_dots=split_dots,
         ),
         grid=grid,
         in_specs=[

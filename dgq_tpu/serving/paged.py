@@ -794,7 +794,7 @@ class PagedBatcher:
         logits, self.cache = self._fn("paged_prefill_chunk")(
             self.ecfg, self.params, jnp.asarray(slot, jnp.int32), jnp.asarray(buf),
             jnp.asarray(n, jnp.int32), jnp.asarray(len(rem), jnp.int32),
-            jnp.asarray(self.table[slot], jnp.int32), self.cache,
+            jnp.asarray(self.table[slot].copy(), jnp.int32), self.cache,
         )
         self.slots[slot] = req
         tok = self._pick_token(req, logits[None, :])
@@ -843,7 +843,7 @@ class PagedBatcher:
             self.ecfg, self.params, jnp.asarray(slot, jnp.int32),
             jnp.asarray(chunk), jnp.asarray(pos, jnp.int32),
             jnp.asarray(valid, jnp.int32),
-            jnp.asarray(self.table[slot], jnp.int32), self.cache,
+            jnp.asarray(self.table[slot].copy(), jnp.int32), self.cache,
         )
         st["pos"] = end
         if end >= len(padded):
@@ -945,10 +945,10 @@ class PagedBatcher:
         while tw < peak:
             tw *= 2
         tw = min(tw, self.np_per_slot)
-        table_dev = jnp.asarray(self.table[:, :tw])
+        table_dev = jnp.asarray(self.table[:, :tw].copy())
         if steps > 1:
             toks, self.cache = self._fn("paged_decode_multi")(
-                self.ecfg, self.params, jnp.asarray(self.next_tokens), self.cache,
+                self.ecfg, self.params, jnp.asarray(self.next_tokens.copy()), self.cache,
                 table_dev, jnp.asarray(active_mask), steps,
             )
             toks = np.asarray(toks)  # (steps, B)
@@ -965,7 +965,7 @@ class PagedBatcher:
                     self._maybe_finish(slot)
             return
         logits, self.cache = self._fn("paged_decode_batched")(
-            self.ecfg, self.params, jnp.asarray(self.next_tokens), self.cache,
+            self.ecfg, self.params, jnp.asarray(self.next_tokens.copy()), self.cache,
             table_dev, jnp.asarray(active_mask),
         )
         greedy = np.asarray(jnp.argmax(logits, axis=-1), np.int32)

@@ -13,6 +13,7 @@ Pure host-side control loop around two jitted device programs
 from __future__ import annotations
 
 import dataclasses
+import time
 from collections import deque
 from typing import Deque, List, Optional
 
@@ -92,11 +93,14 @@ class ContinuousBatcher:
         no longer stalls decode of the other active slots (head-of-line
         latency is bounded by one chunk).  ``admit_batch`` > 1 admits up to
         that many short queued prompts in ONE batched prefill call.
-        ``decode_steps`` > 1 runs that many greedy decode steps per
-        dispatch in one on-device scan (engine_decode_multi) whenever the
-        queue is empty, nothing is mid-prefill, every active request is
-        greedy, and all slots have capacity — amortizing the per-dispatch
-        host round trip; EOS overshoot tokens are discarded host-side.
+        ``decode_steps`` > 1 runs up to that many greedy decode steps per
+        dispatch in one on-device scan (engine_decode_multi) whenever
+        nothing is mid-prefill and every active request is greedy; queue
+        pressure, max_new headroom and cache capacity CLAMP the window
+        rather than disable it (_multi_window_steps), EOS overshoot tokens
+        are discarded host-side, and windows that provably cannot finish
+        any request are left in flight so the next window is dispatched
+        before this one is synced (device never idles across windows).
         ``spec_k`` > 0 turns on prompt-lookup speculative decoding: each
         decode step feeds [pending token, K drafts] per slot through ONE
         batched verification forward (engine_verify_batched) and every
@@ -142,6 +146,25 @@ class ContinuousBatcher:
         # slot -> in-progress chunked prefill: {"padded", "pos", "n"}
         self.pending: dict = {}
         self.next_tokens = np.zeros((num_slots,), np.int32)
+        # host-side mirror of cache.lengths (VERDICT r2 #2): every scheduler
+        # decision and per-token finish check reads THIS, never the device
+        # array — int(cache.lengths[slot]) is a dispatch+fetch round trip
+        # (~6-25 ms through the axon tunnel), and the r2 driver capture paid
+        # it once per emitted token (~30 s of a 36 s serving bench).  The
+        # host knows every length transition exactly (prefill sets, decode
+        # advances actives by 1, windows by n, spec by the returned counts).
+        self.lengths_h = np.zeros((num_slots,), np.int32)
+        # decode-dispatch pipelining: the last multi-step window's device
+        # token buffer, left un-fetched so the NEXT window is dispatched
+        # before the host syncs this one (the device never idles across
+        # windows in steady state)
+        self._inflight = None  # (toks_dev (n,B), snapshot: List[Request|None], n)
+        # device-resident next-token vector: chains window N's output
+        # directly into window N+1's input with no host round trip
+        self._next_dev = None
+        self._next_dev_ok = False
+        # per-dispatch-kind instrumentation: kind -> [count, total_s]
+        self.timings: dict = {}
         self.finished: List[Request] = []
         # cumulative counters for metrics(): `finished` may be drained by a
         # consumer (serving/server.py), so never derive totals from it
@@ -150,10 +173,15 @@ class ContinuousBatcher:
         self._prefix = None  # set by register_prefix
         self.prefix_hits = 0
         self._lat: Deque = deque(maxlen=512)  # (ttft_s, e2e_s) samples
-        import time as _time
-
-        self._t0 = _time.time()
+        self._t0 = time.time()
         self._seed = 0
+
+    def _t(self, kind: str, t0: float) -> None:
+        """Accumulate wall time for one dispatch/sync of the given kind
+        (metrics()['dispatch_timings'] — VERDICT r2 #2 instrumentation)."""
+        c = self.timings.setdefault(kind, [0, 0.0])
+        c[0] += 1
+        c[1] += time.time() - t0
 
     def _fn(self, name: str):
         """Device entry point by name: the shard_map-wrapped variant when
@@ -298,6 +326,7 @@ class ContinuousBatcher:
                 padded_c[:true_len] = p
                 self.slots[slot] = req
                 self.pending[slot] = {"padded": padded_c, "pos": n}
+                self.lengths_h[slot] = n  # copy_prefix_into_slot set it
                 self.prefix_hits += 1
                 return True
             logits, self.cache = self._fn("engine_prefill_chunk")(
@@ -314,6 +343,8 @@ class ContinuousBatcher:
         req.output_ids.append(tok)
         self.slots[slot] = req
         self.next_tokens[slot] = tok
+        self._next_dev_ok = False
+        self.lengths_h[slot] = n + len(rem)
         self.prefix_hits += 1
         self._maybe_finish(slot)
         return True
@@ -380,6 +411,15 @@ class ContinuousBatcher:
             )
         if self._prefix is not None:
             out["prefix_hits"] = self.prefix_hits
+        if self.timings:
+            # per-dispatch-kind attribution (VERDICT r2 #2): dispatch:* is
+            # host->device call time (async — enqueue cost), sync:* is the
+            # host blocking on device results
+            out["dispatch_timings"] = {
+                k: {"count": c, "total_s": round(s, 4),
+                    "avg_ms": round(s / max(c, 1) * 1e3, 3)}
+                for k, (c, s) in sorted(self.timings.items())
+            }
         return out
 
     def step(self):
@@ -403,6 +443,9 @@ class ContinuousBatcher:
             self._step_inner()
 
     def _step_inner(self):
+        if self._inflight is not None:
+            fl, self._inflight = self._inflight, None
+            self._process_window(*fl)
         self._admit()
         self._advance_pending()
         if any(
@@ -413,10 +456,12 @@ class ContinuousBatcher:
                 self._decode_spec_multi()
             elif self._can_decode_spec():
                 self._decode_spec()
-            elif self._can_decode_multi():
-                self._decode_multi(self.decode_steps)
             else:
-                self._decode_step()
+                n = self._multi_window_steps()
+                if n > 1:
+                    self._decode_multi(n)
+                else:
+                    self._decode_step()
 
     def _recover(self):
         """Rebuild device state from host-side request history: fresh cache,
@@ -426,7 +471,12 @@ class ContinuousBatcher:
         every token the decode loop has CONSUMED (all generated tokens but
         the last); the last generated token is the pending next_token.
         Slots mid-chunked-prefill have no history to preserve — their
-        requests go back to the queue head and restart."""
+        requests go back to the queue head and restart.  An un-fetched
+        in-flight window is dropped: its tokens were never emitted, and the
+        rebuilt cache reflects exactly the emitted history."""
+        self._inflight = None
+        self._next_dev_ok = False
+        self.lengths_h[:] = 0
         self.cache = self._fn("init_batched_cache")(self.ecfg.cfg, self.num_slots, self.max_len, kv_bits=self.ecfg.kv_bits)
         for slot in list(self.pending):
             req = self.slots[slot]
@@ -447,15 +497,12 @@ class ContinuousBatcher:
                 jnp.asarray(len(hist), jnp.int32), self.cache,
             )
             self.next_tokens[slot] = req.output_ids[-1]
+            self.lengths_h[slot] = len(hist)
 
     def _queue_blocks_multi(self) -> bool:
-        """Queued work normally forces single-step decode so a freed slot is
-        admitted immediately.  But when NO slot is free and every active
-        request still wants >= decode_steps tokens, no slot can free at
-        max_new inside the window — multi-step then costs at most a
-        (decode_steps-1)-step admission delay on an EOS/stop finish, and
-        saves a full host dispatch per step (the dominant cost on
-        high-dispatch-latency paths; see ROADMAP round-2 attribution)."""
+        """Speculative multi-step keeps the conservative gate: queued work
+        forces short windows so a freed slot is admitted promptly (the plain
+        decode path instead CLAMPS its window, _multi_window_steps)."""
         if not self.queue:
             return False
         if any(s is None for s in self.slots):
@@ -463,18 +510,40 @@ class ContinuousBatcher:
         return any(r.max_new_tokens - len(r.output_ids) < self.decode_steps
                    for r in self.slots if r is not None)
 
-    def _can_decode_multi(self) -> bool:
-        if self.decode_steps <= 1 or self.pending or self._queue_blocks_multi():
-            return False
+    def _multi_window_steps(self) -> int:
+        """Largest safe multi-step window for this dispatch (<=1 means take
+        the single-step path).
+
+        Replaces the r2 all-or-nothing gate (VERDICT r2 #2: 8-slot serving
+        measured SLOWER than single-stream because any constraint collapsed
+        dispatch to one token per host round trip).  Policy:
+          * cache capacity of the fullest active slot clamps the window
+            (correctness), quantized to powers of two so the jit compile
+            set stays tiny;
+          * a request hitting max_new mid-window costs only overshoot —
+            discarded tokens and a freed slot admitted up to
+            decode_steps-1 steps late — which beats shrinking the window:
+            the r3 probe measured tail-shrunk windows (n=4/2/1) paying
+            cold compiles and extra round trips worth ~25% of the stream;
+          * EOS/stop-capable requests under queue pressure cap the window
+            at 4 steps so an early stop delays admission by at most 3
+            steps (ADVICE r2) — max_new is host-known, stops are not."""
+        if self.decode_steps <= 1 or self.pending:
+            return 1
         active = [r for r in self.slots if r is not None]
         if any(r.sampling is not None and not r.sampling.greedy for r in active):
-            return False
-        # every active slot must have cache room for decode_steps more tokens
-        lens = np.asarray(self.cache.lengths)
-        for s, r in enumerate(self.slots):
-            if r is not None and int(lens[s]) + self.decode_steps >= self.max_len:
-                return False
-        return True
+            return 1  # per-token host-side RNG sampling
+        occupied = [s for s, r in enumerate(self.slots) if r is not None]
+        n = min(self.decode_steps,
+                int(self.max_len - 1 - max(self.lengths_h[s] for s in occupied)))
+        if self.queue and any(r.eos_token_id is not None or r.stop_sequences
+                              for r in active):
+            n = min(n, 4)
+        if n >= self.decode_steps:
+            return self.decode_steps
+        if n <= 1:
+            return 1
+        return 1 << (n.bit_length() - 1)
 
     def _can_decode_spec_multi(self) -> bool:
         """Speculation AND dispatch amortization compose: ``decode_steps``
@@ -489,7 +558,7 @@ class ContinuousBatcher:
         if any(r.sampling is not None and not r.sampling.greedy for _, r in active):
             return False
         worst = self.decode_steps * (self.spec_k + 1)
-        lens = np.asarray(self.cache.lengths)
+        lens = self.lengths_h
         for s, r in active:
             if int(lens[s]) + worst > self.max_len:
                 return False
@@ -515,12 +584,20 @@ class ContinuousBatcher:
             bufs[s, : len(hist)] = hist
             lens[s] = len(hist)
             active[s] = True
+        t0 = time.time()
         _, _, _, self.cache, outs, n_outs = self._fn("engine_spec_decode_multi")(
             self.ecfg, self.params, jnp.asarray(bufs), jnp.asarray(lens),
-            jnp.asarray(self.next_tokens), self.cache, jnp.asarray(active),
+            jnp.asarray(self.next_tokens.copy()), self.cache, jnp.asarray(active),
             n, spec_k=k, max_ngram=self.spec_max_ngram,
         )
+        self._t("dispatch:spec_multi", t0)
+        self._next_dev_ok = False
+        t0 = time.time()
         outs_h, n_h = jax.device_get((outs, n_outs))  # (n, B, K+1), (n, B)
+        self._t("sync:spec_multi", t0)
+        # mirror: the device advanced each active slot's length by the
+        # consumed window prefix (1 + accepted) each step == n_out
+        self.lengths_h += np.asarray(n_h, np.int32).sum(axis=0)
         for s in range(B):
             req = self.slots[s]
             if req is None:
@@ -553,7 +630,7 @@ class ContinuousBatcher:
             return False
         if any(r.sampling is not None and not r.sampling.greedy for _, r in active):
             return False  # speculation verifies greedily; sampling slots opt the batch out
-        lens = np.asarray(self.cache.lengths)
+        lens = self.lengths_h
         for s, r in active:
             # the window writes K+1 K/V entries at the slot's offset — it
             # must fit, and the request must want >= 2 more tokens for
@@ -585,12 +662,17 @@ class ContinuousBatcher:
             ids[s, 0] = self.next_tokens[s]
             ids[s, 1:] = drafts[s]
 
+        t0 = time.time()
         logits, self.cache = self._fn("engine_verify_batched")(
             self.ecfg, self.params, jnp.asarray(ids), self.cache
         )
+        self._t("dispatch:spec_verify", t0)
+        self._next_dev_ok = False
+        t0 = time.time()
         greedy = np.asarray(jnp.argmax(logits, axis=-1), np.int32)  # (B, K+1)
+        self._t("sync:spec_verify", t0)
 
-        new_lengths = np.asarray(self.cache.lengths).copy()
+        new_lengths = self.lengths_h.copy()
         for s in range(self.num_slots):
             req = self.slots[s]
             if req is None:
@@ -620,11 +702,20 @@ class ContinuousBatcher:
                 # pending token plus the accepted drafts were fed; the
                 # correction is the new pending token (not yet fed)
                 new_lengths[s] += 1 + n_acc
-        self.cache = self.cache._replace(lengths=jnp.asarray(new_lengths))
+        self.lengths_h = new_lengths
+        # the device gets its OWN buffer: jnp.asarray can zero-copy-alias an
+        # aligned host array, and lengths_h is mutated in place on later
+        # steps — aliasing would mutate a buffer an in-flight device program
+        # still reads (observed as a run-to-run-nondeterministic cache
+        # corruption on the CPU backend)
+        self.cache = self.cache._replace(lengths=jnp.asarray(new_lengths.copy()))
 
     def run(self) -> List[Request]:
         while self.has_work:
             self.step()
+        # an in-flight window can outlive has_work only when every one of
+        # its requests was cancelled externally; its tokens are discarded
+        self._inflight = None
         return self.finished
 
     # -- internals ----------------------------------------------------------
@@ -681,6 +772,7 @@ class ContinuousBatcher:
             raise
 
     def _prefill_group_inner(self, group: List[tuple]):
+        t0 = time.time()
         if len(group) == 1:
             slot, req, padded = group[0]
             logits, self.cache = self._fn("engine_prefill_slot")(
@@ -706,11 +798,22 @@ class ContinuousBatcher:
                 self.cache,
             )
             rows = logits
+        self._t("dispatch:prefill", t0)
+        self._next_dev_ok = False
+        # all-greedy groups fetch ONE batched argmax instead of per-request
+        # row round trips (each fetch is a full tunnel RTT)
+        greedy_rows = None
+        if all(r.sampling is None or r.sampling.greedy for _, r, _ in group):
+            t0 = time.time()
+            greedy_rows = np.asarray(jnp.argmax(rows, axis=-1), np.int32)
+            self._t("sync:prefill", t0)
         for i, (slot, req, _) in enumerate(group):
-            tok = self._pick_token(req, rows[i][None, :])
+            tok = (int(greedy_rows[i]) if greedy_rows is not None
+                   else self._pick_token(req, rows[i][None, :]))
             req.output_ids.append(tok)
             self.slots[slot] = req
             self.next_tokens[slot] = tok
+            self.lengths_h[slot] = len(req.prompt_ids)
             self._maybe_finish(slot)
 
     def _advance_pending(self):
@@ -729,6 +832,7 @@ class ContinuousBatcher:
         true_len = len(req.prompt_ids)
         valid = min(true_len, end) - pos
         assert valid >= 1, (pos, end, true_len)  # guaranteed by chunk re-pad
+        t0 = time.time()
         logits, self.cache = self._fn("engine_prefill_chunk")(
             self.ecfg,
             self.params,
@@ -738,12 +842,15 @@ class ContinuousBatcher:
             jnp.asarray(valid, jnp.int32),
             self.cache,
         )
+        self._t("dispatch:prefill_chunk", t0)
         st["pos"] = end
+        self.lengths_h[slot] = pos + valid  # == min(true_len, end)
         if end >= len(padded):
             del self.pending[slot]
             tok = self._pick_token(req, logits[None, :])
             req.output_ids.append(tok)
             self.next_tokens[slot] = tok
+            self._next_dev_ok = False
             self._maybe_finish(slot)
 
     def _decode_step(self):
@@ -753,14 +860,20 @@ class ContinuousBatcher:
             [r is not None and s not in self.pending
              for s, r in enumerate(self.slots)]
         )
+        t0 = time.time()
         logits, self.cache = self._fn("engine_decode_batched")(
             self.ecfg,
             self.params,
-            jnp.asarray(self.next_tokens),
+            jnp.asarray(self.next_tokens.copy()),
             self.cache,
             jnp.asarray(active),
         )
+        self._t("dispatch:decode", t0)
+        self._next_dev_ok = False
+        self.lengths_h += active.astype(np.int32)
+        t0 = time.time()
         greedy_toks = np.asarray(jnp.argmax(logits, axis=-1), np.int32)
+        self._t("sync:decode", t0)
         for slot, req in enumerate(self.slots):
             if req is None or slot in self.pending:
                 continue
@@ -772,22 +885,74 @@ class ContinuousBatcher:
             self.next_tokens[slot] = tok
             self._maybe_finish(slot)
 
+    def _next_tokens_dev(self):
+        """Next-token vector as a device array: window N's device output
+        when still valid (no host-side mutation since), else uploaded from
+        the host mirror.  Uploads a COPY: jnp.asarray may zero-copy-alias an
+        aligned host buffer, and next_tokens is mutated in place while
+        dispatched programs are still in flight."""
+        if self._next_dev_ok and self._next_dev is not None:
+            return self._next_dev
+        return jnp.asarray(self.next_tokens.copy())
+
+    def _window_cannot_finish(self, n: int) -> bool:
+        """True when NO active request can finish inside an n-step window:
+        no EOS/stop conditions, more than n tokens of max_new headroom, and
+        cache room beyond the window.  Only then is it safe to leave the
+        window in flight (pipelined) — a finish would otherwise delay slot
+        reuse/admission by one window."""
+        for s, r in enumerate(self.slots):
+            if r is None:
+                continue
+            if r.eos_token_id is not None or r.stop_sequences:
+                return False
+            if len(r.output_ids) + n >= r.max_new_tokens:
+                return False
+            if self.lengths_h[s] + 1 >= self.max_len:  # mirror already += n
+                return False
+        return True
+
     def _decode_multi(self, n: int):
-        """n greedy decode steps in one dispatch (engine_decode_multi);
-        per-slot tokens applied in order, extras after done discarded."""
+        """n greedy decode steps in one dispatch (engine_decode_multi).
+
+        Dispatch pipelining (VERDICT r2 #2): when the host mirror proves no
+        request can finish inside this window, the token buffer is left
+        UN-FETCHED and the next scheduler step dispatches window N+1 —
+        chained through the device-resident token vector — before syncing
+        window N, so the device never idles across the host's fetch +
+        bookkeeping.  Tokens emitted after a slot finishes are discarded
+        host-side (slot reuse re-prefills from 0)."""
         active_mask = np.asarray([r is not None for r in self.slots])
+        t0 = time.time()
         toks, self.cache = self._fn("engine_decode_multi")(
             self.ecfg,
             self.params,
-            jnp.asarray(self.next_tokens),
+            self._next_tokens_dev(),
             self.cache,
             jnp.asarray(active_mask),
             n,
         )
-        toks = np.asarray(toks)  # (n, B)
-        for slot in range(self.num_slots):
-            req = self.slots[slot]
-            if req is None:
+        self._t("dispatch:decode_multi", t0)
+        self.lengths_h += np.where(active_mask, n, 0).astype(np.int32)
+        # inactive rows carry their input token through, so toks[-1] is the
+        # full next-token vector
+        self._next_dev = toks[n - 1]
+        self._next_dev_ok = True
+        snapshot = list(self.slots)
+        if self._window_cannot_finish(n):
+            self._inflight = (toks, snapshot, n)
+        else:
+            self._process_window(toks, snapshot, n)
+
+    def _process_window(self, toks_dev, snapshot, n: int):
+        """Fetch one multi-step window's tokens and apply them in order.
+        ``snapshot`` is the slot->request map at dispatch time: a request
+        freed since (cancel) is skipped by identity."""
+        t0 = time.time()
+        toks = np.asarray(jax.device_get(toks_dev))  # (n, B)
+        self._t("sync:decode_multi", t0)
+        for slot, req in enumerate(snapshot):
+            if req is None or req.done or self.slots[slot] is not req:
                 continue
             for i in range(n):
                 if req.done:
@@ -819,7 +984,7 @@ class ContinuousBatcher:
             req.t_first = _time.time()
         hit_stop = _hit_stop(req)
         hit_max = len(req.output_ids) >= req.max_new_tokens
-        hit_cap = int(self.cache.lengths[slot]) + 1 >= self.max_len
+        hit_cap = int(self.lengths_h[slot]) + 1 >= self.max_len
         if hit_stop or hit_max or hit_cap:
             self._finish_req(req)
             self.slots[slot] = None  # slot freed; next admit overwrites it

@@ -238,3 +238,25 @@ def test_wres_kernel_matches_blocked_kernel():
     got8 = w4a8_matmul_wres(x, qw, ws, wz, al, bt, bm=64, bn=256,
                             out_dtype=jnp.int8, interpret=True)
     np.testing.assert_array_equal(np.asarray(got8), np.asarray(ref8))
+
+
+def test_split_dots_matches_concat():
+    """split_dots=True (two half-span dots, no concat copy) is bit-exact vs
+    the concat kernel for every bk and both out dtypes."""
+    from dgq_tpu.ops.quant_matmul import quantize_static_int8, w4a8_matmul_packed
+
+    lin = _make_packed(n=256, k=1024, g=128)
+    rng = np.random.default_rng(21)
+    x = jnp.asarray(rng.normal(size=(32, 1024)).astype(np.float32))
+    x_s8 = quantize_static_int8(x, lin.amax)
+    alpha = lin.wscales8 * (lin.amax / 127.0)
+    for bk in (256, 512):
+        for od in (jnp.float32, jnp.int8):
+            base = np.asarray(w4a8_matmul_packed(
+                x_s8, lin.qweight, lin.wscales, lin.wzeros, alpha,
+                bm=128, bn=128, bk=bk, out_dtype=od, interpret=True))
+            got = np.asarray(w4a8_matmul_packed(
+                x_s8, lin.qweight, lin.wscales, lin.wzeros, alpha,
+                bm=128, bn=128, bk=bk, out_dtype=od, interpret=True,
+                split_dots=True))
+            np.testing.assert_array_equal(got, base)

@@ -260,3 +260,110 @@ def test_sp_tp_composed_prefill_matches_dense(pp_setup):
     np.testing.assert_allclose(np.asarray(logits), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_array_equal(np.asarray(cache.k), np.asarray(want_cache.k))
+
+
+# ---- kernel path under pp / sp (VERDICT r2 #3) -----------------------------
+# A real pod runs pp x tp WITH the Pallas kernels; these pin that exact
+# composition (interpret mode on the virtual mesh executes the same kernel
+# logic the TPU runs compiled).
+
+
+@pytest.fixture(scope="module")
+def kernel_ecfg(pp_setup):
+    cfg, eng, _ = pp_setup
+    return EngineConfig(cfg=cfg, use_kernel=True, interpret=True,
+                        bm_prefill=128, bm_decode=128)
+
+
+def test_pp_forward_kernel_path(pp_setup, kernel_ecfg):
+    """pp=2 x tp=2 engine forward on the KERNEL path: prefill + decode
+    allclose vs the unsharded kernel engine."""
+    cfg, eng, _ = pp_setup
+    ecfg = kernel_ecfg
+    B, S, max_len = 4, 8, 32
+    rng = np.random.default_rng(11)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, S)), jnp.int32)
+    want1, want2, _ = _dense_reference(cfg, eng, ecfg, ids, max_len)
+
+    mesh = make_pp_mesh(2, 2)
+    eng_sh = pp_shard_engine_params(eng, mesh)
+    cache = pp_shard_kv_cache(init_kv_cache(cfg, B, max_len), mesh)
+    logits, cache = pp_engine_forward(ecfg, eng_sh, ids, cache, mesh)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(want1),
+                               rtol=2e-3, atol=2e-3)
+    nxt = jnp.argmax(logits[:, -1:, :], axis=-1).astype(jnp.int32)
+    logits2, cache = pp_engine_forward(ecfg, eng_sh, nxt, cache, mesh)
+    np.testing.assert_allclose(np.asarray(logits2), np.asarray(want2),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_pp_serving_kernel_path(pp_setup, kernel_ecfg):
+    """The pipelined serving fns on the KERNEL path emit exactly the dense
+    kernel batcher's greedy tokens."""
+    from dgq_tpu.parallel.pp_serving import pp_serving_fns
+    from dgq_tpu.serving.scheduler import ContinuousBatcher, Request
+
+    cfg, eng, _ = pp_setup
+    ecfg = kernel_ecfg
+    rng = np.random.default_rng(12)
+    prompts = [rng.integers(0, cfg.vocab_size, size=ln).astype(np.int32)
+               for ln in (6, 9)]
+
+    def run(**kw):
+        b = ContinuousBatcher(ecfg, kw.pop("params", eng), num_slots=2,
+                              max_len=32, prefill_pad=8, decode_steps=2, **kw)
+        for i, p in enumerate(prompts):
+            b.add_request(Request(uid=i, prompt_ids=p, max_new_tokens=3))
+        return {r.uid: r.output_ids for r in b.run()}
+
+    want = run()
+    mesh = make_pp_mesh(2, 2)
+    got = run(params=pp_shard_engine_params(eng, mesh), fns=pp_serving_fns(mesh))
+    assert got == want, (got, want)
+
+
+def test_pp_paged_serving_kernel_path(pp_setup, kernel_ecfg):
+    """The pipelined PAGED serving fns on the KERNEL path emit exactly the
+    dense paged kernel batcher's tokens."""
+    from dgq_tpu.parallel.pp_serving import pp_paged_serving_fns
+    from dgq_tpu.serving.paged import PagedBatcher
+    from dgq_tpu.serving.scheduler import Request
+
+    cfg, eng, _ = pp_setup
+    ecfg = kernel_ecfg
+    rng = np.random.default_rng(13)
+    prompts = [rng.integers(0, cfg.vocab_size, size=ln).astype(np.int32)
+               for ln in (6, 9)]
+
+    def run(**kw):
+        b = PagedBatcher(ecfg, kw.pop("params", eng), num_slots=2,
+                         max_len=32, page_size=8, decode_steps=2, **kw)
+        for i, p in enumerate(prompts):
+            b.add_request(Request(uid=i, prompt_ids=p, max_new_tokens=3))
+        return {r.uid: r.output_ids for r in b.run()}
+
+    want = run()
+    mesh = make_pp_mesh(2, 2)
+    got = run(params=pp_shard_engine_params(eng, mesh),
+              fns=pp_paged_serving_fns(mesh))
+    assert got == want, (got, want)
+
+
+def test_sp_kernel_path(pp_setup, kernel_ecfg):
+    """Ring-attention sequence-parallel prefill on the KERNEL path: logits
+    allclose and INT8 KV bit-identical vs the unsharded kernel engine."""
+    from dgq_tpu.parallel.sequence import make_sp_mesh, sp_engine_prefill
+
+    cfg, eng, _ = pp_setup
+    ecfg = kernel_ecfg
+    B, S = 2, 16
+    rng = np.random.default_rng(14)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, S)), jnp.int32)
+    want, want_cache = engine_forward(ecfg, eng, ids, init_kv_cache(cfg, B, S))
+
+    mesh = make_sp_mesh(4)
+    logits, cache = sp_engine_prefill(ecfg, eng, ids, mesh)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_array_equal(np.asarray(cache.k), np.asarray(want_cache.k))
+    np.testing.assert_array_equal(np.asarray(cache.v), np.asarray(want_cache.v))
