@@ -99,7 +99,8 @@ def worker_round():
     variant_blocks = {
         "wres": [min(512, m), min(512, n), -1],
         "packed": [min(2048, m), 512 if on_tpu else 128, 256],
-        "packed_split": [min(2048, m), 512 if on_tpu else 128, 512],
+        # bn=256: split's two dot temporaries exceed the 16MB VMEM at bn=512
+        "packed_split": [min(2048, m), 256 if on_tpu else 128, 512],
     }
     variants = [
         ("wres", functools.partial(w4a8_matmul_wres, bm=min(512, m),
@@ -108,7 +109,7 @@ def worker_round():
                                      bn=512 if on_tpu else 128,
                                      bk=256, interpret=not on_tpu)),
         ("packed_split", functools.partial(
-            w4a8_matmul_packed, bm=min(2048, m), bn=512 if on_tpu else 128,
+            w4a8_matmul_packed, bm=min(2048, m), bn=256 if on_tpu else 128,
             bk=512 if on_tpu else 256, split_dots=True, interpret=not on_tpu)),
     ]
 

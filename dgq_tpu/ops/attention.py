@@ -608,6 +608,151 @@ def gather_paged_kv(kt_pool, v_pool, table):
     return kt, v
 
 
+def _decode_chunk_kernel_kv4(
+    len_ref,  # SMEM (B,)
+    scale_ref,  # SMEM (3,)
+    tbl_ref,  # SMEM (B, NP) — consumed by the index maps only
+    q_ref,  # (1, 1, rep, Dh) int8 — PERMUTED: [:, :Dh/2]=even dims, [:, Dh/2:]=odd
+    kt_ref,  # (1, 1, Dh/2, CH) int8 nibble-packed along Dh
+    v_ref,  # (1, 1, CH, Dh/2) int8 nibble-packed along Dh
+    acc_ref,  # (1, 1, rep, Dh) f32 partial numerator, [lo | hi] halves
+    m_ref,
+    l_ref,
+):
+    """Flash-partial body over ONE INT4 nibble page.
+
+    No in-kernel interleave: pack_nibbles put even Dh indices in the low
+    nibble and odd in the high nibble, so with q pre-permuted to
+    [even | odd] the score contraction splits exactly:
+        q . K = q_even . K_lo + q_odd . K_hi
+    and p@V emits [ctx_even | ctx_odd] halves the caller re-interleaves —
+    two MXU dots per plane instead of a sublane shuffle."""
+    rep, dh = q_ref.shape[2], q_ref.shape[3]
+    dh2 = dh // 2
+    ch = kt_ref.shape[3]
+    b_idx = pl.program_id(0)
+    c_idx = pl.program_id(2)
+    length = len_ref[b_idx]
+    qk_scale = scale_ref[0]
+    v_scale = scale_ref[1]
+    neg = jnp.finfo(jnp.float32).min
+
+    q = q_ref[0, 0]
+    kt = kt_ref[0, 0]
+    kt_lo = ((kt << 4) >> 4).astype(jnp.int8)  # sign-extended low nibble
+    kt_hi = (kt >> 4).astype(jnp.int8)
+    s32 = jax.lax.dot_general(
+        q[:, :dh2], kt_lo, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ) + jax.lax.dot_general(
+        q[:, dh2:], kt_hi, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    stf = s32.astype(jnp.float32) * qk_scale
+    pos = c_idx * ch + jax.lax.broadcasted_iota(jnp.int32, (rep, ch), 1)
+    stf = jnp.where(pos < length, stf, neg)
+
+    m = jnp.max(stf, axis=1, keepdims=True)
+    m_safe = jnp.where(m <= neg / 2, 0.0, m)
+    pr = jnp.exp(stf - m_safe)
+    l = jnp.sum(pr, axis=1, keepdims=True)
+    v = v_ref[0, 0]
+    v_lo = (((v << 4) >> 4).astype(jnp.float32)) * v_scale  # (CH, Dh/2)
+    v_hi = ((v >> 4).astype(jnp.float32)) * v_scale
+    acc_lo = jax.lax.dot_general(
+        pr, v_lo, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    acc_hi = jax.lax.dot_general(
+        pr, v_hi, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    acc_ref[0, 0, :, :dh2] = acc_lo
+    acc_ref[0, 0, :, dh2:] = acc_hi
+    m_ref[0, 0] = jnp.broadcast_to(m_safe, (rep, 128))
+    l_ref[0, 0] = jnp.broadcast_to(l, (rep, 128))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("apply_sqrt_dh", "interpret")
+)
+def int4_paged_decode_attention(
+    q_s8: jax.Array,  # (B, H, Dh) int8 (UNPERMUTED)
+    kt_pool: jax.Array,  # (P, Hkv, Dh//2, ps) int8 nibble pages (K transposed)
+    v_pool: jax.Array,  # (P, Hkv, ps, Dh//2) int8 nibble pages
+    table: jax.Array,  # (B, NP) int32
+    length: jax.Array,
+    q_scale: jax.Array,
+    k_scale4: jax.Array,  # EFFECTIVE int4 scale (k_scale8 * KV4_RATIO)
+    v_scale4: jax.Array,
+    *,
+    apply_sqrt_dh: bool = True,
+    interpret: bool = False,
+) -> jax.Array:
+    """Paged decode attention over INT4 nibble pages -> (B, H, Dh) f32.
+
+    Same grid/prefetch structure as int8_paged_decode_attention; pages
+    stream PACKED into VMEM (half the bytes of the INT8 pool — the memory-
+    bandwidth win rides into the kernel, not just HBM residency)."""
+    b, h, dh = q_s8.shape
+    _, hk, dh2, ps = kt_pool.shape
+    assert 2 * dh2 == dh, (q_s8.shape, kt_pool.shape)
+    npg = table.shape[1]
+    rep = h // hk
+    # q permuted to [even dims | odd dims] to match the nibble planes
+    q_perm = jnp.concatenate([q_s8[..., 0::2], q_s8[..., 1::2]], axis=-1)
+    qg = q_perm.reshape(b, hk, rep, dh)
+    lengths = jnp.broadcast_to(jnp.asarray(length, jnp.int32), (b,))
+
+    qk = (q_scale * k_scale4).astype(jnp.float32)
+    if apply_sqrt_dh:
+        qk = qk / math.sqrt(dh)
+    scales = jnp.stack([qk, v_scale4.astype(jnp.float32), jnp.float32(0)])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(b, hk, npg),
+        in_specs=[
+            pl.BlockSpec((1, 1, rep, dh), lambda i, j, c, *_: (i, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, 1, dh2, ps),
+                lambda i, j, c, len_ref, scale_ref, tbl_ref: (tbl_ref[i, c], j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, ps, dh2),
+                lambda i, j, c, len_ref, scale_ref, tbl_ref: (tbl_ref[i, c], j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, rep, dh), lambda i, j, c, *_: (i * npg + c, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rep, 128), lambda i, j, c, *_: (i * npg + c, j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rep, 128), lambda i, j, c, *_: (i * npg + c, j, 0, 0), memory_space=pltpu.VMEM),
+        ),
+    )
+
+    acc, m, l = pl.pallas_call(
+        _decode_chunk_kernel_kv4,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((b * npg, hk, rep, dh), jnp.float32),
+            jax.ShapeDtypeStruct((b * npg, hk, rep, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b * npg, hk, rep, 128), jnp.float32),
+        ),
+        interpret=interpret,
+    )(lengths, scales, table.astype(jnp.int32), qg, kt_pool, v_pool)
+
+    acc = acc.reshape(b, npg, hk, rep, dh)
+    m = m.reshape(b, npg, hk, rep, 128)[..., :1]
+    l = l.reshape(b, npg, hk, rep, 128)[..., :1]
+    m_glob = jnp.max(m, axis=1, keepdims=True)
+    w = jnp.exp(m - m_glob)
+    num = jnp.sum(acc * w, axis=1)
+    den = jnp.sum(l * w, axis=1)
+    out = num / jnp.maximum(den, 1e-20)  # (B, hk, rep, Dh) in [lo | hi] order
+    # re-interleave: out[..., :Dh/2] are even dims, out[..., Dh/2:] odd
+    out = jnp.stack([out[..., :dh2], out[..., dh2:]], axis=-1).reshape(
+        b, hk, rep, dh)
+    return out.reshape(b, h, dh)
+
+
 def int8_paged_decode_attention_xla(
     q_s8, kt_pool, v_pool, table, length, q_scale, k_scale, v_scale,
     apply_sqrt_dh=True, quant_pv=False,

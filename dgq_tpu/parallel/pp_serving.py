@@ -452,8 +452,8 @@ def pp_paged_serving_fns(mesh: Mesh) -> SimpleNamespace:
             check_vma=False,
         )
 
-    def init_paged_cache(cfg, batch, num_pages, page_size=128):
-        c = pg.init_paged_cache(cfg, batch, num_pages, page_size)
+    def init_paged_cache(cfg, batch, num_pages, page_size=128, kv_bits=8):
+        c = pg.init_paged_cache(cfg, batch, num_pages, page_size, kv_bits=kv_bits)
         return pg.PagedKVCache(
             kt=jax.device_put(c.kt, NamedSharding(mesh, cs.kt)),
             v=jax.device_put(c.v, NamedSharding(mesh, cs.v)),

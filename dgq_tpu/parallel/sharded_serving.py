@@ -279,9 +279,10 @@ def paged_serving_fns(mesh: Mesh) -> SimpleNamespace:
         f = _shmap(pg.copy_page, (cs, R, R), cs)
         return f(cache, src, dst)
 
-    def init_paged_cache(cfg, batch, num_pages, page_size=128):
+    def init_paged_cache(cfg, batch, num_pages, page_size=128, kv_bits=8):
         return shard_paged_cache(
-            pg.init_paged_cache(cfg, batch, num_pages, page_size), mesh
+            pg.init_paged_cache(cfg, batch, num_pages, page_size, kv_bits=kv_bits),
+            mesh,
         )
 
     return SimpleNamespace(

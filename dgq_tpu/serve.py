@@ -182,9 +182,6 @@ def build_server(args):
             decode_steps=args.decode_steps, spec_k=args.spec_k, mesh=mesh,
         )
 
-    if args.kv_bits != 8 and args.paged:
-        raise SystemExit("--kv-bits 4 is the dense batcher's knob "
-                         "(incompatible with --paged)")
     eng, cfg = load_engine_any(args.checkpoint)
     ecfg = EngineConfig(cfg=cfg, use_kernel=_jax.default_backend() not in ("cpu",),
                         kv_bits=args.kv_bits)

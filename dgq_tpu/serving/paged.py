@@ -49,11 +49,15 @@ class PagedKVCache(NamedTuple):
     lengths: jax.Array  # (B,) int32 per-slot token counts
 
 
-def init_paged_cache(cfg, batch: int, num_pages: int, page_size: int = 128) -> PagedKVCache:
+def init_paged_cache(cfg, batch: int, num_pages: int, page_size: int = 128,
+                     kv_bits: int = 8) -> PagedKVCache:
     """``num_pages`` INCLUDES the reserved null page 0; usable pages are
-    1..num_pages-1."""
+    1..num_pages-1.  ``kv_bits=4`` packs two values per byte along Dh
+    (ops/kv4.py layout) — the page pool and the INT4 cache multiply:
+    4x the contexts per HBM byte vs a dense INT8 cache."""
     L = cfg.num_hidden_layers
-    hk, dh = cfg.num_key_value_heads, cfg.head_dim
+    hk = cfg.num_key_value_heads
+    dh = cfg.head_dim if kv_bits == 8 else cfg.head_dim // 2
     return PagedKVCache(
         kt=jnp.zeros((L, num_pages, hk, dh, page_size), jnp.int8),
         v=jnp.zeros((L, num_pages, hk, page_size, dh), jnp.int8),
@@ -221,8 +225,6 @@ def _paged_decode_block(ecfg, layer, x, kt_pool, v_pool, table, lengths,
     k = k * cos + rotate_half(k) * sin
 
     q_s8 = _requant(q, layer.q_scale)
-    k_s8 = _requant(k, layer.k_scale)
-    v_s8 = _requant(v, layer.v_scale)
 
     # append: each slot writes its token at (page, offset); inactive slots
     # are pinned to the null page so a freed slot can never corrupt a page
@@ -230,6 +232,44 @@ def _paged_decode_block(ecfg, layer, x, kt_pool, v_pool, table, lengths,
     bi = jnp.arange(b)
     phys = jnp.where(active, table[bi, lengths // ps], NULL_PAGE)
     off = lengths % ps
+
+    if ecfg.kv_bits == 4:
+        # INT4 nibble pages (VERDICT r2 #4: paged x kv4 compose): pack two
+        # values/byte along Dh (ops/kv4.py layout), append packed, attend
+        # over the unpacked per-layer pool with scale4 folded in.  The
+        # unpack is transient (one layer's pool, freed after the einsum);
+        # resident HBM is the packed pool — half the INT8 pool's bytes.
+        from dgq_tpu.ops.kv4 import KV4_RATIO, pack_nibbles, quantize_kv4, unpack_nibbles
+
+        k4 = pack_nibbles(quantize_kv4(k, layer.k_scale), axis=-1)  # (B,hk,1,Dh/2)
+        v4 = pack_nibbles(quantize_kv4(v, layer.v_scale), axis=-1)
+        kt_pool = kt_pool.at[phys, :, :, off].set(
+            k4.transpose(0, 1, 3, 2)[:, :, :, 0])
+        v_pool = v_pool.at[phys, :, off, :].set(v4[:, :, 0, :])
+        if ecfg.use_kernel:
+            # nibble pages stream PACKED into VMEM — half the page bytes
+            # of the INT8 kernel (ops/attention.int4_paged_decode_attention)
+            from dgq_tpu.ops.attention import int4_paged_decode_attention
+
+            ctx = int4_paged_decode_attention(
+                q_s8[:, :, 0, :], kt_pool, v_pool, table, lengths + 1,
+                layer.q_scale, layer.k_scale * KV4_RATIO,
+                layer.v_scale * KV4_RATIO, interpret=ecfg.interpret,
+            ).reshape(b, 1, h * dh)
+        else:
+            from dgq_tpu.ops.attention import int8_paged_decode_attention_xla
+
+            ctx = int8_paged_decode_attention_xla(
+                q_s8[:, :, 0, :], unpack_nibbles(kt_pool, axis=2),
+                unpack_nibbles(v_pool, axis=-1), table, lengths + 1,
+                layer.q_scale, layer.k_scale * KV4_RATIO,
+                layer.v_scale * KV4_RATIO, quant_pv=ecfg.quant_pv,
+            ).reshape(b, 1, h * dh)
+        x = _block_tail(ecfg, layer, x, ctx, ecfg.bm_decode, fused)
+        return x, kt_pool, v_pool
+
+    k_s8 = _requant(k, layer.k_scale)
+    v_s8 = _requant(v, layer.v_scale)
     kt_pool = kt_pool.at[phys, :, :, off].set(k_s8[:, :, 0, :])
     v_pool = v_pool.at[phys, :, off, :].set(v_s8[:, :, 0, :])
 
@@ -365,11 +405,8 @@ class PagedBatcher:
     ):
         if max_len % page_size != 0:
             raise ValueError(f"max_len {max_len} must be a multiple of page_size {page_size}")
-        if getattr(ecfg, "kv_bits", 8) != 8:
-            raise ValueError(
-                "PagedBatcher serves the INT8 pool; kv_bits=4 is the dense "
-                "batcher's knob (ContinuousBatcher + EngineConfig(kv_bits=4))"
-            )
+        if getattr(ecfg, "kv_bits", 8) not in (8, 4):
+            raise ValueError(f"kv_bits must be 8 or 4, got {ecfg.kv_bits}")
         if prefill_chunk and prefill_chunk % page_size != 0:
             raise ValueError(
                 f"prefill_chunk {prefill_chunk} must be a multiple of "
@@ -405,13 +442,18 @@ class PagedBatcher:
         self.decode_steps = max(1, decode_steps)
 
         self.cache = self._fn("init_paged_cache")(
-            ecfg.cfg, num_slots, self.num_pages, page_size
+            ecfg.cfg, num_slots, self.num_pages, page_size,
+            kv_bits=ecfg.kv_bits,
         )
         # host-side allocator state
         self.free: List[int] = list(range(self.num_pages - 1, 0, -1))  # stack; 0 reserved
         self.refs = np.zeros((self.num_pages,), np.int32)
         self.table = np.zeros((num_slots, self.np_per_slot), np.int32)
         self.n_pages = np.zeros((num_slots,), np.int32)  # allocated logical pages per slot
+        # host-side mirror of cache.lengths — the scheduler never reads the
+        # device array (a dispatch+fetch round trip per read; see
+        # serving/scheduler.py lengths_h for the r2 measurement)
+        self.lengths_h = np.zeros((num_slots,), np.int32)
 
         from collections import deque
 
@@ -490,6 +532,14 @@ class PagedBatcher:
     def pages_in_use(self) -> int:
         return self.num_pages - 1 - len(self.free)
 
+    @property
+    def kv_bytes_per_token(self) -> int:
+        """Resident pool bytes per cached token (K + V, all layers) — the
+        driver-visible contexts-per-HBM-byte stat.  INT8: L*Hkv*Dh*2;
+        kv_bits=4 halves it (nibble pages)."""
+        L, _, hk, dh_stored, _ = self.cache.kt.shape
+        return int(2 * L * hk * dh_stored)
+
     # -- public API ----------------------------------------------------------
 
     def add_request(self, req) -> None:
@@ -526,6 +576,7 @@ class PagedBatcher:
             if r is not None and r.uid == uid:
                 self.pending.pop(s, None)
                 self._free_slot(s)
+                self.lengths_h[s] = 0
                 return self._finish_cancelled(r)
         return False
 
@@ -604,6 +655,9 @@ class PagedBatcher:
             "slot_occupancy": round(occ / self.num_slots, 3),
             "pages_total": self.num_pages - 1,
             "pages_in_use": self.pages_in_use(),
+            "kv_bits": self.ecfg.kv_bits,
+            "kv_bytes_per_token": self.kv_bytes_per_token,
+            "tokens_per_hbm_gib": int((1 << 30) // self.kv_bytes_per_token),
             "page_utilization": round(self.pages_in_use() / (self.num_pages - 1), 3),
             "preemptions": self.preemptions,
             "prefills_pending": len(self.pending),
@@ -656,12 +710,14 @@ class PagedBatcher:
         live = [(s_, r) for s_, r in enumerate(self.slots) if r is not None]
         prefixes = [p["ids"] for p in (self._prefix or [])]
         self.cache = self._fn("init_paged_cache")(
-            self.ecfg.cfg, self.num_slots, self.num_pages, self.ps
+            self.ecfg.cfg, self.num_slots, self.num_pages, self.ps,
+            kv_bits=self.ecfg.kv_bits,
         )
         self.free = list(range(self.num_pages - 1, 0, -1))
         self.refs[:] = 0
         self.table[:, :] = NULL_PAGE
         self.n_pages[:] = 0
+        self.lengths_h[:] = 0
         self.slots = [None] * self.num_slots
         self._prefix = None
         for ids in prefixes:
@@ -739,6 +795,7 @@ class PagedBatcher:
         self.table[slot, :npg] = pages
         self.n_pages[slot] = npg
         self.slots[slot] = req
+        self.lengths_h[slot] = len(hist)
         if resume_token is not None:
             req._preempt_hist = None
             req._preempt_next = None
@@ -797,6 +854,7 @@ class PagedBatcher:
             jnp.asarray(self.table[slot].copy(), jnp.int32), self.cache,
         )
         self.slots[slot] = req
+        self.lengths_h[slot] = n + len(rem)
         tok = self._pick_token(req, logits[None, :])
         req.output_ids.append(tok)
         self.next_tokens[slot] = tok
@@ -846,6 +904,7 @@ class PagedBatcher:
             jnp.asarray(self.table[slot].copy(), jnp.int32), self.cache,
         )
         st["pos"] = end
+        self.lengths_h[slot] = min(st["n"], end)  # == pos + valid
         if end >= len(padded):
             del self.pending[slot]
             if st["resume"] is not None:
@@ -863,7 +922,7 @@ class PagedBatcher:
         Preempts the youngest slot on exhaustion.  Returns False if nothing
         is active afterwards."""
         while True:
-            lens = np.asarray(self.cache.lengths)
+            lens = self.lengths_h
             need: List[Tuple[int, int]] = []  # (slot, pages to add)
             for s, r in enumerate(self.slots):
                 if r is None or s in self.pending:
@@ -905,6 +964,7 @@ class PagedBatcher:
             req._preempt_hist = None
         self.pending.pop(s, None)
         self._free_slot(s)
+        self.lengths_h[s] = 0
         self.cache = self.cache._replace(
             lengths=self.cache.lengths.at[s].set(0)
         )
@@ -917,10 +977,9 @@ class PagedBatcher:
         if steps > 1:
             active = [r for s, r in enumerate(self.slots)
                       if r is not None and s not in self.pending]
-            lens = np.asarray(self.cache.lengths)
+            lens = self.lengths_h
             if (
-                self.queue
-                or self.pending
+                self.pending
                 or any(r.sampling is not None and not r.sampling.greedy for r in active)
                 # every step's append position must stay < max_len: past it,
                 # lengths // ps would index beyond the table (out-of-bounds
@@ -931,6 +990,14 @@ class PagedBatcher:
                 )
             ):
                 steps = 1
+            elif self.queue and any(
+                r.eos_token_id is not None or r.stop_sequences for r in active
+            ):
+                # queued work + stop-capable requests: bound the admission
+                # delay an early stop causes (same policy as the dense
+                # scheduler's _multi_window_steps; max_new overshoot is
+                # discarded host-side and costs no extra dispatch)
+                steps = min(steps, 4)
         if not self._ensure_decode_pages(steps):
             return
         active_mask = np.asarray(
@@ -951,6 +1018,7 @@ class PagedBatcher:
                 self.ecfg, self.params, jnp.asarray(self.next_tokens.copy()), self.cache,
                 table_dev, jnp.asarray(active_mask), steps,
             )
+            self.lengths_h += np.where(active_mask, steps, 0).astype(np.int32)
             toks = np.asarray(toks)  # (steps, B)
             for slot in range(self.num_slots):
                 req = self.slots[slot]
@@ -968,6 +1036,7 @@ class PagedBatcher:
             self.ecfg, self.params, jnp.asarray(self.next_tokens.copy()), self.cache,
             table_dev, jnp.asarray(active_mask),
         )
+        self.lengths_h += active_mask.astype(np.int32)
         greedy = np.asarray(jnp.argmax(logits, axis=-1), np.int32)
         for slot, req in enumerate(self.slots):
             if req is None or slot in self.pending:
@@ -1003,10 +1072,11 @@ class PagedBatcher:
 
         hit_eos = _hit_stop(req)
         hit_max = len(req.output_ids) >= req.max_new_tokens
-        hit_cap = int(self.cache.lengths[slot]) + 1 >= self.max_len
+        hit_cap = int(self.lengths_h[slot]) + 1 >= self.max_len
         if hit_eos or hit_max or hit_cap:
             self._finish_req(req)
             self._free_slot(slot)
+            self.lengths_h[slot] = 0
             self.cache = self.cache._replace(
                 lengths=self.cache.lengths.at[slot].set(0)
             )

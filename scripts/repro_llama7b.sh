@@ -47,7 +47,15 @@ import json, re, sys
 
 repo = sys.argv[1]
 pub = json.load(open(f"{repo}/BASELINE.json"))["published"]
-target = pub["wikitext2_ppl_seqlen2048"]["dgq_a8w4_g128"]["llama-7b"]
+tab = pub["wikitext2_ppl_seqlen2048"]
+target = tab["dgq_a8w4_g128"]["llama-7b"]
+# provenance caveat travels WITH the gate (VERDICT r2 #7): these constants
+# were transcribed from builder knowledge without network access — a pass
+# against an approx target is evidence, not proof, until re-verified
+if tab.get("dgq_a8w4_g128_approx"):
+    print("WARNING: gate target 'dgq_a8w4_g128' is flagged approx "
+          "(transcribed from builder knowledge, never re-verified against "
+          "the paper). Provenance:", pub.get("provenance", "(none)"))
 
 def last_ppl(path):
     txt = open(path).read()
@@ -60,5 +68,5 @@ print(f"fake-quant ppl: {fake}   engine ppl: {engine}   published+0.1 gate: {tar
 assert fake is not None and engine is not None, "ppl not found in logs"
 assert abs(fake - engine) < 0.05, f"fake-quant vs engine ppl diverge: {fake} vs {engine}"
 assert engine <= target + 0.1, f"GATE FAIL: engine ppl {engine} > {target + 0.1}"
-print("ACCURACY GATE PASS")
+print("ACCURACY GATE PASS" + (" (vs APPROX target — re-verify BASELINE.json)" if tab.get("dgq_a8w4_g128_approx") else ""))
 EOF

@@ -57,12 +57,15 @@ def main():
         ("packed_c256", functools.partial(w4a8_matmul_packed, bm=min(2048, m),
                                           bn=512, bk=256), (x, qw, ws, wz, al)),
         ("packed_c512", functools.partial(w4a8_matmul_packed, bm=min(2048, m),
-                                          bn=512, bk=512), (x, qw, ws, wz, al)),
+                                          bn=256, bk=512), (x, qw, ws, wz, al)),
         ("packed_s256", functools.partial(w4a8_matmul_packed, bm=min(2048, m),
-                                          bn=512, bk=256, split_dots=True),
+                                          bn=256, bk=256, split_dots=True),
          (x, qw, ws, wz, al)),
         ("packed_s512", functools.partial(w4a8_matmul_packed, bm=min(2048, m),
-                                          bn=512, bk=512, split_dots=True),
+                                          bn=256, bk=512, split_dots=True),
+         (x, qw, ws, wz, al)),
+        ("packed_s256b", functools.partial(w4a8_matmul_packed, bm=1024,
+                                           bn=512, bk=256, split_dots=True),
          (x, qw, ws, wz, al)),
         ("xla_s8", xla_s8, (x, w8)),
     ]

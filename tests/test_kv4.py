@@ -96,10 +96,73 @@ def test_kv4_generate_and_batcher_consistent(kv4_setup):
     assert got2 == want, (got2, want)
 
 
-def test_kv4_paged_rejected(kv4_setup):
+def test_kv4_paged_matches_dense_kv4(kv4_setup):
+    """kv_bits=4 composes with the page pool (VERDICT r2 #4): nibble pages
+    emit exactly the dense kv4 batcher's greedy tokens — with prefix
+    sharing and multi-step decode engaged — and the pool really is half
+    the INT8 pool's bytes per token."""
     from dgq_tpu.serving.paged import PagedBatcher
+    from dgq_tpu.serving.scheduler import ContinuousBatcher, Request
 
     cfg, eng = kv4_setup
     e4 = EngineConfig(cfg=cfg, use_kernel=False, kv_bits=4)
-    with pytest.raises(ValueError, match="kv_bits"):
-        PagedBatcher(e4, eng, num_slots=2, max_len=32, page_size=8)
+    rng = np.random.default_rng(5)
+    prompts = [rng.integers(0, cfg.vocab_size, size=ln).astype(np.int32)
+               for ln in (6, 9, 12, 4)]
+    prefix = prompts[2][:8].copy()
+    prompts.append(np.concatenate([prefix, [7, 7, 2]]).astype(np.int32))
+
+    def reqs():
+        return [Request(uid=i, prompt_ids=p, max_new_tokens=4)
+                for i, p in enumerate(prompts)]
+
+    dense = ContinuousBatcher(e4, eng, num_slots=2, max_len=32, prefill_pad=8,
+                              decode_steps=2)
+    for r in reqs():
+        dense.add_request(r)
+    want = {r.uid: r.output_ids for r in dense.run()}
+
+    paged = PagedBatcher(e4, eng, num_slots=2, max_len=32, page_size=8,
+                         decode_steps=2)
+    paged.register_prefix(prefix)
+    for r in reqs():
+        paged.add_request(r)
+    got = {r.uid: r.output_ids for r in paged.run()}
+    assert got == want, (got, want)
+    assert paged.prefix_hits > 0
+    np.testing.assert_array_equal(paged.lengths_h, np.asarray(paged.cache.lengths))
+
+    # memory stat: nibble pages are half the INT8 pool bytes per token
+    paged8 = PagedBatcher(EngineConfig(cfg=cfg, use_kernel=False), eng,
+                          num_slots=2, max_len=32, page_size=8)
+    assert paged.kv_bytes_per_token * 2 == paged8.kv_bytes_per_token
+    m = paged.metrics()
+    assert m["kv_bits"] == 4
+    assert m["tokens_per_hbm_gib"] == 2 * paged8.metrics()["tokens_per_hbm_gib"]
+
+
+def test_kv4_paged_preempt_and_recover(kv4_setup):
+    """Recompute preemption and device-failure recovery work on nibble
+    pages: a pool too small for both requests preempts and still finishes
+    with the unconstrained batcher's tokens."""
+    from dgq_tpu.serving.paged import PagedBatcher
+    from dgq_tpu.serving.scheduler import Request
+
+    cfg, eng = kv4_setup
+    e4 = EngineConfig(cfg=cfg, use_kernel=False, kv_bits=4)
+    rng = np.random.default_rng(6)
+    prompts = [rng.integers(0, cfg.vocab_size, size=ln).astype(np.int32)
+               for ln in (9, 12)]
+
+    def run(num_pages):
+        b = PagedBatcher(e4, eng, num_slots=2, max_len=32, page_size=8,
+                         num_pages=num_pages)
+        for i, p in enumerate(prompts):
+            b.add_request(Request(uid=i, prompt_ids=p, max_new_tokens=6))
+        out = {r.uid: r.output_ids for r in b.run()}
+        return out, b
+
+    want, _ = run(None)  # dense-equivalent pool: no pressure
+    got, b = run(5)      # 4 usable pages: forces preemption
+    assert got == want, (got, want)
+    assert b.preemptions > 0

@@ -349,3 +349,60 @@ def test_paged_cancel_releases_pages(paged_setup):
     done = b.run()
     assert [r.uid for r in done if r.uid == 1]
     assert b.pages_in_use() == 0
+
+
+def test_int4_paged_attention_kernel_matches_xla():
+    """INT4 nibble-page Pallas decode attention (interpret) == the XLA
+    golden on the UNPACKED pool — exercising null pages, per-slot lengths
+    and the even/odd split-dot reassembly."""
+    from dgq_tpu.ops.attention import (
+        int4_paged_decode_attention,
+        int8_paged_decode_attention_xla,
+    )
+    from dgq_tpu.ops.kv4 import pack_nibbles, unpack_nibbles
+
+    rng = np.random.default_rng(7)
+    B, H, HK, DH, PS, NP, P = 3, 8, 4, 128, 128, 4, 16
+    q = jnp.asarray(rng.integers(-127, 128, (B, H, DH)), jnp.int8)
+    # int4 codes in the pool, packed along Dh
+    k4 = jnp.asarray(rng.integers(-7, 8, (P, HK, DH, PS)), jnp.int8)
+    v4 = jnp.asarray(rng.integers(-7, 8, (P, HK, PS, DH)), jnp.int8)
+    kt_pool = pack_nibbles(k4, axis=2)   # (P, HK, DH//2, PS)
+    v_pool = pack_nibbles(v4, axis=-1)   # (P, HK, PS, DH//2)
+    table = jnp.asarray([[3, 7, 0, 0], [1, 2, 9, 0], [11, 4, 5, 6]], jnp.int32)
+    lengths = jnp.asarray([130, 300, 512], jnp.int32)
+    qs, ks, vs = jnp.float32(0.01), jnp.float32(0.12), jnp.float32(0.34)
+
+    out_k = int4_paged_decode_attention(
+        q, kt_pool, v_pool, table, lengths, qs, ks, vs, interpret=True
+    )
+    out_x = int8_paged_decode_attention_xla(
+        q, unpack_nibbles(kt_pool, axis=2), unpack_nibbles(v_pool, axis=-1),
+        table, lengths, qs, ks, vs,
+    )
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_kv4_paged_kernel_path_matches_xla_path(paged_setup):
+    """PagedBatcher(kv_bits=4) on the kernel path (interpret) emits exactly
+    the XLA fallback path's greedy tokens."""
+    from dgq_tpu.serving.paged import PagedBatcher
+    from dgq_tpu.serving.scheduler import Request
+
+    cfg, eng, _ = paged_setup
+    rng = np.random.default_rng(8)
+    prompts = [rng.integers(0, cfg.vocab_size, size=ln).astype(np.int32)
+               for ln in (6, 9)]
+
+    def run(use_kernel):
+        e4 = EngineConfig(cfg=cfg, use_kernel=use_kernel,
+                          interpret=use_kernel, kv_bits=4,
+                          bm_prefill=128, bm_decode=128)
+        b = PagedBatcher(e4, eng, num_slots=2, max_len=32, page_size=8,
+                         decode_steps=2)
+        for i, p in enumerate(prompts):
+            b.add_request(Request(uid=i, prompt_ids=p, max_new_tokens=4))
+        return {r.uid: r.output_ids for r in b.run()}
+
+    assert run(True) == run(False)
