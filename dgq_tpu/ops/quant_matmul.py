@@ -332,6 +332,179 @@ def w4a8_matmul_wres(
     return out
 
 
+def _pipe_kernel(
+    x_ref,  # (bm, bk) int8 — block k-1 (one step behind the weight stream)
+    qw_ref,  # (bk//2, bn) int8 packed — block k
+    scales_ref,  # (16*n_spans, bn) int8 — block k
+    zeros_ref,
+    alpha_ref,  # (1, bn) f32
+    beta_ref,
+    out_ref,  # (bm, bn)
+    acc_ref,  # (bm, bn) int32 scratch
+    ws_a,  # (bk, bn) int8 scratch — dequantized weights, even blocks
+    ws_b,  # (bk, bn) int8 scratch — odd blocks
+    *,
+    nk: int,
+    n_spans: int,
+    span: int,
+    out_dtype,
+):
+    """Software-pipelined fused dequant-GEMM body.
+
+    The K grid runs nk+1 steps: step k DEQUANTIZES block k (VPU) into the
+    k%2 scratch while DOTTING block k-1 (MXU) from the other scratch — the
+    two are dataflow-independent within a step, so Mosaic can overlap them,
+    hiding the dequant that runs serially in the plain kernel (measured
+    ~25% of the step at bk=1024 in a clean window)."""
+    k = pl.program_id(2)
+    half = span // 2
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def deq(tgt_ref):
+        s_all = scales_ref[:].astype(jnp.int32)
+        z_all = zeros_ref[:].astype(jnp.int32)
+        for t in range(n_spans):
+            byte = qw_ref[t * half : (t + 1) * half, :].astype(jnp.int32) & 0xFF
+            hi = byte >> 4
+            lo = byte & 0xF
+            r = 16 * t
+            tgt_ref[t * span : t * span + half, :] = (
+                (hi - z_all[r : r + 1, :]) * s_all[r : r + 1, :]
+            ).astype(jnp.int8)
+            tgt_ref[t * span + half : (t + 1) * span, :] = (
+                (lo - z_all[r + 8 : r + 9, :]) * s_all[r + 8 : r + 9, :]
+            ).astype(jnp.int8)
+
+    def dot_from(src_ref):
+        acc_ref[:] += jax.lax.dot_general(
+            x_ref[:], src_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+
+    # dot block k-1 (resident in ws[(k-1) % 2]); dequant block k into ws[k % 2]
+    @pl.when((k >= 1) & ((k - 1) % 2 == 0))
+    def _():
+        dot_from(ws_a)
+
+    @pl.when((k >= 1) & ((k - 1) % 2 == 1))
+    def _():
+        dot_from(ws_b)
+
+    @pl.when((k < nk) & (k % 2 == 0))
+    def _():
+        deq(ws_a)
+
+    @pl.when((k < nk) & (k % 2 == 1))
+    def _():
+        deq(ws_b)
+
+    @pl.when(k == nk)
+    def _():
+        y = acc_ref[:].astype(jnp.float32) * alpha_ref[:].astype(jnp.float32)
+        y = y + beta_ref[:].astype(jnp.float32)
+        if out_dtype == jnp.int8:
+            out_ref[:] = jnp.clip(jnp.round(y), -128, 127).astype(jnp.int8)
+        else:
+            out_ref[:] = y.astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("groupsize", "span", "bm", "bn", "bk", "out_dtype",
+                     "interpret", "scales_replicated", "vmem_limit"),
+)
+def w4a8_matmul_pipe(
+    x_s8: jax.Array,  # (M, K) int8
+    qweight: jax.Array,  # (K//2, N) int8, span layout
+    wscales: jax.Array,  # (G, N) int8
+    wzeros: jax.Array,
+    alpha: jax.Array,  # (N,) f32
+    beta: Optional[jax.Array] = None,
+    *,
+    groupsize: int = 128,
+    span: int = 256,
+    bm: int = 2048,
+    bn: int = 256,
+    bk: Optional[int] = None,
+    out_dtype=jnp.float32,
+    interpret: bool = False,
+    scales_replicated: bool = False,
+    vmem_limit: Optional[int] = None,
+) -> jax.Array:
+    """Pipelined fused W4A8 dequant-GEMM (see _pipe_kernel).  Semantics
+    identical to w4a8_matmul_packed; K grid has one extra drain step."""
+    m, k = x_s8.shape
+    k2, n = qweight.shape
+    assert 2 * k2 == k and span == 2 * groupsize
+    bk = bk or span
+    assert bk % span == 0 and k % bk == 0, (k, bk, span)
+    n_spans = bk // span
+    nk = k // bk
+    if n % bn != 0:
+        bn = n if n < bn else 128
+    assert n % bn == 0, (n, bn)
+
+    m_pad = _cdiv(m, bm) * bm
+    if m_pad != m:
+        x_s8 = jnp.pad(x_s8, ((0, m_pad - m), (0, 0)))
+    if scales_replicated:
+        scales_x, zeros_x = wscales, wzeros
+    else:
+        scales_x = jnp.repeat(wscales, 8, axis=0)
+        zeros_x = jnp.repeat(wzeros, 8, axis=0)
+    if beta is None:
+        beta = jnp.zeros((n,), jnp.float32)
+
+    last = nk - 1
+    grid = (m_pad // bm, n // bn, nk + 1)
+    out = pl.pallas_call(
+        functools.partial(
+            _pipe_kernel, nk=nk, n_spans=n_spans, span=span, out_dtype=out_dtype
+        ),
+        grid=grid,
+        in_specs=[
+            # x one step behind the weight stream (block k-1 at step k)
+            pl.BlockSpec((bm, bk),
+                         lambda i, j, kk: (i, jnp.maximum(kk - 1, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // 2, bn),
+                         lambda i, j, kk: (jnp.minimum(kk, last), j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16 * n_spans, bn),
+                         lambda i, j, kk: (jnp.minimum(kk, last), j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16 * n_spans, bn),
+                         lambda i, j, kk: (jnp.minimum(kk, last), j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bm, bn), jnp.int32),
+            pltpu.VMEM((bk, bn), jnp.int8),
+            pltpu.VMEM((bk, bn), jnp.int8),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            **({"vmem_limit_bytes": vmem_limit} if vmem_limit else {}),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * n * k,
+            bytes_accessed=m_pad * k + k2 * n + m_pad * n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x_s8, qweight, scales_x, zeros_x, alpha.reshape(1, n), beta.reshape(1, n))
+    if m_pad != m:
+        out = out[:m]
+    return out
+
+
 def quantize_static_int8(x: jax.Array, amax: jax.Array) -> jax.Array:
     """Static symmetric int8 activation quantization (scale = amax/127).
     reference: quant_linear.py:66-71, integer output variant."""

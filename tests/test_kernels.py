@@ -260,3 +260,34 @@ def test_split_dots_matches_concat():
                 bm=128, bn=128, bk=bk, out_dtype=od, interpret=True,
                 split_dots=True))
             np.testing.assert_array_equal(got, base)
+
+
+def test_pipe_kernel_matches_blocked_kernel():
+    """Software-pipelined GEMM (w4a8_matmul_pipe: K grid + 1 drain step,
+    revolving dequant scratch) is bit-identical to the k-blocked kernel on
+    f32 and int8 outputs, at single- and multi-span bk, including M
+    padding."""
+    from dgq_tpu.ops.quant_matmul import w4a8_matmul_pipe
+
+    rng = np.random.default_rng(11)
+    M, K, N, G = 192, 1024, 768, 128
+    x = jnp.asarray(rng.integers(-127, 128, (M, K)), jnp.int8)
+    qw = jnp.asarray(rng.integers(-128, 128, (K // 2, N)), jnp.int8)
+    ws = jnp.asarray(rng.integers(1, 4, (K // G, N)), jnp.int8)
+    wz = jnp.asarray(rng.integers(0, 16, (K // G, N)), jnp.int8)
+    al = jnp.asarray(rng.random(N), jnp.float32)
+    bt = jnp.asarray(rng.random(N), jnp.float32)
+
+    ref = w4a8_matmul_packed(x, qw, ws, wz, al, bt, bm=64, bn=256, bk=256,
+                             interpret=True)
+    for bk in (256, 512):
+        got = w4a8_matmul_pipe(x, qw, ws, wz, al, bt, bm=64, bn=256, bk=bk,
+                               interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-5)
+
+    ref8 = w4a8_matmul_packed(x, qw, ws, wz, al, bt, bm=64, bn=256, bk=256,
+                              out_dtype=jnp.int8, interpret=True)
+    got8 = w4a8_matmul_pipe(x, qw, ws, wz, al, bt, bm=64, bn=256, bk=512,
+                            out_dtype=jnp.int8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got8), np.asarray(ref8))
