@@ -505,6 +505,52 @@ def w4a8_matmul_pipe(
     return out
 
 
+@functools.partial(
+    jax.jit, static_argnames=("groupsize", "span", "out_dtype")
+)
+def w4a8_matmul_twopass(
+    x_s8: jax.Array,  # (M, K) int8
+    qweight: jax.Array,  # (K//2, N) int8, span layout
+    wscales: jax.Array,  # (G, N) int8
+    wzeros: jax.Array,
+    alpha: jax.Array,  # (N,) f32
+    beta: Optional[jax.Array] = None,
+    *,
+    groupsize: int = 128,
+    span: int = 256,
+    out_dtype=jnp.float32,
+) -> jax.Array:
+    """Two-pass fused dequant-GEMM: an XLA elementwise dequant fusion
+    materializes the INT8 weight, then XLA's own s8 x s8 -> s32 GEMM runs the
+    contraction, with the per-channel f32 epilogue fused after.
+
+    This is the reference's own structure (separate dequant launch before
+    the CUTLASS GEMM, linear.cu:21-51), kept as a kernel-free fallback and
+    a design-space datapoint.  Measured on v5e (round 3, same-window
+    matrix): ~117-145 TOPS — SLOWER than the fused Pallas kernels, because
+    XLA widens the dequant fusion to int32 and materializes multi-hundred-MB
+    intermediates (codes/scales/zeros each (K, N) int32) where the Pallas
+    kernels unpack per-block in VMEM.  Use w4a8_matmul_wres /
+    w4a8_matmul_pipe / w4a8_matmul_packed on TPU.  Semantics identical to
+    w4a8_matmul_packed."""
+    from dgq_tpu.quant.packing import unpack_nibbles
+
+    k2, n = qweight.shape
+    codes = unpack_nibbles(qweight, span).astype(jnp.int32)
+    scales_k = jnp.repeat(wscales.astype(jnp.int32), groupsize, axis=0)
+    zeros_k = jnp.repeat(wzeros.astype(jnp.int32), groupsize, axis=0)
+    w8 = ((codes - zeros_k) * scales_k).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        x_s8, w8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    y = acc.astype(jnp.float32) * alpha[None, :]
+    if beta is not None:
+        y = y + beta[None, :].astype(jnp.float32)
+    if out_dtype == jnp.int8:
+        return jnp.clip(jnp.round(y), -128, 127).astype(jnp.int8)
+    return y.astype(out_dtype)
+
+
 def quantize_static_int8(x: jax.Array, amax: jax.Array) -> jax.Array:
     """Static symmetric int8 activation quantization (scale = amax/127).
     reference: quant_linear.py:66-71, integer output variant."""

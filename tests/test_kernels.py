@@ -291,3 +291,28 @@ def test_pipe_kernel_matches_blocked_kernel():
     got8 = w4a8_matmul_pipe(x, qw, ws, wz, al, bt, bm=64, bn=256, bk=512,
                             out_dtype=jnp.int8, interpret=True)
     np.testing.assert_array_equal(np.asarray(got8), np.asarray(ref8))
+
+
+def test_twopass_matches_blocked_kernel():
+    """Kernel-free two-pass path (XLA dequant fusion + XLA s8 dot) matches
+    the fused kernel on f32 and int8 outputs."""
+    from dgq_tpu.ops.quant_matmul import w4a8_matmul_twopass
+
+    rng = np.random.default_rng(13)
+    M, K, N, G = 64, 512, 256, 128
+    x = jnp.asarray(rng.integers(-127, 128, (M, K)), jnp.int8)
+    qw = jnp.asarray(rng.integers(-128, 128, (K // 2, N)), jnp.int8)
+    ws = jnp.asarray(rng.integers(1, 4, (K // G, N)), jnp.int8)
+    wz = jnp.asarray(rng.integers(0, 16, (K // G, N)), jnp.int8)
+    al = jnp.asarray(rng.random(N), jnp.float32)
+    bt = jnp.asarray(rng.random(N), jnp.float32)
+
+    ref = w4a8_matmul_packed(x, qw, ws, wz, al, bt, bm=64, bn=128, bk=256,
+                             interpret=True)
+    got = w4a8_matmul_twopass(x, qw, ws, wz, al, bt)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-6, atol=1e-5)
+    ref8 = w4a8_matmul_packed(x, qw, ws, wz, al, bt, bm=64, bn=128, bk=256,
+                              out_dtype=jnp.int8, interpret=True)
+    got8 = w4a8_matmul_twopass(x, qw, ws, wz, al, bt, out_dtype=jnp.int8)
+    np.testing.assert_array_equal(np.asarray(got8), np.asarray(ref8))
