@@ -57,7 +57,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--w4w8", action="store_true", help="dual grained quantization")
     p.add_argument("--eval", action="store_true")
     p.add_argument("--mmlu_eval", type=str, default="no",
-                   help="path to mmlu jsonl, 'sample' for the vendored sample, or 'no'")
+                   help="path to mmlu jsonl, 'sample' for the vendored "
+                        "12-question sample, 'val' for the full vendored "
+                        "zero-shot validation split (1531 q / 57 subjects), "
+                        "or 'no'")
     p.add_argument("--inference_mod", action="store_true",
                    help="convert to the real-quant INT8 engine after load")
     p.add_argument("--save_engine", type=str, default="",

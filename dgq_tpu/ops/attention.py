@@ -638,9 +638,12 @@ def _decode_chunk_kernel_kv4(
     neg = jnp.finfo(jnp.float32).min
 
     q = q_ref[0, 0]
-    kt = kt_ref[0, 0]
-    kt_lo = ((kt << 4) >> 4).astype(jnp.int8)  # sign-extended low nibble
-    kt_hi = (kt >> 4).astype(jnp.int8)
+    # widen to int32 before the nibble split: Mosaic does not legalize
+    # vector shifts on int8 (arith.shli on i8 fails on real TPUs; interpret
+    # mode accepts it) — int32 mask/xor sign-extension compiles everywhere
+    kt = kt_ref[0, 0].astype(jnp.int32)
+    kt_lo = (((kt & 0xF) ^ 8) - 8).astype(jnp.int8)  # sign-extended low nibble
+    kt_hi = (kt >> 4).astype(jnp.int8)  # int8->int32 sign-extended, so >>4 is signed
     s32 = jax.lax.dot_general(
         q[:, :dh2], kt_lo, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
@@ -656,9 +659,9 @@ def _decode_chunk_kernel_kv4(
     m_safe = jnp.where(m <= neg / 2, 0.0, m)
     pr = jnp.exp(stf - m_safe)
     l = jnp.sum(pr, axis=1, keepdims=True)
-    v = v_ref[0, 0]
-    v_lo = (((v << 4) >> 4).astype(jnp.float32)) * v_scale  # (CH, Dh/2)
-    v_hi = ((v >> 4).astype(jnp.float32)) * v_scale
+    v = v_ref[0, 0].astype(jnp.int32)
+    v_lo = (((v & 0xF) ^ 8) - 8).astype(jnp.float32) * v_scale  # (CH, Dh/2)
+    v_hi = (v >> 4).astype(jnp.float32) * v_scale
     acc_lo = jax.lax.dot_general(
         pr, v_lo, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     acc_hi = jax.lax.dot_general(

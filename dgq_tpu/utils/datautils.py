@@ -152,12 +152,18 @@ def prepare_mmlu(
 
     ``mmlu_path="sample"`` loads the small vendored sample
     (dgq_tpu/data/mmlu_sample.jsonl) — enough to exercise the full eval
-    path without shipping the 1 MB reference dataset.
+    path quickly.  ``mmlu_path="val"`` loads the full vendored MMLU
+    zero-shot validation split (dgq_tpu/data/mmlu_val.jsonl, 1531
+    questions / 57 subjects) — this is the public MMLU benchmark data
+    (Hendrycks et al., arXiv 2009.03300), the same split the reference
+    evaluates (reference: data/mmlu/zero_shot_mmlu_val.json); shared
+    benchmark data is identical by necessity, like the calibration
+    constants.
     """
-    if mmlu_path == "sample":
+    if mmlu_path in ("sample", "val"):
         mmlu_path = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "data", "mmlu_sample.jsonl",
+            "data", f"mmlu_{'sample' if mmlu_path == 'sample' else 'val'}.jsonl",
         )
     tok = _tokenizer(model_path)
     abcd = [tok(f" {c}", add_special_tokens=False).input_ids[-1] for c in "ABCD"]

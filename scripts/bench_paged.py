@@ -69,11 +69,20 @@ def bench_attention(args, on_tpu):
         jax.device_get(out[0, 0, 0])
         return (time.time() - t0) / iters
 
+    from dgq_tpu.ops.attention import int4_paged_decode_attention
+
+    kt4_pool = jnp.asarray(
+        rng.integers(-128, 128, (b * npg + 1, hk, dh // 2, ps)), jnp.int8)
+    v4_pool = jnp.asarray(
+        rng.integers(-128, 128, (b * npg + 1, hk, ps, dh // 2)), jnp.int8)
     cands = {
         "dense": lambda qq: int8_decode_attention(
             qq, kt, v, lengths, s, s, s, interpret=interp),
         "paged": lambda qq: int8_paged_decode_attention(
             qq, kt_pool, v_pool, table, lengths, s, s, s, interpret=interp),
+        # nibble pages: half the page bytes stream into VMEM
+        "paged4": lambda qq: int4_paged_decode_attention(
+            qq, kt4_pool, v4_pool, table, lengths, s, s, s, interpret=interp),
     }
     if smax % 1024 == 0:
         cands["chunk1k"] = lambda qq: int8_decode_attention_chunked(
@@ -122,6 +131,7 @@ def bench_batcher_step(args, on_tpu):
         best = min(best, (time.time() - t0) / steps)
     print(f"dense decode: {best * 1e3:7.2f} ms/step (B={B}, Smax={args.max_len}, "
           f"len={occupied})", flush=True)
+    del dense, t, c  # free the dense cache before the pool (7B + both OOMs)
 
     # paged: pool sized to B * occupied'ish; table bucketed to allocated pages
     need = B * (-(-(occupied + steps) // ps))

@@ -95,3 +95,25 @@ def test_prepare_mmlu_vendored_sample():
     assert len(examples) == 12
     assert len(abcd) == 4
     assert {e["label"] for e in examples} == {0, 1, 2, 3}
+
+
+def test_prepare_mmlu_vendored_val_split():
+    """The full vendored MMLU zero-shot validation split (public benchmark
+    data, Hendrycks et al.; the split the reference evaluates) loads: 1531
+    questions across all 57 subjects, labels covering A-D."""
+    from unittest import mock
+
+    from dgq_tpu.utils import datautils
+
+    class FakeTok:
+        def __call__(self, text, add_special_tokens=True):
+            class R:
+                input_ids = [ord(c) % 97 for c in text[:7]]
+            return R()
+
+    with mock.patch.object(datautils, "_tokenizer", lambda _m: FakeTok()):
+        examples, abcd = datautils.prepare_mmlu("dummy", "val")
+    assert len(examples) == 1531
+    assert len({e["subject"] for e in examples}) == 57
+    assert {e["label"] for e in examples} == {0, 1, 2, 3}
+    assert len(abcd) == 4
