@@ -505,13 +505,14 @@ class EngineConfig:
     # (ops/fused_decode.py).  Falls back per-layer when shapes don't fit.
     fused_decode: bool = True
     # INT8 p @ V in decode attention (the reference attempted and abandoned
-    # int8 softmax output, opt_a8w4.py:176-179; the retry here uses per-row
-    # prob scales — ops/attention._quantize_probs).  V stays int8 in VMEM
+    # int8 softmax output, opt_a8w4.py:176-179; here: constant-scale
+    # quantization of the unnormalized exp-weights, 1/denom folded into the
+    # epilogue — ops/attention._quantize_exp).  V stays int8 in VMEM
     # (4x smaller V tile -> VMEM headroom for long contexts); quality-gated
-    # in tests/test_quant_pv.py.  Default OFF: measured 2x slower than fp
-    # p@V at Smax=2048 on v5e (scripts/tpu_quant_pv_smoke.py — the per-row
-    # quantize costs more VPU time than the V dequant it removes), so it is
-    # a memory knob, not a speed knob.
+    # in tests/test_quant_pv.py.  The round-2 per-row-scale version was 2x
+    # slower than fp p@V (per-row max + two divisions over (rep, Smax));
+    # round 3 removed all of that (see _quantize_exp) — re-measure with
+    # scripts/tpu_quant_pv_smoke.py before flipping the default.
     quant_pv: bool = False
     # KV-cache precision: 8 (default, reference parity: INT8 KV) or 4 —
     # symmetric INT4 packed two-per-byte along the head dim (ops/kv4.py),
@@ -803,16 +804,21 @@ def _block(ecfg: EngineConfig, layer: EngineLayer, x: jax.Array,
         qg = q_s8.reshape(b, hk, rep * s, dh)  # (B, Hkv, rep*S, Dh)
         scores = _attention_scores(qg, k_cache, layer.q_scale, layer.k_scale, dh)
         scores = scores.reshape(b, hk, rep, s, -1) + mask[None, None, None, :, :]
-        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
         if ecfg.quant_pv and s == 1:
-            # mirror the kernel's INT8 p @ V on the fallback decode path
-            from dgq_tpu.ops.attention import _quantize_probs
+            # mirror the kernel's INT8 p @ V on the fallback decode path:
+            # constant-scale exp-weight quantization, 1/denom in the epilogue
+            from dgq_tpu.ops.attention import _quantize_exp
 
-            qp, pscale = _quantize_probs(probs, axis=-1)
-            acc = jnp.einsum("bgrqk,bgkd->bgrqd", qp, v_cache,
+            sf = scores.astype(jnp.float32)
+            m = jnp.max(sf, axis=-1, keepdims=True)
+            e = jnp.exp(sf - m)
+            denom = jnp.sum(e, axis=-1, keepdims=True)
+            qe = _quantize_exp(e)
+            acc = jnp.einsum("bgrqk,bgkd->bgrqd", qe, v_cache,
                              preferred_element_type=jnp.int32)
-            ctx = acc.astype(jnp.float32) * (pscale * layer.v_scale)
+            ctx = acc.astype(jnp.float32) * ((layer.v_scale / 127.0) / denom)
         else:
+            probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
             vf = v_cache.astype(jnp.float32) * layer.v_scale
             ctx = jnp.einsum("bgrqk,bgkd->bgrqd", probs, vf)  # (B, Hkv, rep, S, Dh)
         ctx = ctx.transpose(0, 3, 1, 2, 4).reshape(b, s, h * dh)

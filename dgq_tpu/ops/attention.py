@@ -32,24 +32,29 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _quantize_probs(p, axis: int = 1):
-    """Per-query-row INT8 quantization of softmax probs/exp-weights.
+def _quantize_exp(e):
+    """Constant-scale INT8 quantization of flash exp-weights e = exp(s - m).
 
     The reference attempted (and abandoned) int8 softmax output with a
-    global scale (reference: opt_a8w4.py:176-179 comment).  The retry here
-    uses a per-ROW scale — p's row max is ~1, so codes span the full [0,127]
-    range and the worst-case relative error on the dominant components is
-    ~0.4% — letting p @ V run s8 x s8 -> s32 on the MXU with V kept int8
-    (no fp32 V materialization in VMEM: 4x VMEM saved on the V tile).
+    global scale (reference: opt_a8w4.py:176-179 comment).  Round 2 retried
+    with a per-row scale and measured it 2x slower than fp p @ V — the
+    per-row max pass plus two divisions over (rep, Smax) cost more VPU time
+    than the V dequant they replaced.  Round 3 observes the per-row scale
+    was a constant in disguise: e's row max is EXACTLY 1 (exp(m - m) at the
+    max position), so pscale = rowmax(p)/127 == 1/(127*denom) and the codes
+    round(p/pscale) == round(127*e).  Quantizing the UNNORMALIZED e with
+    the constant scale 1/127 yields the same codes with zero reductions and
+    zero divisions — callers fold the 1/denom (whole-cache) or nothing
+    (flash chunks, where the combine divides by the accumulated sum) into
+    the existing f32 epilogue.  Codes span the full [0, 127] range; the
+    worst-case relative error on dominant components stays ~0.4%, and
+    p @ V runs s8 x s8 -> s32 on the MXU with V kept int8 (4x VMEM saved
+    on the V tile).
 
-    The SINGLE source of the quantization rule: the Pallas kernels
-    (axis=1), the XLA goldens and the engine fallback (axis=-1) all call
-    this, so the bit-for-bit gate in tests/test_quant_pv.py stays
-    meaningful."""
-    pmax = jnp.max(p, axis=axis, keepdims=True)
-    pscale = jnp.maximum(pmax, 1e-30) / 127.0
-    qp = jnp.round(p / pscale).astype(jnp.int8)
-    return qp, pscale
+    SINGLE source of the quantization rule: the Pallas kernels, the XLA
+    goldens and the engine fallback all call this, so the bit-for-bit gate
+    in tests/test_quant_pv.py stays meaningful."""
+    return jnp.round(e * 127.0).astype(jnp.int8)
 
 
 def _decode_kernel(
@@ -90,17 +95,20 @@ def _decode_kernel(
     m = jnp.max(s, axis=1, keepdims=True)
     e = jnp.exp(s - m)
     denom = jnp.sum(e, axis=1, keepdims=True)
-    p = e / denom  # (rep, Smax) f32
 
     v_scale = scale_ref[1]
     if quant_pv:
-        qp, pscale = _quantize_probs(p)
+        # quantize the UNNORMALIZED exp-weights (row max exactly 1) with the
+        # constant scale 1/127; 1/denom folds into the f32 epilogue — no
+        # per-row reductions or divisions over (rep, Smax) at all
+        qe = _quantize_exp(e)
         acc = jax.lax.dot_general(
-            qp, v_ref[0, 0], (((1,), (0,)), ((), ())),
+            qe, v_ref[0, 0], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
-        out_ref[0, 0] = acc.astype(jnp.float32) * (pscale * v_scale)
+        out_ref[0, 0] = acc.astype(jnp.float32) * ((v_scale / 127.0) / denom)
     else:
+        p = e / denom  # (rep, Smax) f32
         vf = v_ref[0, 0].astype(jnp.float32) * v_scale  # (Smax, Dh) f32, in VMEM
         out_ref[0, 0] = jax.lax.dot_general(
             p, vf, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -119,7 +127,7 @@ def int8_decode_attention(
     *,
     apply_sqrt_dh: bool = True,  # OPT absorbs 1/sqrt(dh) into q (opt_a8w4.py:60-61)
     interpret: bool = False,
-    quant_pv: bool = False,  # INT8 p @ V (see _quantize_probs)
+    quant_pv: bool = False,  # INT8 p @ V (see _quantize_exp)
     alibi_slopes: Optional[jax.Array] = None,  # (H,) f32 per-QUERY-head ALiBi
 ) -> jax.Array:
     """Single-token attention over the INT8 cache -> (B, H, Dh) f32."""
@@ -341,13 +349,18 @@ def int8_decode_attention_xla(
         sl = jnp.asarray(alibi_slopes, jnp.float32).reshape(hk, rep)
         s = s + sl[None, :, :, None] * pos.astype(jnp.float32)
     s = jnp.where(pos < lengths[:, None, None, None], s, jnp.finfo(jnp.float32).min)
-    p = jax.nn.softmax(s, axis=-1)
     if quant_pv:
-        qp, pscale = _quantize_probs(p, axis=-1)
-        acc = jnp.einsum("bgrs,bgsd->bgrd", qp, v_cache,
+        # mirror the kernel: constant-scale quantization of the unnormalized
+        # exp-weights, 1/denom folded into the f32 epilogue
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        denom = jnp.sum(e, axis=-1, keepdims=True)
+        qe = _quantize_exp(e)
+        acc = jnp.einsum("bgrs,bgsd->bgrd", qe, v_cache,
                          preferred_element_type=jnp.int32)
-        out = acc.astype(jnp.float32) * (pscale * v_scale)
+        out = acc.astype(jnp.float32) * ((v_scale / 127.0) / denom)
     else:
+        p = jax.nn.softmax(s, axis=-1)
         vf = v_cache.astype(jnp.float32) * v_scale
         out = jnp.einsum("bgrs,bgsd->bgrd", p, vf)
     return out.reshape(b, h, dh)
@@ -389,14 +402,15 @@ def _decode_chunk_kernel(
     p = jnp.exp(s - m_safe)
     l = jnp.sum(p, axis=1, keepdims=True)
     if quant_pv:
-        # exp-weights are in [0, 1] with the in-chunk max at exactly 1, so
-        # the per-row scale spans the full int8 code range per chunk
-        qp, pscale = _quantize_probs(p)
+        # exp-weights are in [0, 1] with the in-chunk max at exactly 1 —
+        # the constant scale 1/127 spans the full code range per chunk
+        # (identical codes to the old per-row scale, minus the reductions)
+        qe = _quantize_exp(p)
         acc32 = jax.lax.dot_general(
-            qp, v_ref[0, 0], (((1,), (0,)), ((), ())),
+            qe, v_ref[0, 0], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
-        acc = acc32.astype(jnp.float32) * (pscale * v_scale)
+        acc = acc32.astype(jnp.float32) * (v_scale / 127.0)
     else:
         vf = v_ref[0, 0].astype(jnp.float32) * v_scale
         acc = jax.lax.dot_general(
@@ -438,7 +452,7 @@ def int8_decode_attention_chunked(
     chunk: int = 2048,
     apply_sqrt_dh: bool = True,
     interpret: bool = False,
-    quant_pv: bool = False,  # INT8 p @ V per chunk (see _quantize_probs)
+    quant_pv: bool = False,  # INT8 p @ V per chunk (see _quantize_exp)
 ) -> jax.Array:
     """Long-context decode attention: the cache is processed in
     VMEM-bounded chunks (grid over chunks), each emitting flash partials
