@@ -21,3 +21,24 @@ jax.config.update("jax_enable_x64", False)
 
 assert jax.devices()[0].platform == "cpu", jax.devices()
 assert len(jax.devices()) == 8, jax.devices()
+
+import gc  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _release_compiled_executables():
+    """Drop jit/pallas caches after every test module.
+
+    Root cause this guards against: each XLA:CPU LoadedExecutable holds
+    JIT-code mmaps; a full-suite run accumulated ~53k mappings by test ~269
+    and crashed INSIDE the next compile (SIGSEGV/SIGABRT in
+    backend_compile_and_load) when the process hit vm.max_map_count
+    (65530).  Reproduced 3/3 at the same test, passed in any half-suite —
+    a pure cumulative-state crash.  Clearing per MODULE keeps the map count
+    bounded while preserving within-module program reuse (fixtures
+    recompile at most once per file)."""
+    yield
+    jax.clear_caches()
+    gc.collect()
