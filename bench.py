@@ -783,6 +783,18 @@ def main():
                 "not kernel efficiency; see variant_matrix for the "
                 "interleaved per-rep evidence"
             )
+        elif (
+            xla_cap_best is not None
+            and frac < 0.90
+            and tops >= 0.95 * xla_cap_best
+        ):
+            result["extra"]["note"] = (
+                "fused best is within 5%% of the capture-best XLA dense s8 "
+                "GEMM (%.1f vs %.1f TOPS): the INT4 dequant rides free in "
+                "the fused mainloop; the distance to 0.90 of nominal "
+                "roofline is what this capture's windows gave XLA's own "
+                "dense kernel too" % (tops, xla_cap_best)
+            )
         if decode:
             result["extra"]["decode_ms_per_step_7b_b1"] = decode.get("decode_ms_per_step")
             result["extra"]["decode_tok_s_7b_b1"] = decode.get("decode_tok_s_b1")
