@@ -33,7 +33,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from dgq_tpu.ops.quant_matmul import w4a8_matmul_packed, w4a8_matmul_wres
+    from dgq_tpu.ops.quant_matmul import (
+        w4a8_matmul_packed,
+        w4a8_matmul_pipe,
+        w4a8_matmul_wres,
+    )
     from dgq_tpu.utils.benchmarking import gemm_tops
 
     m, n, k, g = args.m, args.n, args.k, 128
@@ -67,6 +71,14 @@ def main():
         ("packed_s256b", functools.partial(w4a8_matmul_packed, bm=1024,
                                            bn=512, bk=256, split_dots=True),
          (x, qw, ws, wz, al)),
+        ("pipe_1024", functools.partial(w4a8_matmul_pipe, bm=min(2048, m),
+                                        bn=256, bk=1024), (x, qw, ws, wz, al)),
+        ("wres_n1024", functools.partial(w4a8_matmul_wres, bm=min(512, m),
+                                         bn=1024,
+                                         vmem_limit=128 * 1024 * 1024),
+         (x, qw, ws, wz, al)),
+        ("wres_m256", functools.partial(w4a8_matmul_wres, bm=min(256, m),
+                                        bn=512), (x, qw, ws, wz, al)),
         ("xla_s8", xla_s8, (x, w8)),
     ]
     kw = dict(iters=args.iters, base_iters=args.iters // 4, repeats=1,
