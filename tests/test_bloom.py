@@ -15,6 +15,9 @@ from dgq_tpu.models.llama import QuantState
 from dgq_tpu.quant.calibrate import ptq
 from dgq_tpu.quant.packing import PackedLinear
 from dgq_tpu.utils.datautils import synthetic_stream
+import pytest
+
+pytestmark = pytest.mark.slow  # integration-heavy; fast gate: pytest -m 'not slow'
 
 
 def _hf_tiny(cfg):

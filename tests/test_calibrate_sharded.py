@@ -22,6 +22,8 @@ from dgq_tpu.quant.calibrate import ptq
 from dgq_tpu.quant.packing import PackedLinear
 from dgq_tpu.utils.datautils import synthetic_stream
 
+pytestmark = pytest.mark.slow  # integration-heavy; fast gate: pytest -m 'not slow'
+
 
 @pytest.fixture(scope="module")
 def tiny_setup():

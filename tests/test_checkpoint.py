@@ -10,6 +10,9 @@ from dgq_tpu.quant.calibrate import ptq_llama
 from dgq_tpu.quant.packing import PackedLinear
 from dgq_tpu.utils.checkpoint import load_quantized, save_quantized
 from dgq_tpu.utils.datautils import synthetic_stream
+import pytest
+
+pytestmark = pytest.mark.slow  # integration-heavy; fast gate: pytest -m 'not slow'
 
 
 def test_quantized_checkpoint_roundtrip(tmp_path):

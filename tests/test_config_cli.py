@@ -6,6 +6,8 @@ import pytest
 from dgq_tpu.config import ActQuantConfig, QuantConfig, WtQuantConfig, default_w4a8_config
 from dgq_tpu.entry import build_parser, generate_qconfig
 
+pytestmark = pytest.mark.slow  # integration-heavy; fast gate: pytest -m 'not slow'
+
 
 def test_config_validation():
     with pytest.raises(ValueError):

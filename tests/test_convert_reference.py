@@ -14,6 +14,9 @@ from dgq_tpu.utils.convert_reference import (
     reference_linear_to_packed,
 )
 from dgq_tpu.utils.datautils import synthetic_stream
+import pytest
+
+pytestmark = pytest.mark.slow  # integration-heavy; fast gate: pytest -m 'not slow'
 
 
 def _to_reference_buffers(pl, prefix):

@@ -10,6 +10,9 @@ from dgq_tpu.quant.calibrate import ptq_llama, ptq
 from dgq_tpu.utils.datautils import synthetic_stream
 from dgq_tpu.utils.metrics import QuantReport, snr_error, weight_quant_metrics
 from dgq_tpu.quant.smooth import smooth_att_qk, smooth_ov
+import pytest
+
+pytestmark = pytest.mark.slow  # integration-heavy; fast gate: pytest -m 'not slow'
 
 
 def test_snr_error_zero_for_identical():

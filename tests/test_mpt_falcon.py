@@ -12,6 +12,9 @@ from dgq_tpu.models.mpt import init_mpt_params, mpt_apply, tiny_mpt_config
 from dgq_tpu.quant.calibrate import ptq
 from dgq_tpu.quant.packing import PackedLinear
 from dgq_tpu.utils.datautils import synthetic_stream
+import pytest
+
+pytestmark = pytest.mark.slow  # integration-heavy; fast gate: pytest -m 'not slow'
 
 
 def test_mpt_matches_hf_logits():

@@ -9,6 +9,9 @@ from dgq_tpu.models.llama import QuantState, init_llama_params, llama_apply, tin
 from dgq_tpu.quant.calibrate import ptq
 from dgq_tpu.utils.datautils import synthetic_stream
 from dgq_tpu.utils.evalutils import ppl_eval, ppl_eval_layerwise
+import pytest
+
+pytestmark = pytest.mark.slow  # integration-heavy; fast gate: pytest -m 'not slow'
 
 
 def _to_host(tree):

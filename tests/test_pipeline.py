@@ -20,6 +20,8 @@ from dgq_tpu.parallel.pipeline import (
     pp_shard_kv_cache,
 )
 
+pytestmark = pytest.mark.slow  # integration-heavy; fast gate: pytest -m 'not slow'
+
 
 @pytest.fixture(scope="module")
 def pp_setup():
