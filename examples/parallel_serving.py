@@ -120,12 +120,14 @@ def main():
                                rtol=2e-4, atol=2e-4)
     print("sp=4 ring    : logits allclose, INT8 KV sharded over 'sp'")
     print("OK")
-    # give the daemon's connection threads a beat to unwind before the
-    # interpreter tears down (daemon threads dying inside C++ at shutdown
-    # print a scary-but-harmless abort on some runtimes)
-    import time
-
-    time.sleep(0.5)
+    # Hard-exit: everything above already flushed + asserted.  CPython
+    # finalization with live meshes + the CPU client's thread pools can
+    # abort inside XLA teardown on some jaxlib builds (observed here:
+    # "terminate called after throwing an instance of ''" AFTER the OK) —
+    # skip the C++ destructor lottery; the demo's exit code should reflect
+    # the demo's assertions, not runtime teardown races.
+    sys.stdout.flush()
+    os._exit(0)
 
 
 if __name__ == "__main__":
