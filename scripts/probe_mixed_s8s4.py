@@ -1,0 +1,70 @@
+"""Does the v5e MXU feed a MIXED s8 x s4 dot at the int4 rate?
+
+probe_gemv_bakeoff measured s4 x s4 at ~1.5x the s8 x s8 weight-element
+rate even while paying a full in-step astype of the weight matrix — the
+raw int4 MXU path is ~2x.  A W4A8 GEMV has x in s8, so the clean win needs
+the mixed dot to run at (or near) the s4 rate; if XLA legalizes it by
+upcasting the s4 operand to s8, the rate collapses to the int8 number.
+
+Round-robin, same window: s8xs8, s8xs4 (w device-resident s4 via in-step
+cast), s4xs4 (both cast in-step), and s8 x (s4 upcast explicitly) as the
+legalization control.
+"""
+import sys
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from dgq_tpu.utils.benchmarking import device_time  # noqa: E402
+
+K, N = 4096, 12288
+
+
+def main():
+    r = np.random.default_rng(0)
+    w8 = jnp.asarray(r.integers(-127, 127, (K, N)), jnp.int8)
+    w4_s8 = jnp.asarray(r.integers(-8, 8, (K, N)), jnp.int8)  # s4-ranged, int8 dtype
+    x8 = jnp.asarray(r.integers(-127, 127, (8, K)), jnp.int8)
+    x4_s8 = jnp.asarray(r.integers(-8, 8, (8, K)), jnp.int8)
+
+    def dot(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+
+    def fb8(out, x):
+        return (out[:, :K] & 0x7F).astype(jnp.int8)
+
+    def fb4(out, x):
+        return ((out[:, :K] & 0x7) - 4).astype(jnp.int8)
+
+    cands = [
+        ("s8xs8      ", lambda x, w: dot(x, w), (x8, w8), fb8),
+        ("s8xs4      ", lambda x, w: dot(x, w.astype(jnp.int4)), (x8, w4_s8), fb8),
+        ("s4xs4      ", lambda x, w: dot(x.astype(jnp.int4), w.astype(jnp.int4)),
+         (x4_s8, w4_s8), fb4),
+        ("s8x(s4->s8)", lambda x, w: dot(x, w.astype(jnp.int4).astype(jnp.int8)),
+         (x8, w4_s8), fb8),
+    ]
+    res = {n: [] for n, *_ in cands}
+    for rep in range(3):
+        for name, f, args, fb in cands:
+            try:
+                t = device_time(f, *args, feedback=fb, iters=48, base_iters=12,
+                                repeats=1)
+                res[name].append(K * N / t / 1e9)
+                print(f"[{rep}] {name}: {t*1e6:7.1f} us -> "
+                      f"{K*N/t/1e9:6.0f} G welem/s", flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(f"[{rep}] {name}: FAILED {type(e).__name__}: "
+                      f"{str(e)[:140]}", flush=True)
+    for name, v in res.items():
+        if v:
+            print(f"{name}: best {max(v):6.0f} G welem/s")
+
+
+if __name__ == "__main__":
+    main()
