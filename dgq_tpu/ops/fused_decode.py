@@ -83,6 +83,82 @@ def _plane_dot(x_s8, qw_ref, sh_ref, sl_ref, zh_ref, zl_ref, nsp: int, span: int
     return acc
 
 
+def _plane_dot_s4(x_s8, qw_ref, sh_ref, sl_ref, zh_ref, zl_ref,
+                  csh_ref, csl_ref, nsp: int, span: int,
+                  interpret: bool = False):
+    """_plane_dot on the v5e int4 MXU path: every dot is s4 x s4.
+
+    Decode is weight-feed bound and the MXU consumes int4 operands ~2x
+    faster than int8 (probe_gemv_bakeoff: s4 x s4 nets 1.5x the int8
+    weight-element rate even paying a full in-step astype; mixed s8 x s4
+    legalizes to an upcast and stays at the int8 rate —
+    probe_mixed_s8s4).  So BOTH operands go 4-bit, exactly:
+
+      codes c in [0,15]      ->  c4 = c - 8           in s4
+      activation x in s8     ->  x = 16*hi4 + lo4 + 8 with
+                                 lo4 = (x & 0xF) - 8, hi4 = (x-(x&0xF))>>4
+      dot(x, c) = 16*dot(hi4,c4) + dot(lo4,c4) + 8*sum(x) + 8*colsum(c4)
+
+    hi4/lo4 STACK as extra rows (2B, half) so the weight plane streams
+    through the MXU ONCE at the int4 rate — at decode M the extra rows are
+    free (the MXU pads M anyway).  colsum(c4) is a per-plane (nsp, bn)
+    int32 constant precomputed from the packed weights (plane_colsums);
+    sum(x) is the same per-row reduction the zero correction already
+    needs.  All arithmetic stays exact int32 — bit-identical to
+    _plane_dot."""
+    half = span // 2
+    b = x_s8.shape[0]
+    # interpret mode (CPU) rejects sub-byte dot operands ("custom element
+    # sizes on non-sub-byte types"); int8 carriers are numerically
+    # identical there — the true s4 dtype path is exercised on hardware
+    # (scripts/tpu_kernel_compile_gate.py + the on-chip parity test)
+    dot_ty = jnp.int8 if interpret else jnp.int4
+    # plane math in int32, single cast int32 -> s4 at the dot operands:
+    # Mosaic legalizes i32->i4 converts but not i8 arithmetic in the
+    # 4x-packed layout the cast would otherwise impose upstream
+    x32 = x_s8.astype(jnp.int32)
+    low = x32 & 0xF
+    hi8 = (x32 - low) >> 4  # [-8, 7]
+    lo8 = low - 8
+    acc = None
+    for t in range(nsp):
+        u = qw_ref[t * half : (t + 1) * half, :].astype(jnp.uint8).astype(jnp.int32)
+        c4h = ((u >> 4) - 8).astype(dot_ty)
+        c4l = ((u & 0xF) - 8).astype(dot_ty)
+        sh_k = slice(t * span, t * span + half)
+        sl_k = slice(t * span + half, (t + 1) * span)
+        xh4 = jnp.concatenate([hi8[:, sh_k], lo8[:, sh_k]], axis=0).astype(dot_ty)
+        xl4 = jnp.concatenate([hi8[:, sl_k], lo8[:, sl_k]], axis=0).astype(dot_ty)
+        dh2 = jax.lax.dot_general(
+            xh4, c4h, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )  # (2B, bn)
+        dl2 = jax.lax.dot_general(
+            xl4, c4l, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        sxh = jnp.sum(x_s8[:, sh_k].astype(jnp.int32), axis=1, keepdims=True)
+        sxl = jnp.sum(x_s8[:, sl_k].astype(jnp.int32), axis=1, keepdims=True)
+        dh = 16 * dh2[:b] + dh2[b:] + 8 * sxh + 8 * csh_ref[t : t + 1, :]
+        dl = 16 * dl2[:b] + dl2[b:] + 8 * sxl + 8 * csl_ref[t : t + 1, :]
+        sh = sh_ref[t : t + 1, :].astype(jnp.int32)
+        sl = sl_ref[t : t + 1, :].astype(jnp.int32)
+        zh = zh_ref[t : t + 1, :].astype(jnp.int32)
+        zl = zl_ref[t : t + 1, :].astype(jnp.int32)
+        p = (dh - sxh * zh) * sh + (dl - sxl * zl) * sl
+        acc = p if acc is None else acc + p
+    return acc
+
+
+def plane_colsums(qweight: jax.Array, span: int = 256):
+    """Per-plane column sums of the ZERO-SHIFTED codes (c - 8), int32 —
+    the pack-time constant _plane_dot_s4 needs.  qweight: (K//2, N) int8
+    span-packed; returns (csum_hi, csum_lo), each (K//span, N) int32."""
+    k2, n = qweight.shape
+    half = span // 2
+    nsp = 2 * k2 // span
+    u = qweight.astype(jnp.uint8).astype(jnp.int32).reshape(nsp, half, n)
+    return ((u >> 4) - 8).sum(axis=1), ((u & 0xF) - 8).sum(axis=1)
+
+
 def _unpack_dot(x_s8, qw_ref, s_all, z_all, nsp: int, span: int):
     """Legacy per-element dequant contraction on 8x-replicated scales —
     kept for the down-proj leg of the MLP kernel, whose per-f-block plane
@@ -214,6 +290,100 @@ def fused_norm_gemv(
         x.astype(jnp.float32), ln_w.reshape(1, k).astype(jnp.float32),
         ln_b.reshape(1, k).astype(jnp.float32), qweight,
         s_hi, s_lo, z_hi, z_lo,
+        alpha.reshape(1, n).astype(jnp.float32), beta.reshape(1, n).astype(jnp.float32),
+    )
+    return out[:b]
+
+
+def _norm_gemv_s4_kernel(
+    x_ref, lnw_ref, lnb_ref, qw_ref, sh_ref, sl_ref, zh_ref, zl_ref,
+    csh_ref,  # (nspk, bn) int32 even-plane colsums of (c - 8)
+    csl_ref,  # (nspk, bn) int32 odd-plane colsums
+    alpha_ref, beta_ref, out_ref, xq_ref,
+    *, nspk: int, span: int, eps: float, interpret: bool,
+):
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        xq_ref[:] = _rmsnorm_q(x_ref[:], lnw_ref[:], lnb_ref[:], eps)
+
+    acc = _plane_dot_s4(xq_ref[:], qw_ref, sh_ref, sl_ref, zh_ref, zl_ref,
+                        csh_ref, csl_ref, nspk, span, interpret=interpret)
+    out_ref[:] = acc.astype(jnp.float32) * alpha_ref[:] + beta_ref[:]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("span", "bn", "eps", "interpret"),
+)
+def fused_norm_gemv_s4(
+    x: jax.Array,  # (B, K) f32 residual stream
+    ln_w: jax.Array,
+    ln_b: Optional[jax.Array],
+    qweight: jax.Array,  # (K//2, N) int8 span-packed
+    s_hi: jax.Array,
+    s_lo: jax.Array,
+    z_hi: jax.Array,
+    z_lo: jax.Array,
+    alpha: jax.Array,
+    beta: Optional[jax.Array] = None,
+    csum_hi: Optional[jax.Array] = None,  # (K//span, N) int32; derived if None
+    csum_lo: Optional[jax.Array] = None,
+    *,
+    span: int = 256,
+    bn: int = 512,
+    eps: float = 1e-6,
+    interpret: bool = False,
+) -> jax.Array:
+    """fused_norm_gemv on the int4 MXU path (see _plane_dot_s4).
+    Bit-identical output; pass precomputed plane_colsums(qweight) to keep
+    the pack-time constant out of the per-call graph."""
+    b, k = x.shape
+    k2, n = qweight.shape
+    assert 2 * k2 == k and k % span == 0, (x.shape, qweight.shape, span)
+    b8 = _cdiv(max(b, 1), 8) * 8
+    if b8 != b:
+        x = jnp.pad(x, ((0, b8 - b), (0, 0)))
+    if n % bn != 0:
+        bn = n if n < bn else 128
+    assert n % bn == 0, (n, bn)
+    nspk = k // span
+    assert s_hi.shape == (nspk, n), (s_hi.shape, nspk, n)
+    if ln_b is None:
+        ln_b = jnp.zeros((k,), jnp.float32)
+    if beta is None:
+        beta = jnp.zeros((n,), jnp.float32)
+    if csum_hi is None or csum_lo is None:
+        csum_hi, csum_lo = plane_colsums(qweight, span)
+
+    out = pl.pallas_call(
+        functools.partial(_norm_gemv_s4_kernel, nspk=nspk, span=span, eps=eps,
+                          interpret=interpret),
+        grid=(n // bn,),
+        in_specs=[
+            pl.BlockSpec((b8, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k2, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
+            *_plane_specs(nspk, bn, lambda j: (0, j)),
+            pl.BlockSpec((nspk, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nspk, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b8, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b8, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((b8, k), jnp.int8)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(
+        x.astype(jnp.float32), ln_w.reshape(1, k).astype(jnp.float32),
+        ln_b.reshape(1, k).astype(jnp.float32), qweight,
+        s_hi, s_lo, z_hi, z_lo,
+        csum_hi.astype(jnp.int32), csum_lo.astype(jnp.int32),
         alpha.reshape(1, n).astype(jnp.float32), beta.reshape(1, n).astype(jnp.float32),
     )
     return out[:b]

@@ -155,6 +155,7 @@ def gate_fused_decode(results):
     from dgq_tpu.ops.fused_decode import (
         fused_mlp_decode,
         fused_norm_gemv,
+        fused_norm_gemv_s4,
         fused_requant_gemv,
     )
 
@@ -186,6 +187,9 @@ def gate_fused_decode(results):
 
     cands = [
         ("fused_decode.norm_gemv", lambda: fused_norm_gemv(
+            x, nw, None, qw, sh, sl, zh, zl, al2, span=span)),
+        # int4-MXU path must match the int8 path bit for bit on silicon
+        ("fused_decode.norm_gemv_s4", lambda: fused_norm_gemv_s4(
             x, nw, None, qw, sh, sl, zh, zl, al2, span=span)),
         ("fused_decode.requant_gemv", lambda: fused_requant_gemv(
             jnp.asarray(rng.random((b, d)), jnp.float32), jnp.float32(3.0),

@@ -64,6 +64,34 @@ def test_fused_norm_gemv_golden(setup):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
 
 
+def test_fused_norm_gemv_s4_matches_int8_path(setup):
+    """The int4-MXU variant is bit-identical to the int8-path kernel AND
+    the golden (the x-plane decomposition + colsum algebra is exact)."""
+    from dgq_tpu.ops.fused_decode import fused_norm_gemv_s4, plane_colsums
+
+    rng, D, N, x, lnw, lnb, beta = setup
+    qw, planes, _, al, w_s8 = _mk(D, N, 1)
+    xq = _rmsq(x, lnw, lnb)
+    want = xq.astype(np.int32) @ w_s8.astype(np.int32) * al[None] + beta[None]
+    csh, csl = plane_colsums(qw)
+    for cs in ((csh, csl), (None, None)):  # precomputed and derived paths
+        got = np.asarray(fused_norm_gemv_s4(
+            jnp.asarray(x), jnp.asarray(lnw), jnp.asarray(lnb),
+            qw, *planes, al, jnp.asarray(beta), cs[0], cs[1],
+            bn=256, interpret=True))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+    # extreme activations: the hi4/lo4 split must be exact at the int8 edges
+    xe = np.zeros_like(x)
+    xe[:, :8] = 127.0
+    xe[:, 8:16] = -128.0
+    xqe = _rmsq(xe, lnw, lnb)
+    we = xqe.astype(np.int32) @ w_s8.astype(np.int32) * al[None] + beta[None]
+    ge = np.asarray(fused_norm_gemv_s4(
+        jnp.asarray(xe), jnp.asarray(lnw), jnp.asarray(lnb),
+        qw, *planes, al, jnp.asarray(beta), bn=256, interpret=True))
+    np.testing.assert_allclose(ge, we, rtol=1e-5, atol=1e-4)
+
+
 def test_fused_requant_gemv_golden(setup):
     rng, D, N, x, lnw, lnb, beta = setup
     qw, planes, _, al, w_s8 = _mk(D, N, 1)
