@@ -10,6 +10,9 @@ sub-block into a single kernel:
 
   * ``fused_norm_gemv``      — RMSNormQ prologue + full-K dequant GEMV
                                (replaces norm fusion + qkv/gate-up GEMM)
+  * ``fused_norm_gemv_s4``   — same, contracting on the v5e int4 MXU path
+                               (s4 x s4 plane dots; experimental, see
+                               _plane_dot_s4 / ROADMAP round-4 lever #1)
   * ``fused_requant_gemv``   — int8 requant prologue + GEMV + optional
                                residual-add epilogue (o_proj)
   * ``fused_mlp_decode``     — RMSNormQ + gate/up GEMV + SiLU·mul +
