@@ -430,6 +430,109 @@ def _requant_gemv_kernel(
     out_ref[:] = y
 
 
+def _requant_gemv_s4_kernel(
+    x_ref, scale_ref, qw_ref, sh_ref, sl_ref, zh_ref, zl_ref,
+    csh_ref,  # (nspk, bn) int32 plane colsums of (c - 8)
+    csl_ref,
+    alpha_ref, beta_ref, res_ref, out_ref, xq_ref,
+    *, nspk: int, span: int, qmin: float, fuse_residual: bool,
+    interpret: bool,
+):
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        y = jnp.round(x_ref[:] / scale_ref[0])
+        xq_ref[:] = jnp.clip(y, qmin, 127.0).astype(jnp.int8)
+
+    acc = _plane_dot_s4(xq_ref[:], qw_ref, sh_ref, sl_ref, zh_ref, zl_ref,
+                        csh_ref, csl_ref, nspk, span, interpret=interpret)
+    y = acc.astype(jnp.float32) * alpha_ref[:] + beta_ref[:]
+    if fuse_residual:
+        y = y + res_ref[:]
+    out_ref[:] = y
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("span", "bn", "qmin", "fuse_residual", "interpret"),
+)
+def fused_requant_gemv_s4(
+    x: jax.Array,  # (B, K) f32 (e.g. attention context)
+    in_scale: jax.Array,  # () f32 static requant scale
+    qweight: jax.Array,
+    s_hi: jax.Array,
+    s_lo: jax.Array,
+    z_hi: jax.Array,
+    z_lo: jax.Array,
+    alpha: jax.Array,
+    beta: Optional[jax.Array] = None,
+    residual: Optional[jax.Array] = None,
+    csum_hi: Optional[jax.Array] = None,  # (K//span, N) int32; derived if None
+    csum_lo: Optional[jax.Array] = None,
+    *,
+    span: int = 256,
+    bn: int = 512,
+    qmin: float = -127.0,
+    fuse_residual: bool = True,
+    interpret: bool = False,
+) -> jax.Array:
+    """fused_requant_gemv on the int4 MXU path (see _plane_dot_s4).
+    Bit-identical output; pass precomputed plane_colsums(qweight)."""
+    b, k = x.shape
+    k2, n = qweight.shape
+    assert 2 * k2 == k and k % span == 0
+    b8 = _cdiv(max(b, 1), 8) * 8
+    if b8 != b:
+        x = jnp.pad(x, ((0, b8 - b), (0, 0)))
+    if n % bn != 0:
+        bn = n if n < bn else 128
+    assert n % bn == 0
+    nspk = k // span
+    assert s_hi.shape == (nspk, n), (s_hi.shape, nspk, n)
+    if beta is None:
+        beta = jnp.zeros((n,), jnp.float32)
+    if residual is None:
+        assert not fuse_residual
+        residual = jnp.zeros((b8, n), jnp.float32)
+    elif b8 != b:
+        residual = jnp.pad(residual, ((0, b8 - b), (0, 0)))
+    if csum_hi is None or csum_lo is None:
+        csum_hi, csum_lo = plane_colsums(qweight, span)
+
+    out = pl.pallas_call(
+        functools.partial(_requant_gemv_s4_kernel, nspk=nspk, span=span,
+                          qmin=qmin, fuse_residual=fuse_residual,
+                          interpret=interpret),
+        grid=(n // bn,),
+        in_specs=[
+            pl.BlockSpec((b8, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((k2, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
+            *_plane_specs(nspk, bn, lambda j: (0, j)),
+            pl.BlockSpec((nspk, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nspk, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b8, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b8, bn), lambda j: (0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b8, n), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((b8, k), jnp.int8)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(
+        x.astype(jnp.float32), jnp.reshape(in_scale, (1,)).astype(jnp.float32),
+        qweight, s_hi, s_lo, z_hi, z_lo,
+        csum_hi.astype(jnp.int32), csum_lo.astype(jnp.int32),
+        alpha.reshape(1, n).astype(jnp.float32), beta.reshape(1, n).astype(jnp.float32),
+        residual.astype(jnp.float32),
+    )
+    return out[:b]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("span", "bn", "qmin", "fuse_residual", "interpret"),

@@ -157,6 +157,7 @@ def gate_fused_decode(results):
         fused_norm_gemv,
         fused_norm_gemv_s4,
         fused_requant_gemv,
+        fused_requant_gemv_s4,
     )
 
     rng = np.random.default_rng(2)
@@ -192,6 +193,9 @@ def gate_fused_decode(results):
         ("fused_decode.norm_gemv_s4", lambda: fused_norm_gemv_s4(
             x, nw, None, qw, sh, sl, zh, zl, al2, span=span)),
         ("fused_decode.requant_gemv", lambda: fused_requant_gemv(
+            jnp.asarray(rng.random((b, d)), jnp.float32), jnp.float32(3.0),
+            qw, sh, sl, zh, zl, al2, residual=x, span=span)),
+        ("fused_decode.requant_gemv_s4", lambda: fused_requant_gemv_s4(
             jnp.asarray(rng.random((b, d)), jnp.float32), jnp.float32(3.0),
             qw, sh, sl, zh, zl, al2, residual=x, span=span)),
         ("fused_decode.mlp", lambda: fused_mlp_decode(

@@ -105,6 +105,23 @@ def test_fused_requant_gemv_golden(setup):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
 
 
+def test_fused_requant_gemv_s4_matches_int8_path(setup):
+    from dgq_tpu.ops.fused_decode import fused_requant_gemv_s4, plane_colsums
+
+    rng, D, N, x, lnw, lnb, beta = setup
+    qw, planes, _, al, w_s8 = _mk(D, N, 1)
+    scale = np.float32(0.07)
+    resid = rng.normal(size=(x.shape[0], N)).astype(np.float32)
+    xq = np.clip(np.round(x / scale), -127, 127).astype(np.int8)
+    want = xq.astype(np.int32) @ w_s8.astype(np.int32) * al[None] + beta[None] + resid
+    csh, csl = plane_colsums(qw)
+    got = np.asarray(fused_requant_gemv_s4(
+        jnp.asarray(x), jnp.asarray(scale), qw, *planes, al,
+        jnp.asarray(beta), jnp.asarray(resid), csh, csl,
+        bn=256, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
 def test_fused_mlp_decode_golden(setup):
     rng, D, N, x, lnw, lnb, beta = setup
     F = 1024
