@@ -58,6 +58,12 @@ class EngineLinear(NamedTuple):
     s_lo: Optional[jax.Array] = None  # (G/2, N) int8 odd-plane scales
     z_hi: Optional[jax.Array] = None  # (G/2, N) int8 even-plane zeros
     z_lo: Optional[jax.Array] = None  # (G/2, N) int8 odd-plane zeros
+    # native-s4 decode path (EngineConfig.int4_mxu): rowpair-shifted packed
+    # codes that pltpu.bitcast to the s4 matrix in VMEM with ZERO unpack,
+    # plus the x-independent folded colsum*scale correction
+    # (ops/fused_decode.pack_rowpair_s4 / rowpair_cs_fold)
+    qw_rp: Optional[jax.Array] = None  # (K//2, N) int8 rowpair-shifted
+    cs_fold: Optional[jax.Array] = None  # (N,) int32
 
 
 def f32_out_linear(pl_, input_scale) -> "EngineLinear":
@@ -270,6 +276,40 @@ def _fuse_linears(lins: list) -> EngineLinear:
     )
 
 
+def _with_rp(lin: EngineLinear) -> EngineLinear:
+    """Attach the native-s4 decode buffers (rowpair-shifted codes + folded
+    colsum correction) to a dual-grained EngineLinear.  Derived data —
+    call AFTER padding/fusion so the layouts agree; no-op for fp-scale
+    linears (no plane rows => no s4 decode path)."""
+    if lin.s_hi is None or lin.qw_rp is not None:
+        return lin
+    from dgq_tpu.ops.fused_decode import pack_rowpair_s4, rowpair_cs_fold
+
+    # groupsize from the (possibly stacked) packed layout: K = 2*rows,
+    # G = replicated scale rows / 8
+    span = 2 * (2 * lin.qweight.shape[-2] * 8) // lin.wscales.shape[-2]
+    return lin._replace(
+        qw_rp=pack_rowpair_s4(lin.qweight, span),
+        cs_fold=rowpair_cs_fold(lin.qweight, span, lin.s_hi, lin.s_lo),
+    )
+
+
+def add_rowpair(eng: EngineParams) -> EngineParams:
+    """Populate qw_rp/cs_fold on every layer linear of (possibly stacked)
+    EngineParams — used by from_ptq and by checkpoint load for checkpoints
+    that predate the native-s4 fields."""
+    lay = eng.layers
+    if lay.qkv_proj.s_hi is None or lay.qkv_proj.qw_rp is not None:
+        return eng
+    lay = lay._replace(
+        qkv_proj=_with_rp(lay.qkv_proj),
+        o_proj=_with_rp(lay.o_proj),
+        gate_up_proj=_with_rp(lay.gate_up_proj),
+        down_proj=_with_rp(lay.down_proj),
+    )
+    return dataclasses.replace(eng, layers=lay)
+
+
 def from_ptq(params, kv_scales, cfg: LlamaConfig, *, pad_to: int = 2048) -> EngineParams:
     """Convert a PTQ result (params with PackedLinear leaves + kv scales)
     into stacked engine params (reference: loadutils.py:57-70 +
@@ -344,13 +384,13 @@ def from_ptq(params, kv_scales, cfg: LlamaConfig, *, pad_to: int = 2048) -> Engi
             )
         )
     stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per_layer)
-    return EngineParams(
+    return add_rowpair(EngineParams(
         embed_tokens=params["embed_tokens"],
         layers=stacked,
         norm_weight=params["norm"]["weight"].astype(jnp.float32),
         lm_head=params["lm_head"]["weight"],
         rms_eps=cfg.rms_norm_eps,
-    )
+    ))
 
 
 # ---------------------------------------------------------------------------
@@ -514,6 +554,13 @@ class EngineConfig:
     # round 3 removed all of that (see _quantize_exp) — re-measure with
     # scripts/tpu_quant_pv_smoke.py before flipping the default.
     quant_pv: bool = False
+    # native-s4 decode GEMVs (ROADMAP round-4 lever #1): weights stored
+    # rowpair-shifted so the kernel bitcasts them to s4 in VMEM (zero
+    # unpack) and contracts on the int4 MXU path (~2x the int8 operand
+    # rate; on-chip probe: 610 vs ~400 G welem/s best-window).  Requires
+    # EngineParams converted with the qw_rp/cs_fold buffers (from_ptq
+    # default).  Bit-identical to the plane-dot path.
+    int4_mxu: bool = True
     # KV-cache precision: 8 (default, reference parity: INT8 KV) or 4 —
     # symmetric INT4 packed two-per-byte along the head dim (ops/kv4.py),
     # HALVING cache memory (2x serving slots / context at equal HBM).
@@ -527,7 +574,7 @@ class EngineConfig:
             (self.cfg, self.use_kernel, self.interpret, self.bm_prefill,
              self.bm_decode, self.tp_axis, self.flash_prefill, self.fp_scales,
              self.decode_attn_chunk, self.fused_decode, self.quant_pv,
-             self.kv_bits)
+             self.int4_mxu, self.kv_bits)
         )
 
 
@@ -573,6 +620,13 @@ def _use_fused_rows(ecfg: EngineConfig, layer: EngineLayer, b: int, s: int) -> b
             and ecfg.fused_decode and b * s <= 32 and _decode_fusable(layer))
 
 
+def _use_s4(ecfg: EngineConfig, layer: EngineLayer) -> bool:
+    """Gate for the native-s4 decode GEMV kernels: the rowpair buffers must
+    exist (from_ptq default; older checkpoints fall back to the plane
+    path)."""
+    return bool(ecfg.int4_mxu) and layer.qkv_proj.qw_rp is not None
+
+
 def _qkv_rows(ecfg: EngineConfig, layer: EngineLayer, x: jax.Array,
               bm: int, fused: bool) -> jax.Array:
     """(B, S, D) -> qkv projections (B, S, N): fused norm+GEMV row kernel
@@ -581,9 +635,17 @@ def _qkv_rows(ecfg: EngineConfig, layer: EngineLayer, x: jax.Array,
     cfg = ecfg.cfg
     b, s, d = x.shape
     if fused:
-        from dgq_tpu.ops.fused_decode import fused_norm_gemv
+        from dgq_tpu.ops.fused_decode import fused_norm_gemv, fused_norm_gemv_rp
 
         qp = layer.qkv_proj
+        if _use_s4(ecfg, layer):
+            return fused_norm_gemv_rp(
+                x.reshape(b * s, d), layer.ln1_weight, layer.ln1_bias,
+                qp.qw_rp, qp.s_hi, qp.s_lo, qp.z_hi, qp.z_lo, qp.cs_fold,
+                qp.alpha, qp.bias,
+                span=2 * _lin_groupsize(layer.qkv_proj), eps=cfg.rms_norm_eps,
+                interpret=ecfg.interpret,
+            ).reshape(b, s, -1)
         return fused_norm_gemv(
             x.reshape(b * s, d), layer.ln1_weight, layer.ln1_bias,
             qp.qweight, qp.s_hi, qp.s_lo, qp.z_hi, qp.z_lo, qp.alpha, qp.bias,
@@ -607,17 +669,40 @@ def _block_tail(ecfg: EngineConfig, layer: EngineLayer, x: jax.Array,
                fp_scales=ecfg.fp_scales)
     tp = ecfg.tp_axis
     if fused:
-        from dgq_tpu.ops.fused_decode import fused_mlp_decode, fused_requant_gemv
+        from dgq_tpu.ops.fused_decode import (
+            fused_mlp_decode, fused_mlp_decode_rp, fused_requant_gemv,
+            fused_requant_gemv_rp,
+        )
 
+        s4 = _use_s4(ecfg, layer)
+        # row-parallel (K-sharded) linears under TP: cs_fold is the GLOBAL
+        # x-independent colsum*scale term — each rank's kernel adds it, so
+        # zero it on all ranks but 0 (exact: the fold commutes with the
+        # post-epilogue psum)
+        rank0 = (
+            jnp.int32(1) if tp is None
+            else (jax.lax.axis_index(tp) == 0).astype(jnp.int32)
+        )
         op = layer.o_proj
-        attn_out = fused_requant_gemv(
-            ctx.reshape(b * s, -1), layer.out_input_scale,  # llama_a8w4.py:158 clamps -127
-            op.qweight, op.s_hi, op.s_lo, op.z_hi, op.z_lo,
-            op.alpha, op.bias,
-            residual=None if tp is not None else x.reshape(b * s, d),
-            span=2 * _lin_groupsize(layer.o_proj), qmin=-127.0,
-            fuse_residual=tp is None, interpret=ecfg.interpret,
-        ).reshape(b, s, -1)
+        if s4:
+            attn_out = fused_requant_gemv_rp(
+                ctx.reshape(b * s, -1), layer.out_input_scale,
+                op.qw_rp, op.s_hi, op.s_lo, op.z_hi, op.z_lo,
+                op.cs_fold * rank0,
+                op.alpha, op.bias,
+                residual=None if tp is not None else x.reshape(b * s, d),
+                span=2 * _lin_groupsize(layer.o_proj), qmin=-127.0,
+                fuse_residual=tp is None, interpret=ecfg.interpret,
+            ).reshape(b, s, -1)
+        else:
+            attn_out = fused_requant_gemv(
+                ctx.reshape(b * s, -1), layer.out_input_scale,  # llama_a8w4.py:158 clamps -127
+                op.qweight, op.s_hi, op.s_lo, op.z_hi, op.z_lo,
+                op.alpha, op.bias,
+                residual=None if tp is not None else x.reshape(b * s, d),
+                span=2 * _lin_groupsize(layer.o_proj), qmin=-127.0,
+                fuse_residual=tp is None, interpret=ecfg.interpret,
+            ).reshape(b, s, -1)
         if tp is not None:
             x = x + jax.lax.psum(attn_out, tp).astype(x.dtype)
         else:
@@ -627,14 +712,26 @@ def _block_tail(ecfg: EngineConfig, layer: EngineLayer, x: jax.Array,
         span_m = 2 * _lin_groupsize(layer.gate_up_proj)
         fdim = 2 * layer.down_proj.qweight.shape[0]
         gu, dn = layer.gate_up_proj, layer.down_proj
-        mlp_out = fused_mlp_decode(
-            x.reshape(b * s, d), layer.ln2_weight, layer.ln2_bias,
-            gu.qweight, gu.s_hi, gu.s_lo, gu.z_hi, gu.z_lo, gu.alpha,
-            layer.down_input_scale,
-            dn.qweight, dn.wscales, dn.wzeros, dn.alpha, dn.bias,
-            span=span_m, bf=_mlp_bf(span_m, fdim), eps=cfg.rms_norm_eps,
-            fuse_residual=tp is None, interpret=ecfg.interpret,
-        ).reshape(b, s, -1)
+        if s4:
+            mlp_out = fused_mlp_decode_rp(
+                x.reshape(b * s, d), layer.ln2_weight, layer.ln2_bias,
+                gu.qw_rp, gu.s_hi, gu.s_lo, gu.z_hi, gu.z_lo, gu.cs_fold,
+                gu.alpha,
+                layer.down_input_scale,
+                dn.qw_rp, dn.wscales, dn.wzeros, dn.cs_fold * rank0,
+                dn.alpha, dn.bias,
+                span=span_m, bf=_mlp_bf(span_m, fdim), eps=cfg.rms_norm_eps,
+                fuse_residual=tp is None, interpret=ecfg.interpret,
+            ).reshape(b, s, -1)
+        else:
+            mlp_out = fused_mlp_decode(
+                x.reshape(b * s, d), layer.ln2_weight, layer.ln2_bias,
+                gu.qweight, gu.s_hi, gu.s_lo, gu.z_hi, gu.z_lo, gu.alpha,
+                layer.down_input_scale,
+                dn.qweight, dn.wscales, dn.wzeros, dn.alpha, dn.bias,
+                span=span_m, bf=_mlp_bf(span_m, fdim), eps=cfg.rms_norm_eps,
+                fuse_residual=tp is None, interpret=ecfg.interpret,
+            ).reshape(b, s, -1)
         if tp is not None:
             x = x + jax.lax.psum(mlp_out, tp).astype(x.dtype)
         else:

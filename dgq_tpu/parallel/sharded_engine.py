@@ -51,7 +51,7 @@ def _spec_for_path(path) -> P:
     names = [getattr(p, "name", getattr(p, "key", None)) for p in path]
     # 2D-per-layer linear buffers: packed weight + replicated scales +
     # compact plane scales (all (L, rows, N) stacked)
-    _2d = ("qweight", "wscales", "wzeros", "s_hi", "s_lo", "z_hi", "z_lo")
+    _2d = ("qweight", "qw_rp", "wscales", "wzeros", "s_hi", "s_lo", "z_hi", "z_lo")
     for i, nm in enumerate(names):
         if nm in _COL_LINEARS:
             field = names[i + 1]
@@ -129,6 +129,8 @@ def _permute_fused(lin: EngineLinear, sizes, tp: int) -> EngineLinear:
         s_lo=_p(lin.s_lo),
         z_hi=_p(lin.z_hi),
         z_lo=_p(lin.z_lo),
+        qw_rp=_p(lin.qw_rp),
+        cs_fold=_p(lin.cs_fold),
     )
 
 

@@ -444,6 +444,8 @@ def load_engine(path: str):
             s_lo=tensors.get(f"{prefix}/s_lo", ws[..., 8::16, :] if derive else None),
             z_hi=tensors.get(f"{prefix}/z_hi", wz[..., 0::16, :] if derive else None),
             z_lo=tensors.get(f"{prefix}/z_lo", wz[..., 8::16, :] if derive else None),
+            qw_rp=tensors.get(f"{prefix}/qw_rp"),
+            cs_fold=tensors.get(f"{prefix}/cs_fold"),
         )
 
     layers = EngineLayer(
@@ -468,4 +470,7 @@ def load_engine(path: str):
         lm_head=tensors["lm_head"],
         rms_eps=manifest["rms_eps"],
     )
-    return eng, cfg
+    # checkpoints predating the native-s4 decode buffers: derive them
+    from dgq_tpu.models.engine import add_rowpair
+
+    return add_rowpair(eng), cfg

@@ -154,10 +154,15 @@ def gate_fused_decode(results):
     import jax.numpy as jnp
     from dgq_tpu.ops.fused_decode import (
         fused_mlp_decode,
+        fused_mlp_decode_rp,
         fused_norm_gemv,
+        fused_norm_gemv_rp,
         fused_norm_gemv_s4,
         fused_requant_gemv,
+        fused_requant_gemv_rp,
         fused_requant_gemv_s4,
+        pack_rowpair_s4,
+        rowpair_cs_fold,
     )
 
     rng = np.random.default_rng(2)
@@ -202,9 +207,36 @@ def gate_fused_decode(results):
             x, nw, None, qg, shg, slg, zhg, zlg, ag, jnp.float32(3.0),
             qd, sd_rep, zd_rep, ad, span=span)),
     ]
+    # native-s4 rowpair variants: must be BIT-IDENTICAL to their int8-path
+    # siblings on silicon (the bitcast feed is the only difference)
+    qw_rp = pack_rowpair_s4(qw, span)
+    csf = rowpair_cs_fold(qw, span, sh, sl)
+    qg_rp = pack_rowpair_s4(qg, span)
+    csfg = rowpair_cs_fold(qg, span, shg, slg)
+    qd_rp = pack_rowpair_s4(qd, span)
+    csfd = rowpair_cs_fold(qd, span, jnp.asarray(np.asarray(sdf)[0::2]),
+                           jnp.asarray(np.asarray(sdf)[1::2]))
+    xr = jnp.asarray(rng.random((b, d)), jnp.float32)
+    cands += [
+        ("fused_decode.norm_gemv_rp", lambda: fused_norm_gemv_rp(
+            x, nw, None, qw_rp, sh, sl, zh, zl, csf, al2, span=span)),
+        ("fused_decode.requant_gemv_rp", lambda: fused_requant_gemv_rp(
+            xr, jnp.float32(3.0),
+            qw_rp, sh, sl, zh, zl, csf, al2, residual=x, span=span)),
+        ("fused_decode.mlp_rp", lambda: fused_mlp_decode_rp(
+            x, nw, None, qg_rp, shg, slg, zhg, zlg, csfg, ag,
+            jnp.float32(3.0), qd_rp, sd_rep, zd_rep, csfd, ad, span=span)),
+    ]
+    pairs = {"fused_decode.norm_gemv_rp": "fused_decode.norm_gemv",
+             "fused_decode.requant_gemv_rp": None,  # different x draw order
+             "fused_decode.mlp_rp": "fused_decode.mlp"}
+    outs = {}
     for name, fn in cands:
         try:
-            np.asarray(fn())
+            outs[name] = np.asarray(fn())
+            sib = pairs.get(name)
+            if sib and sib in outs:
+                np.testing.assert_array_equal(outs[name], outs[sib])
             _ok(name, results)
         except Exception as e:  # noqa: BLE001
             _fail(name, e, results)

@@ -92,6 +92,106 @@ def test_fused_norm_gemv_s4_matches_int8_path(setup):
     np.testing.assert_allclose(ge, we, rtol=1e-5, atol=1e-4)
 
 
+def test_pack_rowpair_s4_roundtrip():
+    """The rowpair-shifted byte layout decodes back to (codes - 8) with
+    row 2r = low nibble / 2r+1 = high nibble — the on-chip bitcast order
+    (scripts/probe_s4_bitcast_numerics.py)."""
+    from dgq_tpu.ops.fused_decode import pack_rowpair_s4
+    from dgq_tpu.quant.packing import pack_nibbles
+
+    r = np.random.default_rng(7)
+    codes = r.integers(0, 16, size=(512, 256)).astype(np.int8)
+    qw = pack_nibbles(jnp.asarray(codes), span=SPAN)
+    rp = np.asarray(pack_rowpair_s4(qw, SPAN)).astype(np.uint8)
+    lo = ((rp & 0xF).astype(np.int32) ^ 8) - 8
+    hi = ((rp >> 4).astype(np.int32) ^ 8) - 8
+    got = np.stack([lo, hi], axis=1).reshape(512, 256)
+    np.testing.assert_array_equal(got, codes.astype(np.int32) - 8)
+    # stacked (L, K//2, N) input
+    qw3 = jnp.stack([qw, qw])
+    rp3 = np.asarray(pack_rowpair_s4(qw3, SPAN))
+    assert rp3.shape == (2,) + rp.shape
+    np.testing.assert_array_equal(rp3[0].astype(np.uint8), rp)
+
+
+def test_fused_norm_gemv_rp_matches_golden(setup):
+    """The native-s4 rowpair variant is bit-identical to the golden (the
+    folded-colsum algebra is exact int32)."""
+    from dgq_tpu.ops.fused_decode import (
+        fused_norm_gemv_rp, pack_rowpair_s4, rowpair_cs_fold,
+    )
+
+    rng, D, N, x, lnw, lnb, beta = setup
+    qw, planes, _, al, w_s8 = _mk(D, N, 1)
+    qw_rp = pack_rowpair_s4(qw, SPAN)
+    csf = rowpair_cs_fold(qw, SPAN, planes[0], planes[1])
+    xq = _rmsq(x, lnw, lnb)
+    want = xq.astype(np.int32) @ w_s8.astype(np.int32) * al[None] + beta[None]
+    got = np.asarray(fused_norm_gemv_rp(
+        jnp.asarray(x), jnp.asarray(lnw), jnp.asarray(lnb),
+        qw_rp, *planes, csf, al, jnp.asarray(beta), bn=256, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+    # extreme activations: hi4/lo4 split exact at the int8 edges
+    xe = np.zeros_like(x)
+    xe[:, :8] = 127.0
+    xe[:, 8:16] = -128.0
+    xqe = _rmsq(xe, lnw, lnb)
+    we = xqe.astype(np.int32) @ w_s8.astype(np.int32) * al[None] + beta[None]
+    ge = np.asarray(fused_norm_gemv_rp(
+        jnp.asarray(xe), jnp.asarray(lnw), jnp.asarray(lnb),
+        qw_rp, *planes, csf, al, jnp.asarray(beta), bn=256, interpret=True))
+    np.testing.assert_allclose(ge, we, rtol=1e-5, atol=1e-4)
+
+
+def test_fused_requant_gemv_rp_matches_golden(setup):
+    from dgq_tpu.ops.fused_decode import (
+        fused_requant_gemv_rp, pack_rowpair_s4, rowpair_cs_fold,
+    )
+
+    rng, D, N, x, lnw, lnb, beta = setup
+    qw, planes, _, al, w_s8 = _mk(D, N, 1)
+    qw_rp = pack_rowpair_s4(qw, SPAN)
+    csf = rowpair_cs_fold(qw, SPAN, planes[0], planes[1])
+    scale = np.float32(0.07)
+    resid = rng.normal(size=(x.shape[0], N)).astype(np.float32)
+    xq = np.clip(np.round(x / scale), -127, 127).astype(np.int8)
+    want = xq.astype(np.int32) @ w_s8.astype(np.int32) * al[None] + beta[None] + resid
+    got = np.asarray(fused_requant_gemv_rp(
+        jnp.asarray(x), jnp.asarray(scale), qw_rp, *planes, csf, al,
+        jnp.asarray(beta), jnp.asarray(resid), bn=256, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+def test_fused_mlp_decode_rp_matches_golden(setup):
+    from dgq_tpu.ops.fused_decode import (
+        fused_mlp_decode_rp, pack_rowpair_s4, rowpair_cs_fold,
+    )
+
+    rng, D, N, x, lnw, lnb, beta = setup
+    F = 1024
+    qwg, planesg, _, alg, wg_s8 = _mk(D, 2 * F, 2)  # [gate | up]
+    qwd, planesd, repld, ald, wd_s8 = _mk(F, D, 3)
+    g_rp = pack_rowpair_s4(qwg, SPAN)
+    g_csf = rowpair_cs_fold(qwg, SPAN, planesg[0], planesg[1])
+    d_rp = pack_rowpair_s4(qwd, SPAN)
+    d_csf = rowpair_cs_fold(qwd, SPAN, planesd[0], planesd[1])
+    hscale = np.float32(0.05)
+    dbias = rng.normal(size=(D,)).astype(np.float32) * 0.1
+
+    xq = _rmsq(x, lnw, lnb)
+    gu = xq.astype(np.int32) @ wg_s8.astype(np.int32) * alg[None]
+    g, u = gu[:, :F], gu[:, F:]
+    h = (g * (1 / (1 + np.exp(-g)))) * u
+    h_s8 = np.clip(np.round(h / hscale), -128, 127).astype(np.int8)
+    want = h_s8.astype(np.int32) @ wd_s8.astype(np.int32) * ald[None] + dbias[None] + x
+    got = np.asarray(fused_mlp_decode_rp(
+        jnp.asarray(x), jnp.asarray(lnw), jnp.asarray(lnb),
+        g_rp, *planesg, g_csf, alg, jnp.asarray(hscale),
+        d_rp, *repld, d_csf, ald, jnp.asarray(dbias),
+        bf=512, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-3)
+
+
 def test_fused_requant_gemv_golden(setup):
     rng, D, N, x, lnw, lnb, beta = setup
     qw, planes, _, al, w_s8 = _mk(D, N, 1)
