@@ -55,6 +55,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--kvquant", action="store_true")
     p.add_argument("--meanact", action="store_true")
     p.add_argument("--w4w8", action="store_true", help="dual grained quantization")
+    p.add_argument("--w4w8_fallback_ratio", type=float, default=None,
+                   help="per-layer fallback to plain fp-group-scale quant when "
+                        "the dual-grained layer-output MSE exceeds this factor "
+                        "of the plain MSE (BASELINE config 3)")
     p.add_argument("--eval", action="store_true")
     p.add_argument("--mmlu_eval", type=str, default="no",
                    help="path to mmlu jsonl, 'sample' for the vendored "
@@ -99,6 +103,7 @@ def generate_qconfig(args):
             method=args.wt_fun,
             groupsize=args.groupsize,
             w4w8=args.w4w8,
+            w4w8_fallback_ratio=getattr(args, "w4w8_fallback_ratio", None),
             percdamp=args.percdamp,
             act_order=getattr(args, "act_order", False),
         )

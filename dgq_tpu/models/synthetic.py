@@ -62,10 +62,12 @@ def build_llama_engine(cfg: LlamaConfig, seed: int = 0) -> EngineParams:
         )
         ki += 7
     stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per_layer)
-    return EngineParams(
+    from dgq_tpu.models.engine import add_rowpair
+
+    return add_rowpair(EngineParams(
         embed_tokens=jax.random.normal(keys[-2], (cfg.vocab_size, d), jnp.bfloat16) * 0.02,
         layers=stacked,
         norm_weight=jnp.ones((d,), jnp.float32),
         lm_head=jax.random.normal(keys[-1], (cfg.vocab_size, d), jnp.bfloat16) * 0.02,
         rms_eps=cfg.rms_norm_eps,
-    )
+    ))

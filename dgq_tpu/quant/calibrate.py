@@ -145,26 +145,29 @@ def _quantize_linear(lin, inp1, hessian, qcfg: QuantConfig, amax):
     act_method = qcfg.act_quant.method if qcfg.act_quant else None
 
     if wq.method == "search":
+        if wq.w4w8 and wq.w4w8_fallback_ratio is not None:
+            # w4w8 fallback (BASELINE config 3): compare layer-output error
+            # of the dual-grained result vs plain fp-group-scale
+            # quantization; fall back when the int8-scale constraint costs
+            # more than the allowed factor.  ONE search — stage 1 is shared
+            # and both errors come out of the same call (VERDICT r3 #8).
+            res, res_plain, err_w4w8, err_plain = search_quantize(
+                w, inp1, bits=wq.bits, groupsize=groupsize, w4w8=True,
+                with_fallback=True,
+            )
+            if float(err_w4w8) > wq.w4w8_fallback_ratio * max(float(err_plain), 1e-30):
+                return pack_linear(
+                    res_plain.qweight_fp,
+                    res_plain.scale.reshape(-1), res_plain.zero.reshape(-1),
+                    groupsize, bias=bias, amax=amax, act_method=act_method,
+                    bits=wq.bits,
+                )
+            return pack_linear_w4w8(
+                res.qweight_fp, res.scale, res.zero, res.scale8, groupsize,
+                bias=bias, amax=amax, act_method=act_method,
+            )
         res = search_quantize(w, inp1, bits=wq.bits, groupsize=groupsize, w4w8=wq.w4w8)
         if wq.w4w8:
-            if wq.w4w8_fallback_ratio is not None:
-                # w4w8 fallback (BASELINE config 3): compare layer-output
-                # error of the dual-grained result vs plain fp-group-scale
-                # quantization; fall back when the int8-scale constraint
-                # costs more than the allowed factor.
-                res_plain = search_quantize(
-                    w, inp1, bits=wq.bits, groupsize=groupsize, w4w8=False
-                )
-                ref_out = inp1 @ w.T
-                err_w4w8 = float(jnp.mean((inp1 @ res.qweight_fp.T - ref_out) ** 2))
-                err_plain = float(jnp.mean((inp1 @ res_plain.qweight_fp.T - ref_out) ** 2))
-                if err_w4w8 > wq.w4w8_fallback_ratio * max(err_plain, 1e-30):
-                    return pack_linear(
-                        res_plain.qweight_fp,
-                        res_plain.scale.reshape(-1), res_plain.zero.reshape(-1),
-                        groupsize, bias=bias, amax=amax, act_method=act_method,
-                        bits=wq.bits,
-                    )
             return pack_linear_w4w8(
                 res.qweight_fp, res.scale, res.zero, res.scale8, groupsize,
                 bias=bias, amax=amax, act_method=act_method,

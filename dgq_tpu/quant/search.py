@@ -112,7 +112,8 @@ def _w4w8_requant(W, scale1, zero1, s8, groupsize):
     return W_q, qs
 
 
-@partial(jax.jit, static_argnames=("bits", "groupsize", "w4w8", "grid1", "grid2"))
+@partial(jax.jit, static_argnames=("bits", "groupsize", "w4w8", "grid1",
+                                   "grid2", "with_fallback"))
 def search_quantize(
     W: jax.Array,
     inp1: jax.Array,
@@ -122,9 +123,17 @@ def search_quantize(
     w4w8: bool = True,
     grid1: int = 20,
     grid2: int = 80,
-) -> SearchResult:
+    with_fallback: bool = False,
+):
     """Full DGQ search on a weight W (N=out, K=in) with calibration
-    activations inp1 (T, K).  reference: quantizer_helper.py:116-200."""
+    activations inp1 (T, K).  reference: quantizer_helper.py:116-200.
+
+    ``with_fallback=True`` (w4w8 only) additionally returns the PLAIN
+    fp-group-scale result and both layer-output MSEs from the SAME search —
+    stage 1 is shared between the two representations, so the w4w8-fallback
+    decision (BASELINE config 3) costs two extra matmuls instead of a
+    second full grid search.  Returns
+    ``(res_w4w8, res_plain, err_w4w8, err_plain)``."""
     maxq = 2**bits - 1
     W = W.astype(jnp.float32)
     inp1 = inp1.astype(jnp.float32)
@@ -147,11 +156,15 @@ def search_quantize(
     scale1 = _bf16_round(scales_gn.T)  # (N, G), bf16-rounded like the reference buffers
     zero1 = _bf16_round(zeros_gn.T)
 
-    if not w4w8:
+    def _plain() -> SearchResult:
         wg = W.reshape(-1, groupsize)
         q = jnp.clip(jnp.round(wg / scale1.reshape(-1, 1)) + zero1.reshape(-1, 1), 0, maxq)
         qweight_fp = (scale1.reshape(-1, 1) * (q - zero1.reshape(-1, 1))).reshape(n, k)
         return SearchResult(scale1, zero1, jnp.zeros((n,), jnp.float32), qweight_fp)
+
+    if not w4w8:
+        assert not with_fallback, "with_fallback requires w4w8=True"
+        return _plain()
 
     # ---- stage 2: per-row int8 rescale grid ----
     org_out = inp1 @ W.T  # (T, N)
@@ -176,7 +189,13 @@ def search_quantize(
     # (reference stores scales8 as bf16 in packW4W8; quant_linear.py:139).
     scale8 = _bf16_round(scale8)
     qweight_fp, qs = _w4w8_requant(W, scale1, zero1, scale8, groupsize)
-    return SearchResult(qs, zero1, scale8, qweight_fp)
+    res = SearchResult(qs, zero1, scale8, qweight_fp)
+    if not with_fallback:
+        return res
+    plain = _plain()
+    err_w4w8 = jnp.mean(jnp.square(inp1 @ qweight_fp.T - org_out))
+    err_plain = jnp.mean(jnp.square(inp1 @ plain.qweight_fp.T - org_out))
+    return res, plain, err_w4w8, err_plain
 
 
 @partial(jax.jit, static_argnames=("bits", "groupsize"))

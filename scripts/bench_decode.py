@@ -38,6 +38,8 @@ def main():
     p.add_argument("--no-kernel", action="store_true")
     p.add_argument("--no-fused-decode", action="store_true",
                    help="disable the fused decode kernels (A/B baseline)")
+    p.add_argument("--no-int4-mxu", action="store_true",
+                   help="disable the native-s4 decode GEMVs (A/B baseline)")
     p.add_argument("--bm-decode", type=int, default=128)
     p.add_argument("--fused-loop", action="store_true",
                    help="run all decode steps in one on-device lax.scan")
@@ -48,7 +50,8 @@ def main():
     cfg = LlamaConfig(num_hidden_layers=args.layers)
     on_tpu = jax.default_backend() not in ("cpu",)
     ecfg = EngineConfig(cfg=cfg, use_kernel=on_tpu and not args.no_kernel, bm_decode=args.bm_decode,
-                        fused_decode=not args.no_fused_decode)
+                        fused_decode=not args.no_fused_decode,
+                        int4_mxu=not args.no_int4_mxu)
 
     print(f"building 7B-shaped engine ({args.layers} layers)...", flush=True)
     eng = build_7b_engine(cfg)
