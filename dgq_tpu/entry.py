@@ -34,7 +34,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("model", type=str, help="HF model dir, or tiny[:arch] fixture")
     p.add_argument(
         "dataset", type=str,
-        choices=["wikitext2", "ptb", "c4", "synthetic"],
+        choices=["wikitext2", "ptb", "c4", "ptb_new", "c4_new", "synthetic"],
         help="calibration dataset",
     )
     p.add_argument("--nsamples", type=int, default=18)
@@ -330,7 +330,15 @@ def main(argv=None):
             ps, kv = ps_and_kv
             return apply_fn(ps, batch, qs, kv)
 
-        datasets = ["wikitext2", "ptb", "c4"] if args.dataset != "synthetic" else ["synthetic"]
+        # reference evals wikitext2/ptb/c4 (entry.py:110-116); a _new
+        # calibration dataset opts the eval loop into the GPTQ-literature
+        # "new" split conventions for comparability with papers on them
+        if args.dataset == "synthetic":
+            datasets = ["synthetic"]
+        elif args.dataset.endswith("_new"):
+            datasets = ["wikitext2", "ptb_new", "c4_new"]
+        else:
+            datasets = ["wikitext2", "ptb", "c4"]
         for ds in datasets:
             try:
                 stream = get_eval_stream(

@@ -37,18 +37,23 @@ def synthetic_stream(vocab_size: int, n_tokens: int, seed: int = 0) -> np.ndarra
 
 
 def _load_text_dataset(name: str, split: str, data_path: Optional[str]):
-    """Returns a list of text rows. Raises on failure (no network)."""
+    """Returns a list of text rows. Raises on failure (no network).
+
+    ``ptb_new``/``c4_new`` (the GPTQ-literature "new" eval split
+    convention, reference: datautils.py:129-193) load the same corpora as
+    their plain siblings — only the split/joining/windowing differ (see
+    get_eval_stream)."""
     from datasets import load_dataset, load_from_disk
 
+    base = {"ptb_new": "ptb", "c4_new": "c4"}.get(name, name)
     if data_path is not None:
-        ds = load_from_disk(os.path.join(data_path, f"{name}-{split}"))
+        ds = load_from_disk(os.path.join(data_path, f"{base}-{split}"))
         return ds
-    if name == "wikitext2":
+    if base == "wikitext2":
         return load_dataset("wikitext", "wikitext-2-raw-v1", split=split)
-    if name == "ptb":
+    if base == "ptb":
         return load_dataset("ptb_text_only", "penn_treebank", split=split)
-    if name == "c4":
-        sub = "en"
+    if base == "c4":
         files = {"train": "en/c4-train.00000-of-01024.json.gz",
                  "validation": "en/c4-validation.00000-of-00008.json.gz"}
         return load_dataset("allenai/c4", data_files={split: files[split]}, split=split)
@@ -56,12 +61,33 @@ def _load_text_dataset(name: str, split: str, data_path: Optional[str]):
 
 
 def _join_text(ds, name: str) -> str:
-    key = "sentence" if name == "ptb" else "text"
-    if name == "wikitext2":
-        return "\n\n".join(r[key] for r in ds)
-    if name == "ptb":
+    """Reference joining conventions: wikitext2/c4 "\\n\\n"; ptb "\\n\\n"
+    over sentences (datautils.py:63); ptb_new " " (datautils.py:139)."""
+    key = "sentence" if name in ("ptb", "ptb_new") else "text"
+    if name == "ptb_new":
         return " ".join(r[key] for r in ds)
     return "\n\n".join(r[key] for r in ds)
+
+
+def _c4_row_windows(ds, tok, n: int, seqlen: int, seed: int) -> np.ndarray:
+    """n random seqlen-token windows, one per (long-enough) random row —
+    the reference's per-row C4 sampling incl. its python-``random`` call
+    order (datautils.py:90-101 calib, 108-117 eval), so the windows are
+    the ones published numbers were computed on."""
+    import random as _random
+
+    rng = _random.Random()
+    rng.seed(seed)
+    out = []
+    for _ in range(n):
+        while True:
+            i = rng.randint(0, len(ds) - 1)
+            ids = tok(ds[i]["text"], return_tensors="np").input_ids[0]
+            if ids.shape[0] > seqlen:
+                break
+        i = rng.randint(0, ids.shape[0] - seqlen - 1)
+        out.append(ids[i : i + seqlen].astype(np.int32))
+    return np.stack(out)
 
 
 def get_calib_samples(
@@ -81,6 +107,11 @@ def get_calib_samples(
     """
     if name == "synthetic":
         stream = synthetic_stream(vocab_size, max(nsamples * seqlen * 2, seqlen + 1), seed)
+    elif name in ("c4", "c4_new"):
+        # reference samples C4 calibration windows per ROW, not from the
+        # joined corpus (datautils.py:90-101 — identical for _new)
+        ds = _load_text_dataset(name, "train", data_path)
+        return _c4_row_windows(ds, _tokenizer(model_path), nsamples, seqlen, seed)
     else:
         ds = _load_text_dataset(name, "train", data_path)
         text = _join_text(ds, name)
@@ -104,12 +135,31 @@ def get_eval_stream(
     data_path: Optional[str] = None,
     seed: int = 1234,
 ) -> np.ndarray:
-    """Flat token stream of the test split for perplexity eval."""
+    """Flat token stream of the eval split for perplexity eval.
+
+    Split/windowing conventions match the reference exactly, so ppl is
+    comparable to published numbers on either convention:
+      * wikitext2: test split, "\\n\\n" join (datautils.py:32)
+      * ptb:       VALIDATION split, "\\n\\n" join (datautils.py:56,64)
+      * ptb_new:   test split, " " join (datautils.py:132,140)
+      * c4:        256 random seqlen windows of validation rows, seed 0,
+                   concatenated (datautils.py:107-117)
+      * c4_new:    first 1100 validation rows " "-joined, truncated to
+                   256*seqlen tokens (datautils.py:183-184)
+    """
     if name == "synthetic":
         return synthetic_stream(vocab_size, n_tokens, seed)
-    split = "validation" if name == "c4" else "test"
-    ds = _load_text_dataset(name, split, data_path)
     tok = _tokenizer(model_path)
+    if name == "c4":
+        ds = _load_text_dataset(name, "validation", data_path)
+        return _c4_row_windows(ds, tok, 256, seqlen, seed=0).reshape(-1)
+    if name == "c4_new":
+        ds = _load_text_dataset(name, "validation", data_path)
+        rows = [ds[i]["text"] for i in range(min(1100, len(ds)))]
+        ids = tok(" ".join(rows), return_tensors="np").input_ids[0]
+        return np.asarray(ids[: 256 * seqlen], dtype=np.int32)
+    split = "validation" if name == "ptb" else "test"
+    ds = _load_text_dataset(name, split, data_path)
     text = _join_text(ds, name)
     return np.asarray(tok(text, return_tensors="np").input_ids[0], dtype=np.int32)
 

@@ -60,3 +60,62 @@ def test_roofline_model_7b():
     assert 0.003 < r.bandwidth_bound_s < 0.01
     a = r.achieved(0.0164)
     assert 0.2 < a["fraction_of_roofline"] < 0.5
+
+
+def _fake_tok():
+    """Char-code tokenizer standing in for the HF tokenizer offline."""
+
+    class R:
+        def __init__(self, ids):
+            self.input_ids = np.asarray([ids], dtype=np.int32)
+
+    class FakeTok:
+        def __call__(self, text, return_tensors="np"):
+            return R([ord(c) % 251 for c in text])
+
+    return FakeTok()
+
+
+def _fake_corpora(tmp_path):
+    """Tiny on-disk datasets in the data_path layout ({base}-{split})."""
+    from datasets import Dataset
+
+    for split, mark in (("train", "t"), ("validation", "v"), ("test", "x")):
+        Dataset.from_dict(
+            {"sentence": [f"ptb {mark} sentence {i} word word" for i in range(8)]}
+        ).save_to_disk(str(tmp_path / f"ptb-{split}"))
+        Dataset.from_dict(
+            {"text": [f"c4 {mark} row {i} " + "tok " * 40 for i in range(12)]}
+        ).save_to_disk(str(tmp_path / f"c4-{split}"))
+    return str(tmp_path)
+
+
+def test_new_eval_split_conventions(tmp_path):
+    """ptb/ptb_new/c4/c4_new follow the reference's split + joining +
+    windowing conventions (reference: datautils.py:54-76, 107-117,
+    129-193) — offline via data_path fixtures and a fake tokenizer."""
+    from unittest import mock
+
+    from dgq_tpu.utils import datautils
+
+    dp = _fake_corpora(tmp_path)
+    with mock.patch.object(datautils, "_tokenizer", lambda _m: _fake_tok()):
+        # ptb: VALIDATION split, "\n\n" join; ptb_new: test split, " " join
+        ptb = datautils.get_eval_stream("ptb", seqlen=8, data_path=dp)
+        ptb_new = datautils.get_eval_stream("ptb_new", seqlen=8, data_path=dp)
+        assert not np.array_equal(ptb, ptb_new)
+        assert ord("\n") % 251 in ptb.tolist()      # "\n\n" joined
+        assert ord("\n") % 251 not in ptb_new.tolist()  # " " joined
+        assert ord("v") % 251 in ptb.tolist() and ord("x") % 251 in ptb_new.tolist()
+        # c4: 256 random validation-row windows of seqlen tokens (seed 0)
+        c4 = datautils.get_eval_stream("c4", seqlen=8, data_path=dp)
+        assert c4.shape == (256 * 8,)
+        c4b = datautils.get_eval_stream("c4", seqlen=8, data_path=dp)
+        np.testing.assert_array_equal(c4, c4b)  # seed pinned at 0
+        # c4_new: first rows " "-joined, truncated to 256*seqlen
+        c4n = datautils.get_eval_stream("c4_new", seqlen=8, data_path=dp)
+        assert c4n.ndim == 1 and len(c4n) <= 256 * 8
+        # calib: c4-family samples per ROW; all names dispatch
+        for nm in ("ptb", "ptb_new", "c4", "c4_new"):
+            calib = datautils.get_calib_samples(nm, 3, seqlen=8, data_path=dp)
+            assert calib.shape == (3, 8), nm
