@@ -110,7 +110,22 @@ def worker_round():
         # most window-stable fused variant in round-3 same-window matrices
         "pipe": [min(2048, m), 256 if on_tpu else 128,
                  1024 if on_tpu else 256],
+        # rp_pipe: same pipeline on the native-s4 rowpair layout — the VPU
+        # work overlapping the MXU shrinks to bitcast+sub+mul (round 4)
+        "rp_pipe": [min(2048, m), 256 if on_tpu else 128,
+                    1024 if on_tpu else 256],
     }
+    from dgq_tpu.ops.fused_decode import pack_rowpair_s4
+    from dgq_tpu.ops.quant_matmul import w4a8_matmul_rp_pipe
+
+    qw_rp = pack_rowpair_s4(qw, 2 * g)
+
+    def rp_pipe(x_, _qw, ws_, wz_, al_):
+        return w4a8_matmul_rp_pipe(
+            x_, qw_rp, ws_, wz_, al_, groupsize=g, bm=min(2048, m),
+            bn=256 if on_tpu else 128, bk=1024 if on_tpu else 256,
+            interpret=not on_tpu)
+
     variants = [
         ("wres", functools.partial(w4a8_matmul_wres, bm=min(512, m),
                                    bn=min(512, n), interpret=not on_tpu)),
@@ -120,6 +135,7 @@ def worker_round():
         ("pipe", functools.partial(
             w4a8_matmul_pipe, bm=min(2048, m), bn=256 if on_tpu else 128,
             bk=1024 if on_tpu else 256, interpret=not on_tpu)),
+        ("rp_pipe", rp_pipe),
     ]
 
     def xla_s8(x_, w_):

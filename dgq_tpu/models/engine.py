@@ -412,14 +412,44 @@ def _rms_norm_q(x: jax.Array, weight_q: jax.Array, eps: float, bias_q=None) -> j
 
 
 def _linear_s8(lin: EngineLinear, x_s8: jax.Array, *, use_kernel: bool, groupsize: int | None = None,
-               bm: int = 256, interpret: bool = False, fp_scales: bool = False) -> jax.Array:
+               bm: int = 256, interpret: bool = False, fp_scales: bool = False,
+               int4_mxu: bool = False) -> jax.Array:
     """int8 activations -> fp32 output via the fused dequant GEMM."""
+    qw_any = lin.qweight if lin.qweight is not None else lin.qw_rp
     if groupsize is None:
         # infer from the packed layout: K = 2 * packed rows, scales arrive
         # 8x-replicated so G = rows/8; groupsize = K / G
-        groupsize = (2 * lin.qweight.shape[0] * 8) // lin.wscales.shape[0]
+        groupsize = (2 * qw_any.shape[0] * 8) // lin.wscales.shape[0]
     m = x_s8.shape[0] * x_s8.shape[1] if x_s8.ndim == 3 else x_s8.shape[0]
     x2 = x_s8.reshape(-1, x_s8.shape[-1])
+    # native-s4 (rowpair) GEMM: selected by config, or forced when the span
+    # layout was dropped at conversion (rp-only storage)
+    use_rp = (lin.qw_rp is not None and not fp_scales
+              and (int4_mxu or lin.qweight is None))
+    if use_rp:
+        from dgq_tpu.ops.autotune import get_blocks
+        from dgq_tpu.ops.quant_matmul import (
+            w4a8_matmul_rp_pipe, w4a8_matmul_rp_xla,
+        )
+
+        n_out = lin.alpha.shape[-1]
+        if use_kernel:
+            bm_sel, bn, bk = get_blocks(
+                m, n_out, x2.shape[-1], groupsize=groupsize, bm_hint=bm
+            )
+            if bk == -1:  # WRES sentinel has no rp twin; pipe at fat bk
+                bk = min(x2.shape[-1], 1024)
+            y = w4a8_matmul_rp_pipe(
+                x2, lin.qw_rp, lin.wscales, lin.wzeros, lin.alpha, lin.bias,
+                groupsize=groupsize, bm=bm_sel, bn=bn, bk=bk,
+                interpret=interpret, scales_replicated=True,
+            )
+        else:
+            y = w4a8_matmul_rp_xla(
+                x2, lin.qw_rp, lin.wscales[::8], lin.wzeros[::8], lin.alpha,
+                lin.bias, groupsize=groupsize,
+            )
+        return y.reshape(*x_s8.shape[:-1], -1)  # bias fused in epilogue
     if use_kernel:
         from dgq_tpu.ops.quant_matmul import w4a8_matmul_packed
 
@@ -654,7 +684,8 @@ def _qkv_rows(ecfg: EngineConfig, layer: EngineLayer, x: jax.Array,
         ).reshape(b, s, -1)
     x_s8 = _rms_norm_q(x, layer.ln1_weight, cfg.rms_norm_eps, layer.ln1_bias)
     return _linear_s8(layer.qkv_proj, x_s8, use_kernel=ecfg.use_kernel, bm=bm,
-                      interpret=ecfg.interpret, fp_scales=ecfg.fp_scales)
+                      interpret=ecfg.interpret, fp_scales=ecfg.fp_scales,
+                      int4_mxu=ecfg.int4_mxu)
 
 
 def _block_tail(ecfg: EngineConfig, layer: EngineLayer, x: jax.Array,
@@ -666,7 +697,7 @@ def _block_tail(ecfg: EngineConfig, layer: EngineLayer, x: jax.Array,
     cfg = ecfg.cfg
     b, s, d = x.shape
     kwl = dict(use_kernel=ecfg.use_kernel, bm=bm, interpret=ecfg.interpret,
-               fp_scales=ecfg.fp_scales)
+               fp_scales=ecfg.fp_scales, int4_mxu=ecfg.int4_mxu)
     tp = ecfg.tp_axis
     if fused:
         from dgq_tpu.ops.fused_decode import (
@@ -675,20 +706,15 @@ def _block_tail(ecfg: EngineConfig, layer: EngineLayer, x: jax.Array,
         )
 
         s4 = _use_s4(ecfg, layer)
-        # row-parallel (K-sharded) linears under TP: cs_fold is the GLOBAL
-        # x-independent colsum*scale term — each rank's kernel adds it, so
-        # zero it on all ranks but 0 (exact: the fold commutes with the
-        # post-epilogue psum)
-        rank0 = (
-            jnp.int32(1) if tp is None
-            else (jax.lax.axis_index(tp) == 0).astype(jnp.int32)
-        )
+        # row-parallel (K-sharded) linears under TP carry per-rank LOCAL
+        # cs_fold rows (parallel/sharded_engine._localize_row_cs_fold), so
+        # the rp int32 partials stay bitwise equal to the plane path's
         op = layer.o_proj
         if s4:
             attn_out = fused_requant_gemv_rp(
                 ctx.reshape(b * s, -1), layer.out_input_scale,
                 op.qw_rp, op.s_hi, op.s_lo, op.z_hi, op.z_lo,
-                op.cs_fold * rank0,
+                op.cs_fold,
                 op.alpha, op.bias,
                 residual=None if tp is not None else x.reshape(b * s, d),
                 span=2 * _lin_groupsize(layer.o_proj), qmin=-127.0,
@@ -718,7 +744,7 @@ def _block_tail(ecfg: EngineConfig, layer: EngineLayer, x: jax.Array,
                 gu.qw_rp, gu.s_hi, gu.s_lo, gu.z_hi, gu.z_lo, gu.cs_fold,
                 gu.alpha,
                 layer.down_input_scale,
-                dn.qw_rp, dn.wscales, dn.wzeros, dn.cs_fold * rank0,
+                dn.qw_rp, dn.wscales, dn.wzeros, dn.cs_fold,
                 dn.alpha, dn.bias,
                 span=span_m, bf=_mlp_bf(span_m, fdim), eps=cfg.rms_norm_eps,
                 fuse_residual=tp is None, interpret=ecfg.interpret,

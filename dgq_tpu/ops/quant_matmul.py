@@ -505,6 +505,223 @@ def w4a8_matmul_pipe(
     return out
 
 
+def _rp_deq(qw_ref, scales_ref, zeros_ref, tgt_ref, n_groups: int, gs: int,
+            interpret: bool):
+    """Dequantize a rowpair-shifted packed block into int8 in VMEM.
+
+    The bitcast yields the (gs, bn) s4 code view directly (zero shift/mask
+    work — the span layout's unpack chain is gone); dequant is one
+    subtract + multiply per element in the integer domain:
+    (c4 - (z - 8)) * s == (c - z) * s exactly."""
+    from dgq_tpu.ops.fused_decode import _bitcast_rows_s4
+
+    hb = gs // 2
+    s_all = scales_ref[:].astype(jnp.int32)
+    z_all = zeros_ref[:].astype(jnp.int32)
+    for g in range(n_groups):
+        w4 = _bitcast_rows_s4(qw_ref[g * hb : (g + 1) * hb, :], interpret)
+        r = 8 * g  # scales replicated 8x per group
+        z4 = z_all[r : r + 1, :] - 8
+        tgt_ref[g * gs : (g + 1) * gs, :] = (
+            (w4.astype(jnp.int32) - z4) * s_all[r : r + 1, :]
+        ).astype(jnp.int8)
+
+
+def _rp_pipe_kernel(
+    x_ref,  # (bm, bk) int8 — block k-1 (one step behind the weight stream)
+    qw_ref,  # (bk//2, bn) int8 rowpair-shifted — block k
+    scales_ref,  # (8*n_groups, bn) int8 replicated — block k
+    zeros_ref,
+    alpha_ref,  # (1, bn) f32
+    beta_ref,
+    out_ref,  # (bm, bn)
+    acc_ref,  # (bm, bn) int32 scratch
+    ws_a,  # (bk, bn) int8 scratch — dequantized weights, even blocks
+    ws_b,
+    *,
+    nk: int,
+    n_groups: int,
+    gs: int,
+    out_dtype,
+    interpret: bool,
+):
+    """_pipe_kernel on the ROWPAIR-SHIFTED layout (pack_rowpair_s4): the
+    software pipeline is identical, but the VPU dequant that overlaps the
+    MXU dot shrinks from unpack(shift/mask)+dequant to bitcast+dequant."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    def dot_from(src_ref):
+        acc_ref[:] += jax.lax.dot_general(
+            x_ref[:], src_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+
+    @pl.when((k >= 1) & ((k - 1) % 2 == 0))
+    def _():
+        dot_from(ws_a)
+
+    @pl.when((k >= 1) & ((k - 1) % 2 == 1))
+    def _():
+        dot_from(ws_b)
+
+    @pl.when((k < nk) & (k % 2 == 0))
+    def _():
+        _rp_deq(qw_ref, scales_ref, zeros_ref, ws_a, n_groups, gs, interpret)
+
+    @pl.when((k < nk) & (k % 2 == 1))
+    def _():
+        _rp_deq(qw_ref, scales_ref, zeros_ref, ws_b, n_groups, gs, interpret)
+
+    @pl.when(k == nk)
+    def _():
+        y = acc_ref[:].astype(jnp.float32) * alpha_ref[:].astype(jnp.float32)
+        y = y + beta_ref[:].astype(jnp.float32)
+        if out_dtype == jnp.int8:
+            out_ref[:] = jnp.clip(jnp.round(y), -128, 127).astype(jnp.int8)
+        else:
+            out_ref[:] = y.astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("groupsize", "bm", "bn", "bk", "out_dtype",
+                     "interpret", "scales_replicated", "vmem_limit"),
+)
+def w4a8_matmul_rp_pipe(
+    x_s8: jax.Array,  # (M, K) int8
+    qw_rp: jax.Array,  # (K//2, N) int8, ROWPAIR-SHIFTED layout
+    wscales: jax.Array,  # (G, N) int8
+    wzeros: jax.Array,
+    alpha: jax.Array,  # (N,) f32
+    beta: Optional[jax.Array] = None,
+    *,
+    groupsize: int = 128,
+    bm: int = 2048,
+    bn: int = 256,
+    bk: Optional[int] = None,
+    out_dtype=jnp.float32,
+    interpret: bool = False,
+    scales_replicated: bool = False,
+    vmem_limit: Optional[int] = None,
+) -> jax.Array:
+    """Pipelined fused W4A8 dequant-GEMM on the rowpair-shifted layout
+    (native-s4 storage; see ops/fused_decode.pack_rowpair_s4).  Bit-
+    identical to w4a8_matmul_pipe on the same quantized layer; the weight
+    bytes bitcast to the s4 code matrix in VMEM with zero unpack work."""
+    m, k = x_s8.shape
+    k2, n = qw_rp.shape
+    assert 2 * k2 == k and k % groupsize == 0
+    bk = bk or 2 * groupsize
+    assert bk % groupsize == 0 and k % bk == 0, (k, bk, groupsize)
+    n_groups = bk // groupsize
+    nk = k // bk
+    if n % bn != 0:
+        bn = n if n < bn else 128
+    assert n % bn == 0, (n, bn)
+
+    m_pad = _cdiv(m, bm) * bm
+    if m_pad != m:
+        x_s8 = jnp.pad(x_s8, ((0, m_pad - m), (0, 0)))
+    if scales_replicated:
+        scales_x, zeros_x = wscales, wzeros
+    else:
+        scales_x = jnp.repeat(wscales, 8, axis=0)
+        zeros_x = jnp.repeat(wzeros, 8, axis=0)
+    if beta is None:
+        beta = jnp.zeros((n,), jnp.float32)
+
+    last = nk - 1
+    grid = (m_pad // bm, n // bn, nk + 1)
+    out = pl.pallas_call(
+        functools.partial(
+            _rp_pipe_kernel, nk=nk, n_groups=n_groups, gs=groupsize,
+            out_dtype=out_dtype, interpret=interpret,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk),
+                         lambda i, j, kk: (i, jnp.maximum(kk - 1, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // 2, bn),
+                         lambda i, j, kk: (jnp.minimum(kk, last), j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * n_groups, bn),
+                         lambda i, j, kk: (jnp.minimum(kk, last), j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8 * n_groups, bn),
+                         lambda i, j, kk: (jnp.minimum(kk, last), j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bm, bn), jnp.int32),
+            pltpu.VMEM((bk, bn), jnp.int8),
+            pltpu.VMEM((bk, bn), jnp.int8),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            **({"vmem_limit_bytes": vmem_limit} if vmem_limit else {}),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m_pad * n * k,
+            bytes_accessed=m_pad * k + k2 * n + m_pad * n * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x_s8, qw_rp, scales_x, zeros_x, alpha.reshape(1, n), beta.reshape(1, n))
+    if m_pad != m:
+        out = out[:m]
+    return out
+
+
+def unpack_rowpair_s4(qw_rp: jax.Array) -> jax.Array:
+    """(K//2, N) rowpair-shifted bytes -> (K, N) int8 SHIFTED codes
+    (c - 8) in [-8, 7] — the XLA-fallback unpack of pack_rowpair_s4."""
+    u = jax.lax.bitcast_convert_type(qw_rp, jnp.uint8).astype(jnp.int32)
+    lo = ((u & 0xF) ^ 8) - 8
+    hi = ((u >> 4) ^ 8) - 8
+    k2, n = qw_rp.shape
+    return jnp.stack([lo, hi], axis=1).reshape(2 * k2, n).astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("groupsize", "out_dtype"))
+def w4a8_matmul_rp_xla(
+    x_s8: jax.Array,
+    qw_rp: jax.Array,
+    wscales: jax.Array,  # (G, N) int8 compact
+    wzeros: jax.Array,
+    alpha: jax.Array,
+    beta: Optional[jax.Array] = None,
+    *,
+    groupsize: int = 128,
+    out_dtype=jnp.float32,
+) -> jax.Array:
+    """Kernel-free rowpair GEMM (CPU / odd-shape fallback): dequant fusion
+    + XLA s8 GEMM, numerics identical to w4a8_matmul_rp_pipe."""
+    k2, n = qw_rp.shape
+    k = 2 * k2
+    c4 = unpack_rowpair_s4(qw_rp).astype(jnp.int32)
+    z4 = jnp.repeat(wzeros.astype(jnp.int32) - 8, groupsize, axis=0)
+    s = jnp.repeat(wscales.astype(jnp.int32), groupsize, axis=0)
+    w_s8 = ((c4 - z4) * s).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        x_s8, w_s8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    y = acc.astype(jnp.float32) * alpha.reshape(1, n)
+    if beta is not None:
+        y = y + beta.reshape(1, n)
+    if out_dtype == jnp.int8:
+        return jnp.clip(jnp.round(y), -128, 127).astype(jnp.int8)
+    return y.astype(out_dtype)
+
+
 @functools.partial(
     jax.jit, static_argnames=("groupsize", "span", "out_dtype")
 )

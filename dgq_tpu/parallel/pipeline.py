@@ -103,10 +103,13 @@ def pp_shard_engine_params(params: EngineParams, mesh: Mesh) -> EngineParams:
         n_q = layers.o_proj.qweight.shape[1] * 2
         n_kv = (layers.qkv_proj.alpha.shape[-1] - n_q) // 2
         f2 = layers.gate_up_proj.alpha.shape[-1]
+        from dgq_tpu.parallel.sharded_engine import _localize_row_cs_fold
+
         layers = layers._replace(
             qkv_proj=_permute_fused(layers.qkv_proj, [n_q, n_kv, n_kv], tp),
             gate_up_proj=_permute_fused(layers.gate_up_proj, [f2 // 2, f2 // 2], tp),
         )
+        layers = _localize_row_cs_fold(layers, tp)
         params = dataclasses.replace(params, layers=layers)
 
     specs = pp_engine_param_specs(params)

@@ -80,6 +80,15 @@ def _ring_attention(q_s8, k_s8, v_s8, layer, rank, sp, rep):
 
     def step(carry, r):
         k_blk, v_blk, m, l, acc = carry
+        # issue the ring rotation FIRST: the permute only reads k/v_blk, so
+        # it is independent of the attention math below and the TPU
+        # latency-hiding scheduler keeps it in flight on ICI while the
+        # block's scores/p@v compute runs (verified as async
+        # collective-permute-start/done bracketing the attention fusions —
+        # scripts/check_overlap_hlo.py, BASELINE config 5)
+        ring = [(i, (i + 1) % sp) for i in range(sp)]
+        nk_blk = lax.ppermute(k_blk, "sp", ring)
+        nv_blk = lax.ppermute(v_blk, "sp", ring)
         src = (rank - r) % sp  # whose block we hold at this step
         s32 = jnp.einsum("bgqd,bgkd->bgqk", qg, k_blk,
                          preferred_element_type=jnp.int32)
@@ -97,10 +106,7 @@ def _ring_attention(q_s8, k_s8, v_s8, layer, rank, sp, rep):
         vf = v_blk.astype(jnp.float32) * layer.v_scale
         pv = jnp.einsum("bgrqk,bgkd->bgrqd", p, vf)
         acc = acc * corr[..., None] + pv
-        ring = [(i, (i + 1) % sp) for i in range(sp)]
-        k_blk = lax.ppermute(k_blk, "sp", ring)
-        v_blk = lax.ppermute(v_blk, "sp", ring)
-        return (k_blk, v_blk, m_new, l, acc), None
+        return (nk_blk, nv_blk, m_new, l, acc), None
 
     (_, _, _, l, acc), _ = lax.scan(step, (k_s8, v_s8, m0, l0, a0),
                                     jnp.arange(sp))
@@ -155,12 +161,26 @@ def sp_engine_prefill(
     each rank's LOCAL kv heads' block, and the block's row-parallel psums
     stay 'tp' collectives — sequence and tensor parallelism compose.
     """
+    fn = sp_prefill_fn(ecfg, params, mesh, input_ids.shape[1])
+    logits, k, v = fn(params, input_ids)
+    return logits, KVCache(k=k, v=v,
+                           length=jnp.asarray(input_ids.shape[1], jnp.int32))
+
+
+def sp_prefill_fn(ecfg: EngineConfig, params: EngineParams, mesh: Mesh,
+                  s: int):
+    """Build the shard_map'd ring-attention prefill step for sequence
+    length ``s`` — split out of sp_engine_prefill so it can also be
+    AOT-compiled against a virtual TPU topology
+    (scripts/check_overlap_hlo.py: the ring's ppermutes must be scheduled
+    as async collective-permute-start/done pairs bracketing independent
+    attention/GEMM compute — the collective/compute overlap evidence for
+    BASELINE config 5).  ``params`` is used for tree structure only."""
     import dataclasses as _dc
 
     cfg = ecfg.cfg
     sp = mesh.shape["sp"]
     tp = mesh.shape.get("tp", 1)
-    b, s = input_ids.shape
     if s % sp != 0:
         raise ValueError(f"sequence {s} not divisible by sp={sp}")
     s_l = s // sp
@@ -192,7 +212,7 @@ def sp_engine_prefill(
         logits = jnp.einsum("bsd,vd->bsv", x, params_l.lm_head.astype(x.dtype))
         return logits, k_all, v_all
 
-    fn = jax.shard_map(
+    return jax.shard_map(
         local_step,
         mesh=mesh,
         in_specs=(rspec, P(None, "sp")),
@@ -201,8 +221,6 @@ def sp_engine_prefill(
                    P(None, None, kv_tp, "sp", None)),
         check_vma=False,
     )
-    logits, k, v = fn(params, input_ids)
-    return logits, KVCache(k=k, v=v, length=jnp.asarray(s, jnp.int32))
 
 
 def gather_sp_cache(cache: KVCache, max_len: Optional[int] = None) -> KVCache:

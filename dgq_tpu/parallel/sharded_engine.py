@@ -43,7 +43,7 @@ _COL_LINEARS = ("qkv_proj", "gate_up_proj")
 _ROW_LINEARS = ("o_proj", "down_proj")
 
 
-def _spec_for_path(path) -> P:
+def _spec_for_path(path, leaf=None) -> P:
     """PartitionSpec for one engine-param leaf, keyed by its tree path.
 
     Stacked layer leaves carry a leading L axis (always unsharded).
@@ -57,11 +57,17 @@ def _spec_for_path(path) -> P:
             field = names[i + 1]
             if field in _2d:
                 return P(None, None, "tp")  # (L, K//2|G, N) shard N
-            return P(None, "tp")  # alpha/bias (L, N)
+            return P(None, "tp")  # alpha/bias/cs_fold (L, N)
         if nm in _ROW_LINEARS:
             field = names[i + 1]
             if field in _2d:
                 return P(None, "tp", None)  # (L, K//2|G, N) shard K
+            if field == "cs_fold" and getattr(leaf, "ndim", 2) == 3:
+                # per-rank LOCAL folds (L, tp, N), built by
+                # _localize_row_cs_fold: each rank adds the fold over ITS
+                # groups, keeping the rp int32 partials bitwise equal to
+                # the plane path's (exactly reproducible psum)
+                return P(None, "tp", None)
             return P(None, None)  # alpha/bias replicated (psum'd output)
     if names and names[0] in ("ln1_weight", "ln2_weight"):
         return P(None, None)
@@ -72,9 +78,46 @@ def _spec_for_path(path) -> P:
 def engine_param_specs(params: EngineParams) -> EngineParams:
     """Spec tree with the exact same structure as ``params`` (None biases
     stay empty nodes)."""
-    return jax.tree_util.tree_map_with_path(
-        lambda path, leaf: _spec_for_path(path), params
-    )
+    return jax.tree_util.tree_map_with_path(_spec_for_path, params)
+
+
+def _localize_row_cs_fold(layers: EngineLayer, tp: int) -> EngineLayer:
+    """Replace the row-parallel (K-sharded) linears' global cs_fold (L, N)
+    with per-rank LOCAL folds (L, tp, N): rank r's entry is the
+    8*colsum*scale correction over ITS K-groups only.
+
+    Why: a single global fold added on one rank is exact in int32 but makes
+    that rank's fp32 partial differ from the plane-dot path's, and the
+    changed psum summation can flip a downstream requant rounding boundary
+    (found as a seed-dependent 0.09 logits divergence under tp).  With
+    local folds, the rp int32 partial per rank is bitwise identical to the
+    plane path's, so the sharded rp engine reproduces the sharded plane
+    engine exactly."""
+    if tp <= 1 or layers.o_proj.cs_fold is None:
+        return layers
+    from dgq_tpu.ops.fused_decode import rowpair_cs_fold
+
+    def localize(lin: EngineLinear) -> EngineLinear:
+        if lin.cs_fold is None or lin.cs_fold.ndim == 3:
+            return lin
+        k2 = lin.qweight.shape[-2]
+        gp = lin.s_hi.shape[-2]  # plane rows (G/2)
+        folds = []
+        for r in range(tp):
+            sl_q = slice(r * k2 // tp, (r + 1) * k2 // tp)
+            sl_g = slice(r * gp // tp, (r + 1) * gp // tp)
+            folds.append(rowpair_cs_fold(
+                lin.qweight[..., sl_q, :], 2 * _lin_groupsize_any(lin),
+                lin.s_hi[..., sl_g, :], lin.s_lo[..., sl_g, :]))
+        return lin._replace(cs_fold=jnp.stack(folds, axis=-2))
+
+    return layers._replace(o_proj=localize(layers.o_proj),
+                           down_proj=localize(layers.down_proj))
+
+
+def _lin_groupsize_any(lin: EngineLinear) -> int:
+    qw = lin.qweight if lin.qweight is not None else lin.qw_rp
+    return (2 * qw.shape[-2] * 8) // lin.wscales.shape[-2]
 
 
 def kv_cache_specs() -> KVCache:
@@ -174,6 +217,7 @@ def shard_engine_params(params: EngineParams, mesh: Mesh) -> EngineParams:
             qkv_proj=_permute_fused(layers.qkv_proj, [n_q, n_kv, n_kv], tp),
             gate_up_proj=_permute_fused(layers.gate_up_proj, [f2 // 2, f2 // 2], tp),
         )
+        layers = _localize_row_cs_fold(layers, tp)
         params = dataclasses.replace(params, layers=layers)
 
     specs = engine_param_specs(params)

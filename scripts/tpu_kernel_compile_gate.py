@@ -53,6 +53,14 @@ def gate_quant_matmul(results):
     al = jnp.asarray(rng.random(n), jnp.float32)
     wsf = jnp.asarray(rng.random((k // g, n)) + 0.5, jnp.float32)
 
+    def _rp_pipe():
+        from dgq_tpu.ops.fused_decode import pack_rowpair_s4
+        from dgq_tpu.ops.quant_matmul import w4a8_matmul_rp_pipe
+
+        qw_rp = pack_rowpair_s4(qw, 2 * g)
+        return w4a8_matmul_rp_pipe(x, qw_rp, ws, wz, al, groupsize=g,
+                                   bm=128, bn=256, bk=512)
+
     ref = None
     cands = [
         ("quant_matmul.packed", lambda: w4a8_matmul_packed(
@@ -65,6 +73,7 @@ def gate_quant_matmul(results):
             x, qw, ws, wz, al, bm=128, bn=256)),
         ("quant_matmul.pipe", lambda: w4a8_matmul_pipe(
             x, qw, ws, wz, al, bm=128, bn=256, bk=512)),
+        ("quant_matmul.rp_pipe", lambda: _rp_pipe()),
         ("quant_matmul.twopass", lambda: w4a8_matmul_twopass(
             x, qw, ws, wz, al)),
         ("quant_matmul.fpscale", lambda: w4a8_fpscale_matmul_packed(

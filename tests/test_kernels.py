@@ -316,3 +316,45 @@ def test_twopass_matches_blocked_kernel():
                               out_dtype=jnp.int8, interpret=True)
     got8 = w4a8_matmul_twopass(x, qw, ws, wz, al, bt, out_dtype=jnp.int8)
     np.testing.assert_array_equal(np.asarray(got8), np.asarray(ref8))
+
+
+def test_rp_pipe_matches_span_pipe_bitexact():
+    """w4a8_matmul_rp_pipe (rowpair-shifted native-s4 layout) must equal
+    w4a8_matmul_pipe on the same quantized layer BIT FOR BIT — the bitcast
+    feed changes only where the unpack work happens."""
+    from dgq_tpu.ops.fused_decode import pack_rowpair_s4
+    from dgq_tpu.ops.quant_matmul import (
+        w4a8_matmul_pipe,
+        w4a8_matmul_rp_pipe,
+        w4a8_matmul_rp_xla,
+    )
+
+    rng = np.random.default_rng(5)
+    k, n, g = 512, 384, 128
+    qw = pack_nibbles(jnp.asarray(rng.integers(0, 16, (k, n)).astype(np.int8)),
+                      span=2 * g)
+    ws = jnp.asarray(rng.integers(1, 4, (k // g, n)).astype(np.int8))
+    wz = jnp.asarray(rng.integers(0, 16, (k // g, n)).astype(np.int8))
+    al = jnp.asarray(rng.random(n).astype(np.float32) * 0.01)
+    bias = jnp.asarray(rng.normal(size=(n,)).astype(np.float32))
+    x = jnp.asarray(rng.integers(-127, 128, (64, k)).astype(np.int8))
+    qw_rp = pack_rowpair_s4(qw, 2 * g)
+
+    want = np.asarray(w4a8_matmul_pipe(
+        x, qw, ws, wz, al, bias, groupsize=g, span=2 * g,
+        bm=64, bn=128, bk=256, interpret=True))
+    got = np.asarray(w4a8_matmul_rp_pipe(
+        x, qw_rp, ws, wz, al, bias, groupsize=g,
+        bm=64, bn=128, bk=256, interpret=True))
+    np.testing.assert_array_equal(got, want)
+    got_xla = np.asarray(w4a8_matmul_rp_xla(
+        x, qw_rp, ws, wz, al, bias, groupsize=g))
+    np.testing.assert_allclose(got_xla, want, rtol=1e-6, atol=1e-5)
+    # int8-out epilogue too
+    w8 = np.asarray(w4a8_matmul_pipe(
+        x, qw, ws, wz, al, bias, groupsize=g, span=2 * g,
+        bm=64, bn=128, bk=256, out_dtype=jnp.int8, interpret=True))
+    g8 = np.asarray(w4a8_matmul_rp_pipe(
+        x, qw_rp, ws, wz, al, bias, groupsize=g,
+        bm=64, bn=128, bk=256, out_dtype=jnp.int8, interpret=True))
+    np.testing.assert_array_equal(g8, w8)
