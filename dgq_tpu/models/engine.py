@@ -276,13 +276,20 @@ def _fuse_linears(lins: list) -> EngineLinear:
     )
 
 
-def _with_rp(lin: EngineLinear) -> EngineLinear:
+def _with_rp(lin: EngineLinear, drop_span: bool = False) -> EngineLinear:
     """Attach the native-s4 decode buffers (rowpair-shifted codes + folded
     colsum correction) to a dual-grained EngineLinear.  Derived data —
     call AFTER padding/fusion so the layouts agree; no-op for fp-scale
-    linears (no plane rows => no s4 decode path)."""
-    if lin.s_hi is None or lin.qw_rp is not None:
+    linears (no plane rows => no s4 decode path).
+
+    ``drop_span=True`` releases the span-layout copy (qweight=None): every
+    engine path — prefill GEMM, decode GEMVs, XLA fallbacks — consumes the
+    rowpair layout, so dual storage would only double weight HBM (a 7B
+    model would not fit one v5e with both copies)."""
+    if lin.s_hi is None:
         return lin
+    if lin.qw_rp is not None:
+        return lin._replace(qweight=None) if drop_span else lin
     from dgq_tpu.ops.fused_decode import pack_rowpair_s4, rowpair_cs_fold
 
     # groupsize from the (possibly stacked) packed layout: K = 2*rows,
@@ -291,26 +298,31 @@ def _with_rp(lin: EngineLinear) -> EngineLinear:
     return lin._replace(
         qw_rp=pack_rowpair_s4(lin.qweight, span),
         cs_fold=rowpair_cs_fold(lin.qweight, span, lin.s_hi, lin.s_lo),
+        qweight=None if drop_span else lin.qweight,
     )
 
 
-def add_rowpair(eng: EngineParams) -> EngineParams:
+def add_rowpair(eng: EngineParams, drop_span: bool = False) -> EngineParams:
     """Populate qw_rp/cs_fold on every layer linear of (possibly stacked)
     EngineParams — used by from_ptq and by checkpoint load for checkpoints
-    that predate the native-s4 fields."""
+    that predate the native-s4 fields.  ``drop_span`` releases the span
+    copies (see _with_rp)."""
     lay = eng.layers
-    if lay.qkv_proj.s_hi is None or lay.qkv_proj.qw_rp is not None:
+    if lay.qkv_proj.s_hi is None:
+        return eng
+    if lay.qkv_proj.qw_rp is not None and not drop_span:
         return eng
     lay = lay._replace(
-        qkv_proj=_with_rp(lay.qkv_proj),
-        o_proj=_with_rp(lay.o_proj),
-        gate_up_proj=_with_rp(lay.gate_up_proj),
-        down_proj=_with_rp(lay.down_proj),
+        qkv_proj=_with_rp(lay.qkv_proj, drop_span),
+        o_proj=_with_rp(lay.o_proj, drop_span),
+        gate_up_proj=_with_rp(lay.gate_up_proj, drop_span),
+        down_proj=_with_rp(lay.down_proj, drop_span),
     )
     return dataclasses.replace(eng, layers=lay)
 
 
-def from_ptq(params, kv_scales, cfg: LlamaConfig, *, pad_to: int = 2048) -> EngineParams:
+def from_ptq(params, kv_scales, cfg: LlamaConfig, *, pad_to: int = 2048,
+             keep_span: bool = False) -> EngineParams:
     """Convert a PTQ result (params with PackedLinear leaves + kv scales)
     into stacked engine params (reference: loadutils.py:57-70 +
     A8W4LlamaForCausalLM.from_float).
@@ -390,7 +402,7 @@ def from_ptq(params, kv_scales, cfg: LlamaConfig, *, pad_to: int = 2048) -> Engi
         norm_weight=params["norm"]["weight"].astype(jnp.float32),
         lm_head=params["lm_head"]["weight"],
         rms_eps=cfg.rms_norm_eps,
-    ))
+    ), drop_span=not keep_span)
 
 
 # ---------------------------------------------------------------------------
@@ -608,9 +620,15 @@ class EngineConfig:
         )
 
 
+def _lin_qw(lin: EngineLinear):
+    """Whichever packed weight exists (span layout, or rowpair-only when
+    the span copy was dropped at conversion) — same (K//2, N) shape."""
+    return lin.qweight if lin.qweight is not None else lin.qw_rp
+
+
 def _lin_groupsize(lin: EngineLinear) -> int:
     """Groupsize from the packed layout (K = 2*rows, G = scale rows / 8)."""
-    return (2 * lin.qweight.shape[0] * 8) // lin.wscales.shape[0]
+    return (2 * _lin_qw(lin).shape[0] * 8) // lin.wscales.shape[0]
 
 
 def _mlp_bf(span: int, fdim: int) -> int:
@@ -628,11 +646,11 @@ def _decode_fusable(layer: EngineLayer) -> bool:
     for lin in (layer.qkv_proj, layer.o_proj, layer.gate_up_proj, layer.down_proj):
         if _lin_groupsize(lin) != gs or lin.s_hi is None:
             return False
-        k = 2 * lin.qweight.shape[0]
+        k = 2 * _lin_qw(lin).shape[0]
         n = lin.alpha.shape[-1]
         if k % span != 0 or (n % 512 != 0 and n % 128 != 0 and n >= 512):
             return False
-    fdim = 2 * layer.down_proj.qweight.shape[0]
+    fdim = 2 * _lin_qw(layer.down_proj).shape[0]
     if layer.gate_up_proj.alpha.shape[-1] != 2 * fdim:
         return False
     bf = _mlp_bf(span, fdim)
@@ -645,16 +663,24 @@ def _use_fused_rows(ecfg: EngineConfig, layer: EngineLayer, b: int, s: int) -> b
     speculative verification) flatten (B, S, D) -> (B*S, D) and ride the
     same kernels as s=1 decode; only attention needs sequence structure.
     Keeps a verify step at ~decode-step cost instead of the unfused path's
-    ~160 extra launches."""
+    ~160 extra launches.
+
+    Row cap 64: covers 8 serving slots x (spec_k+1)=8 verify rows — the
+    round-3 cap of 32 silently dropped 8-slot spec verification onto the
+    unfused path (VERDICT r3 #3, the serving+spec regression); VMEM cost
+    at 64 rows is ~1 MB of activation scratch."""
     return (s <= 8 and ecfg.use_kernel and not ecfg.fp_scales
-            and ecfg.fused_decode and b * s <= 32 and _decode_fusable(layer))
+            and ecfg.fused_decode and b * s <= 64 and _decode_fusable(layer))
 
 
 def _use_s4(ecfg: EngineConfig, layer: EngineLayer) -> bool:
     """Gate for the native-s4 decode GEMV kernels: the rowpair buffers must
     exist (from_ptq default; older checkpoints fall back to the plane
-    path)."""
-    return bool(ecfg.int4_mxu) and layer.qkv_proj.qw_rp is not None
+    path).  rp-only storage (span copy dropped at conversion) forces the
+    s4 path regardless of the config flag — there is no span layout to
+    fall back to."""
+    qp = layer.qkv_proj
+    return qp.qw_rp is not None and (bool(ecfg.int4_mxu) or qp.qweight is None)
 
 
 def _qkv_rows(ecfg: EngineConfig, layer: EngineLayer, x: jax.Array,
@@ -706,15 +732,25 @@ def _block_tail(ecfg: EngineConfig, layer: EngineLayer, x: jax.Array,
         )
 
         s4 = _use_s4(ecfg, layer)
-        # row-parallel (K-sharded) linears under TP carry per-rank LOCAL
-        # cs_fold rows (parallel/sharded_engine._localize_row_cs_fold), so
-        # the rp int32 partials stay bitwise equal to the plane path's
+
+        def _row_csf(csf):
+            # row-parallel (K-sharded) linears under TP carry per-rank
+            # LOCAL cs_fold rows ((tp, N) per layer, sliced to (1, N) by
+            # shard_map — parallel/sharded_engine._localize_row_cs_fold),
+            # keeping the rp int32 partials bitwise equal to the plane
+            # path's.  A GLOBAL (N,) fold reaching here under TP (params
+            # placed without shard_engine_params) would be added once PER
+            # RANK and psum-multiplied — add it on rank 0 only (exact).
+            if tp is None or csf is None or csf.ndim == 2:
+                return csf
+            return csf * (jax.lax.axis_index(tp) == 0).astype(jnp.int32)
+
         op = layer.o_proj
         if s4:
             attn_out = fused_requant_gemv_rp(
                 ctx.reshape(b * s, -1), layer.out_input_scale,
                 op.qw_rp, op.s_hi, op.s_lo, op.z_hi, op.z_lo,
-                op.cs_fold,
+                _row_csf(op.cs_fold),
                 op.alpha, op.bias,
                 residual=None if tp is not None else x.reshape(b * s, d),
                 span=2 * _lin_groupsize(layer.o_proj), qmin=-127.0,
@@ -736,7 +772,7 @@ def _block_tail(ecfg: EngineConfig, layer: EngineLayer, x: jax.Array,
 
         # ---- mlp: ONE launch (norm + gate/up + SiLU + requant + down) ----
         span_m = 2 * _lin_groupsize(layer.gate_up_proj)
-        fdim = 2 * layer.down_proj.qweight.shape[0]
+        fdim = 2 * _lin_qw(layer.down_proj).shape[0]
         gu, dn = layer.gate_up_proj, layer.down_proj
         if s4:
             mlp_out = fused_mlp_decode_rp(
@@ -744,7 +780,7 @@ def _block_tail(ecfg: EngineConfig, layer: EngineLayer, x: jax.Array,
                 gu.qw_rp, gu.s_hi, gu.s_lo, gu.z_hi, gu.z_lo, gu.cs_fold,
                 gu.alpha,
                 layer.down_input_scale,
-                dn.qw_rp, dn.wscales, dn.wzeros, dn.cs_fold,
+                dn.qw_rp, dn.wscales, dn.wzeros, _row_csf(dn.cs_fold),
                 dn.alpha, dn.bias,
                 span=span_m, bf=_mlp_bf(span_m, fdim), eps=cfg.rms_norm_eps,
                 fuse_residual=tp is None, interpret=ecfg.interpret,

@@ -32,9 +32,12 @@ def random_engine_linear(key, n_out: int, n_in: int, g: int = 128) -> EngineLine
     )
 
 
-def build_llama_engine(cfg: LlamaConfig, seed: int = 0) -> EngineParams:
+def build_llama_engine(cfg: LlamaConfig, seed: int = 0,
+                       keep_span: bool = False) -> EngineParams:
     """Random engine params at cfg's exact shapes (MLP dim padded to the
-    from_ptq pad_to granularity, as engine conversion would)."""
+    from_ptq pad_to granularity, as engine conversion would).  Like
+    from_ptq, stores the rowpair (native-s4) layout only unless
+    ``keep_span`` — dual storage doubles weight HBM."""
     d, f = cfg.hidden_size, cfg.intermediate_size
     f = -(-f // 1024) * 1024
     nq = cfg.num_attention_heads * cfg.head_dim
@@ -70,4 +73,4 @@ def build_llama_engine(cfg: LlamaConfig, seed: int = 0) -> EngineParams:
         norm_weight=jnp.ones((d,), jnp.float32),
         lm_head=jax.random.normal(keys[-1], (cfg.vocab_size, d), jnp.bfloat16) * 0.02,
         rms_eps=cfg.rms_norm_eps,
-    ))
+    ), drop_span=not keep_span)

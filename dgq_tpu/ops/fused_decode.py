@@ -203,6 +203,32 @@ def rowpair_cs_fold(qweight_span: jax.Array, span: int,
     return out.reshape(lead + out.shape[-1:])
 
 
+def rowpair_cs_fold_rp(qw_rp: jax.Array, groupsize: int,
+                       s_hi: jax.Array, s_lo: jax.Array) -> jax.Array:
+    """rowpair_cs_fold computed FROM the rowpair layout itself (used when
+    the span copy was dropped — e.g. per-rank re-derivation for TP).
+    Accepts stacked (..., K//2, N) inputs."""
+    lead = qw_rp.shape[:-2]
+    q2 = qw_rp.reshape((-1,) + qw_rp.shape[-2:])
+    sh2 = s_hi.reshape((-1,) + s_hi.shape[-2:])
+    sl2 = s_lo.reshape((-1,) + s_lo.shape[-2:])
+    outs = []
+    for i in range(q2.shape[0]):
+        u = jax.lax.bitcast_convert_type(q2[i], jnp.uint8).astype(jnp.int32)
+        lo = ((u & 0xF) ^ 8) - 8
+        hi = ((u >> 4) ^ 8) - 8
+        k2, n = q2[i].shape
+        c4 = jnp.stack([lo, hi], axis=1).reshape(2 * k2, n)
+        g = 2 * k2 // groupsize
+        cs = c4.reshape(g, groupsize, n).sum(axis=1)
+        s_g = jnp.zeros((g, n), jnp.int32)
+        s_g = s_g.at[0::2].set(sh2[i].astype(jnp.int32))
+        s_g = s_g.at[1::2].set(sl2[i].astype(jnp.int32))
+        outs.append(8 * jnp.sum(cs * s_g, axis=0))
+    out = jnp.stack(outs) if len(outs) > 1 else outs[0][None]
+    return out.reshape(lead + out.shape[-1:])
+
+
 def _bitcast_rows_s4(wb, interpret: bool):
     """(R, C) int8 packed bytes -> (2R, C) s4 code view (row 2r = low
     nibble, 2r+1 = high).  Free relayout on hardware; interpret mode (CPU

@@ -90,7 +90,8 @@ def pp_shard_engine_params(params: EngineParams, mesh: Mesh) -> EngineParams:
 
         for name in ("o_proj", "down_proj"):
             lin = getattr(params.layers, name)
-            k = lin.qweight.shape[-2] * 2
+            qw = lin.qweight if lin.qweight is not None else lin.qw_rp
+            k = qw.shape[-2] * 2
             groupsize = (k * 8) // lin.wscales.shape[-2]
             span = 2 * groupsize
             if k % tp != 0 or (k // tp) % span != 0:
@@ -100,7 +101,9 @@ def pp_shard_engine_params(params: EngineParams, mesh: Mesh) -> EngineParams:
                     f"({span}); choose pad_to a multiple of {span * tp}"
                 )
         layers = params.layers
-        n_q = layers.o_proj.qweight.shape[1] * 2
+        oq = (layers.o_proj.qweight if layers.o_proj.qweight is not None
+              else layers.o_proj.qw_rp)
+        n_q = oq.shape[1] * 2
         n_kv = (layers.qkv_proj.alpha.shape[-1] - n_q) // 2
         f2 = layers.gate_up_proj.alpha.shape[-1]
         from dgq_tpu.parallel.sharded_engine import _localize_row_cs_fold

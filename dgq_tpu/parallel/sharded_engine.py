@@ -97,18 +97,23 @@ def _localize_row_cs_fold(layers: EngineLayer, tp: int) -> EngineLayer:
         return layers
     from dgq_tpu.ops.fused_decode import rowpair_cs_fold
 
+    from dgq_tpu.ops.fused_decode import rowpair_cs_fold_rp
+
     def localize(lin: EngineLinear) -> EngineLinear:
         if lin.cs_fold is None or lin.cs_fold.ndim == 3:
             return lin
-        k2 = lin.qweight.shape[-2]
+        gs = _lin_groupsize_any(lin)
+        qw, fold = ((lin.qweight, lambda q, sh, sl: rowpair_cs_fold(q, 2 * gs, sh, sl))
+                    if lin.qweight is not None
+                    else (lin.qw_rp, lambda q, sh, sl: rowpair_cs_fold_rp(q, gs, sh, sl)))
+        k2 = qw.shape[-2]
         gp = lin.s_hi.shape[-2]  # plane rows (G/2)
         folds = []
         for r in range(tp):
             sl_q = slice(r * k2 // tp, (r + 1) * k2 // tp)
             sl_g = slice(r * gp // tp, (r + 1) * gp // tp)
-            folds.append(rowpair_cs_fold(
-                lin.qweight[..., sl_q, :], 2 * _lin_groupsize_any(lin),
-                lin.s_hi[..., sl_g, :], lin.s_lo[..., sl_g, :]))
+            folds.append(fold(qw[..., sl_q, :],
+                              lin.s_hi[..., sl_g, :], lin.s_lo[..., sl_g, :]))
         return lin._replace(cs_fold=jnp.stack(folds, axis=-2))
 
     return layers._replace(o_proj=localize(layers.o_proj),
@@ -195,7 +200,8 @@ def shard_engine_params(params: EngineParams, mesh: Mesh) -> EngineParams:
         # failure surfaces later as an opaque k % bk trace-time assert.
         for name in ("o_proj", "down_proj"):
             lin = getattr(params.layers, name)
-            k = lin.qweight.shape[-2] * 2
+            qw = lin.qweight if lin.qweight is not None else lin.qw_rp
+            k = qw.shape[-2] * 2
             groupsize = (k * 8) // lin.wscales.shape[-2]
             span = 2 * groupsize
             if k % tp != 0 or (k // tp) % span != 0:
@@ -210,7 +216,9 @@ def shard_engine_params(params: EngineParams, mesh: Mesh) -> EngineParams:
         nq_kv = layers.qkv_proj.alpha.shape[-1]
         # component sizes from config-free arithmetic: alpha_N = (rep+2)*hk*dh
         # is not recoverable alone, so derive from o_proj K (= H*dh = Nq)
-        n_q = layers.o_proj.qweight.shape[1] * 2  # K//2 * 2 = Nq
+        oq = (layers.o_proj.qweight if layers.o_proj.qweight is not None
+              else layers.o_proj.qw_rp)
+        n_q = oq.shape[1] * 2  # K//2 * 2 = Nq
         n_kv = (nq_kv - n_q) // 2
         f2 = layers.gate_up_proj.alpha.shape[-1]
         layers = layers._replace(

@@ -84,6 +84,9 @@ class ContinuousBatcher:
         decode_steps: int = 1,
         spec_k: int = 0,
         spec_max_ngram: int = 3,
+        spec_adaptive: bool = True,
+        spec_cost_ratio: float = 1.35,
+        spec_probe_every: int = 256,
         max_recoveries: int = 3,
         mesh=None,
         fns=None,
@@ -138,6 +141,19 @@ class ContinuousBatcher:
         self.spec_k = max(0, spec_k)
         self.spec_max_ngram = spec_max_ngram
         self.spec_stats = {"steps": 0, "tokens": 0}
+        # adaptive speculation (VERDICT r3 #3): a verify step costs
+        # ~spec_cost_ratio plain decode steps device-side, so speculation
+        # only pays while the measured accepted-tokens-per-step EWMA
+        # exceeds that ratio.  When it drops below, speculation SUSPENDS
+        # for spec_probe_every scheduler steps, then re-probes (text
+        # regimes change within a stream).  Decided by measurement, pinned
+        # by tests/test_serving_spec.py::test_spec_adaptive_*.
+        self.spec_adaptive = spec_adaptive
+        self.spec_cost_ratio = spec_cost_ratio
+        self.spec_probe_every = max(1, spec_probe_every)
+        self._spec_ewma: Optional[float] = None
+        self._spec_ewma_n = 0
+        self._spec_suspended = 0  # steps remaining in suspension
         self.max_recoveries = max_recoveries
         self._recoveries = 0
         self.cache = self._fn("init_batched_cache")(ecfg.cfg, num_slots, max_len, kv_bits=ecfg.kv_bits)
@@ -409,6 +425,10 @@ class ContinuousBatcher:
             out["spec_tokens_per_step"] = round(
                 st["tokens"] / max(st["steps"], 1), 3
             )
+            if self.spec_adaptive:
+                out["spec_suspended_steps"] = self._spec_suspended
+                if self._spec_ewma is not None:
+                    out["spec_rate_ewma"] = round(self._spec_ewma, 3)
         if self._prefix is not None:
             out["prefix_hits"] = self.prefix_hits
         if self.timings:
@@ -452,9 +472,10 @@ class ContinuousBatcher:
             r is not None and s not in self.pending
             for s, r in enumerate(self.slots)
         ):
-            if self._can_decode_spec_multi():
+            spec_ok = self.spec_k > 0 and self._spec_paying()
+            if spec_ok and self._can_decode_spec_multi():
                 self._decode_spec_multi()
-            elif self._can_decode_spec():
+            elif spec_ok and self._can_decode_spec():
                 self._decode_spec()
             else:
                 n = self._multi_window_steps()
@@ -584,6 +605,7 @@ class ContinuousBatcher:
             bufs[s, : len(hist)] = hist
             lens[s] = len(hist)
             active[s] = True
+        tok0, step0 = self.spec_stats["tokens"], self.spec_stats["steps"]
         t0 = time.time()
         _, _, _, self.cache, outs, n_outs = self._fn("engine_spec_decode_multi")(
             self.ecfg, self.params, jnp.asarray(bufs), jnp.asarray(lens),
@@ -621,6 +643,33 @@ class ContinuousBatcher:
                 import time as _time
 
                 req.t_first = _time.time()
+        self._spec_note(self.spec_stats["tokens"] - tok0,
+                        self.spec_stats["steps"] - step0)
+
+    def _spec_paying(self) -> bool:
+        """Adaptive speculation gate: False while suspended (one suspension
+        tick per scheduler step)."""
+        if not self.spec_adaptive:
+            return True
+        if self._spec_suspended > 0:
+            self._spec_suspended -= 1
+            return False
+        return True
+
+    def _spec_note(self, tokens: int, steps: int):
+        """Record a speculative dispatch's yield; suspend speculation when
+        the accepted-tokens-per-step EWMA stops covering the verify step's
+        device cost (spec_cost_ratio plain steps)."""
+        if not self.spec_adaptive or steps <= 0:
+            return
+        rate = tokens / steps
+        self._spec_ewma = (rate if self._spec_ewma is None
+                           else 0.8 * self._spec_ewma + 0.2 * rate)
+        self._spec_ewma_n += steps
+        if self._spec_ewma_n >= 8 and self._spec_ewma < self.spec_cost_ratio:
+            self._spec_suspended = self.spec_probe_every
+            self._spec_ewma = None
+            self._spec_ewma_n = 0
 
     def _can_decode_spec(self) -> bool:
         if self.spec_k <= 0 or self.pending:
@@ -673,6 +722,7 @@ class ContinuousBatcher:
         self._t("sync:spec_verify", t0)
 
         new_lengths = self.lengths_h.copy()
+        tok0, step0 = self.spec_stats["tokens"], self.spec_stats["steps"]
         for s in range(self.num_slots):
             req = self.slots[s]
             if req is None:
@@ -703,6 +753,8 @@ class ContinuousBatcher:
                 # correction is the new pending token (not yet fed)
                 new_lengths[s] += 1 + n_acc
         self.lengths_h = new_lengths
+        self._spec_note(self.spec_stats["tokens"] - tok0,
+                        self.spec_stats["steps"] - step0)
         # the device gets its OWN buffer: jnp.asarray can zero-copy-alias an
         # aligned host array, and lengths_h is mutated in place on later
         # steps — aliasing would mutate a buffer an in-flight device program

@@ -435,7 +435,8 @@ def load_engine(path: str):
         # fp-scale representation has no plane-dot path
         derive = ws.dtype == jnp.int8 if hasattr(ws, "dtype") else False
         return EngineLinear(
-            qweight=tensors[f"{prefix}/qweight"],
+            # rp-only checkpoints (from_ptq keep_span=False) have no span copy
+            qweight=tensors.get(f"{prefix}/qweight"),
             wscales=ws,
             wzeros=wz,
             alpha=tensors[f"{prefix}/alpha"],

@@ -54,7 +54,9 @@ def main():
                         int4_mxu=not args.no_int4_mxu)
 
     print(f"building 7B-shaped engine ({args.layers} layers)...", flush=True)
-    eng = build_7b_engine(cfg)
+    # the int8 baseline leg needs the span layout (rp-only storage forces
+    # the s4 path); the int4 leg stores rowpair only, like production
+    eng = build_7b_engine(cfg, keep_span=args.no_int4_mxu)
     cache = init_kv_cache(cfg, args.batch, args.max_len)
     ids = jnp.zeros((args.batch, args.prefill), jnp.int32)
 

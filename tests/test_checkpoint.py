@@ -101,9 +101,10 @@ def test_engine_sharded_checkpoint_roundtrip(tmp_path):
     # mesh restore: leaves land sharded per engine_param_specs, no gather
     mesh = make_mesh(dp=1, tp=2)
     eng3, _ = load_engine_sharded(path, mesh=mesh)
-    qw = eng3.layers.qkv_proj.qweight  # (L, K//2, N): column-parallel on N
+    # rp-only storage: the packed weight is the rowpair (native-s4) copy
+    qw = eng3.layers.qkv_proj.qw_rp  # (L, K//2, N): column-parallel on N
     assert qw.sharding == NamedSharding(mesh, P(None, None, "tp"))
-    ow = eng3.layers.o_proj.qweight  # row-parallel on K
+    ow = eng3.layers.o_proj.qw_rp  # row-parallel on K
     assert ow.sharding == NamedSharding(mesh, P(None, "tp", None))
     assert eng3.embed_tokens.sharding.is_fully_replicated
 

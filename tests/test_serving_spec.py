@@ -184,3 +184,44 @@ def test_batcher_spec_near_capacity_falls_back(setup):
     # speculation engages while there is headroom (8 + 5 < 16), falls back
     # to plain decode at the capacity edge; truncated output identical
     assert outs[0] == outs[4]
+
+
+def test_spec_adaptive_suspends_on_low_acceptance(setup):
+    """The adaptive policy (VERDICT r3 #3) suspends speculation when the
+    measured tokens/step EWMA stops covering the verify cost, and
+    re-probes after spec_probe_every scheduler steps."""
+    cfg, eng, ecfg = setup
+    b = ContinuousBatcher(ecfg, eng, num_slots=2, max_len=64, prefill_pad=16,
+                          spec_k=3, spec_cost_ratio=1.35, spec_probe_every=16)
+    # drive the policy directly: 8 low-yield dispatches -> suspension
+    for _ in range(8):
+        b._spec_note(tokens=2, steps=2)  # 1.0 tok/step < 1.35
+    assert b._spec_suspended == 16
+    # suspended: _spec_paying ticks down and blocks spec
+    for i in range(16):
+        assert not b._spec_paying(), i
+    # probe window over: speculation re-engages with a fresh EWMA
+    assert b._spec_paying()
+    assert b._spec_ewma is None
+
+    # high-yield dispatches never suspend
+    b2 = ContinuousBatcher(ecfg, eng, num_slots=2, max_len=64, prefill_pad=16,
+                           spec_k=3)
+    for _ in range(32):
+        b2._spec_note(tokens=4, steps=2)  # 2.0 tok/step > 1.35
+    assert b2._spec_suspended == 0 and b2._spec_paying()
+
+
+def test_spec_adaptive_outputs_stay_exact(setup):
+    """Adaptive suspension only changes WHICH path emits tokens — greedy
+    outputs stay identical to plain decode."""
+    cfg, eng, ecfg = setup
+    rng = np.random.default_rng(3)
+    # low-acceptance prompts (random text) with a tiny probe period so the
+    # run crosses suspend/resume boundaries
+    prompts = [rng.integers(0, cfg.vocab_size, 12).astype(np.int32)
+               for _ in range(3)]
+    plain, _ = _run_batcher(cfg, eng, ecfg, prompts, 10)
+    spec, _ = _run_batcher(cfg, eng, ecfg, prompts, 10, spec_k=3,
+                           spec_probe_every=4)
+    assert plain == spec

@@ -81,15 +81,17 @@ def test_param_placement_is_sharded(sharded_setup):
     mesh = make_mesh(dp=2, tp=2)
     eng_sh = shard_engine_params(eng, mesh)
     # column-parallel fused qkv shards its N axis over tp devices
-    shard_shape = eng_sh.layers.qkv_proj.qweight.sharding.shard_shape(
-        eng_sh.layers.qkv_proj.qweight.shape
-    )
-    assert shard_shape[2] == eng_sh.layers.qkv_proj.qweight.shape[2] // 2
+    # (rp-only storage: the packed weight is the rowpair copy)
+    qw = eng_sh.layers.qkv_proj.qw_rp
+    shard_shape = qw.sharding.shard_shape(qw.shape)
+    assert shard_shape[2] == qw.shape[2] // 2
     # row-parallel down_proj shards K//2
-    shard_shape = eng_sh.layers.down_proj.qweight.sharding.shard_shape(
-        eng_sh.layers.down_proj.qweight.shape
-    )
-    assert shard_shape[1] == eng_sh.layers.down_proj.qweight.shape[1] // 2
+    dw = eng_sh.layers.down_proj.qw_rp
+    shard_shape = dw.sharding.shard_shape(dw.shape)
+    assert shard_shape[1] == dw.shape[1] // 2
+    # per-rank local cs_fold rows shard over tp (exactness contract)
+    csf = eng_sh.layers.down_proj.cs_fold
+    assert csf.ndim == 3 and csf.sharding.shard_shape(csf.shape)[1] == 1
 
 
 def test_tp_kernel_path_matches_single_device(sharded_setup):
