@@ -344,6 +344,66 @@ def worker_witness():
     }), flush=True)
 
 
+def worker_longctx():
+    """Long-context decode evidence (VERDICT r3 #6): the AUTO-selected
+    chunked decode-attention kernel + the full decode step at Smax=16k and
+    32k context on the real chip, 2-layer 7B-shaped engine (the attention
+    cost scales with Smax, the GEMV cost with layers — 2 layers keeps HBM
+    for the 32k cache while the per-layer attention number is exact).
+    Also verifies auto_decode_chunk's selections at those sizes."""
+    _maybe_force_cpu()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dgq_tpu.models.engine import EngineConfig, engine_forward, init_kv_cache
+    from dgq_tpu.models.llama import LlamaConfig
+    from dgq_tpu.models.synthetic import build_llama_engine
+    from dgq_tpu.ops.attention import auto_decode_chunk
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    steps = 16 if on_tpu else 2
+    cfg = (
+        LlamaConfig(num_hidden_layers=2)
+        if on_tpu
+        else LlamaConfig(vocab_size=512, hidden_size=256, intermediate_size=512,
+                         num_hidden_layers=2, num_attention_heads=4,
+                         num_key_value_heads=4)
+    )
+    ecfg = EngineConfig(cfg=cfg, use_kernel=on_tpu)  # decode_attn_chunk AUTO
+    eng = build_llama_engine(cfg)
+    out = {"ok": True, "layers": cfg.num_hidden_layers,
+           "auto_chunk": {str(s): auto_decode_chunk(s)
+                          for s in (8192, 16384, 32768)}}
+    for smax in ((16384, 32768) if on_tpu else (256,)):
+        cache = init_kv_cache(cfg, 1, smax)
+        # decode from a nearly-full cache: attention streams ~smax tokens
+        cache = cache._replace(length=jnp.asarray(smax - steps - 2, jnp.int32))
+        tok = jnp.zeros((1, 1), jnp.int32)
+
+        @jax.jit
+        def multi_step(e, tok0, cache0):
+            def body(carry, _):
+                t, c = carry
+                lg, c = engine_forward(ecfg, e, t, c)
+                return (jnp.argmax(lg[:, -1:, :], -1).astype(jnp.int32), c), None
+
+            (tok_f, _), _ = jax.lax.scan(body, (tok0, cache0), None, length=steps)
+            return tok_f
+
+        tok_f = multi_step(eng, tok, cache)  # compile
+        jax.device_get(tok_f)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            tok_f = multi_step(eng, tok, cache)
+            jax.device_get(tok_f)
+            best = min(best, (time.time() - t0) / steps)
+        out[f"decode_ms_{smax // 1024}k_2l"] = round(best * 1e3, 3)
+        del cache
+    print(json.dumps(out), flush=True)
+
+
 def worker_serving():
     """Continuous-batching serving throughput (BASELINE config 4): 7B
     random engine, 8 slots, multi-step decode dispatch; reports sustained
@@ -728,6 +788,34 @@ def main():
         except Exception as e:  # noqa: BLE001
             errors.append("serving: " + repr(e)[:200])
 
+    # long-context decode round (extras only; VERDICT r3 #6)
+    longctx = None
+    if on_tpu:
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker-longctx"],
+                capture_output=True, text=True, timeout=WORKER_TIMEOUT_FIRST,
+            )
+            longctx = _parse_worker_json(proc.stdout)
+            if longctx is None:
+                errors.append("longctx: " + " | ".join(
+                    (proc.stderr or "").strip().splitlines()[-2:])[:300])
+        except subprocess.TimeoutExpired:
+            errors.append("longctx worker timeout")
+        except Exception as e:  # noqa: BLE001
+            errors.append("longctx: " + repr(e)[:200])
+    else:
+        try:
+            import io
+            import contextlib
+
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                worker_longctx()
+            longctx = _parse_worker_json(buf.getvalue())
+        except Exception as e:  # noqa: BLE001
+            errors.append("longctx: " + repr(e)[:200])
+
     # speculative-decoding evidence round (extras only)
     spec = None
     if on_tpu:
@@ -849,6 +937,10 @@ def main():
             result["extra"]["spec_tok_s_7b_b1"] = {
                 kk: vv for kk, vv in spec.items() if kk != "ok"
             }
+        if longctx:
+            result["extra"]["longctx"] = {
+                kk: vv for kk, vv in longctx.items() if kk != "ok"
+            }
         if errors:
             result["degraded"] = True
             result["rounds_failed"] = len(errors)
@@ -882,6 +974,8 @@ if __name__ == "__main__":
         worker_witness()
     elif "--worker-spec" in sys.argv:
         worker_spec()
+    elif "--worker-longctx" in sys.argv:
+        worker_longctx()
     elif "--worker" in sys.argv:
         worker_round()
     else:
