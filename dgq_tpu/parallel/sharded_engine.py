@@ -95,9 +95,7 @@ def _localize_row_cs_fold(layers: EngineLayer, tp: int) -> EngineLayer:
     engine exactly."""
     if tp <= 1 or layers.o_proj.cs_fold is None:
         return layers
-    from dgq_tpu.ops.fused_decode import rowpair_cs_fold
-
-    from dgq_tpu.ops.fused_decode import rowpair_cs_fold_rp
+    from dgq_tpu.ops.fused_decode import rowpair_cs_fold, rowpair_cs_fold_rp
 
     def localize(lin: EngineLinear) -> EngineLinear:
         if lin.cs_fold is None or lin.cs_fold.ndim == 3:
