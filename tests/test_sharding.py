@@ -209,3 +209,35 @@ def test_tp_sharded_paged_batcher_matches_dense(sharded_setup):
     want = run()
     got = run(mesh=make_mesh(dp=1, tp=2))
     assert got == want, (got, want)
+
+
+def test_tp_rp_fused_bitwise_tracks_plane_path():
+    """Regression (round 4): with the native-s4 fused decode kernels under
+    TP, a GLOBAL cs_fold added on one rank changed that rank's fp32 psum
+    partial vs the plane path and flipped a downstream requant rounding
+    boundary — seed-0 weights diverged 0.09 in logits.  Per-rank LOCAL
+    folds (_localize_row_cs_fold) keep the partials bitwise equal; this
+    pins the exact failing configuration (seed 0, 4 layers, fused rows,
+    tp=2)."""
+    from dgq_tpu.models.synthetic import build_llama_engine
+
+    cfg = tiny_llama_config(hidden_size=512, intermediate_size=1024,
+                            num_hidden_layers=4, num_attention_heads=4,
+                            num_key_value_heads=4)
+    eng = build_llama_engine(cfg, seed=0, keep_span=True)
+    rng = np.random.default_rng(11)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (4, 8)), jnp.int32)
+    mesh = make_mesh(dp=1, tp=2)
+    eng_sh = shard_engine_params(eng, mesh)
+    outs = {}
+    for i4 in (True, False):
+        ecfg = EngineConfig(cfg=cfg, use_kernel=True, interpret=True,
+                            bm_prefill=128, bm_decode=128, int4_mxu=i4)
+        cache = shard_kv_cache(init_kv_cache(cfg, 4, 32), mesh)
+        lg, _ = sharded_engine_forward(ecfg, eng_sh, ids, cache, mesh)
+        outs[i4] = np.asarray(lg)
+        want, _ = engine_forward(ecfg, eng, ids, init_kv_cache(cfg, 4, 32))
+        np.testing.assert_allclose(outs[i4], np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+    # the rp and plane TP paths are BITWISE equal (same int32 partials)
+    np.testing.assert_array_equal(outs[True], outs[False])
