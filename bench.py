@@ -498,6 +498,24 @@ def worker_serving():
             dts = time.time() - t0
             toks_s = sum(len(r.output_ids) for r in done_s)
             out["serving_spec_tok_s"] = round(toks_s / dts, 1)
+            # the ADVERSE regime too (VERDICT r3 #3 "both text regimes"):
+            # the same RANDOM prompts as the plain stream, so
+            # serving_spec_random_tok_s compares 1:1 against serving_tok_s
+            # (adaptive speculation may suspend itself — that IS the
+            # mechanism under test)
+            bs.finished = []
+            t0 = time.time()
+            for i, r in enumerate(reqs):
+                bs.add_request(Request(uid=40_000 + i,
+                                       prompt_ids=r.prompt_ids.copy(),
+                                       max_new_tokens=new_toks))
+            done_r = bs.run()
+            dtr = time.time() - t0
+            toks_r = sum(len(r.output_ids) for r in done_r)
+            out["serving_spec_random_tok_s"] = round(toks_r / dtr, 1)
+            m = bs.metrics()
+            out["serving_spec_tokens_per_step"] = m.get("spec_tokens_per_step")
+            out["serving_spec_suspended"] = m.get("spec_suspended_steps", 0) > 0
     except Exception as e:  # noqa: BLE001
         out["serving_spec_error"] = repr(e)[:200]
 
@@ -933,6 +951,9 @@ def main():
             if serving.get("serving_spec_tok_s") is not None:
                 result["extra"]["serving_spec_tok_s_7b_8slots"] = serving.get(
                     "serving_spec_tok_s")
+            if serving.get("serving_spec_random_tok_s") is not None:
+                result["extra"]["serving_spec_random_tok_s_7b_8slots"] = (
+                    serving.get("serving_spec_random_tok_s"))
         if spec:
             result["extra"]["spec_tok_s_7b_b1"] = {
                 kk: vv for kk, vv in spec.items() if kk != "ok"
