@@ -71,6 +71,14 @@ class BatcherServer:
         self._cancel_qs = [queue.Queue() for _ in range(n)]
         self._uid_replica: Dict[int, int] = {}
         self._outstanding = [0] * n
+        # replica failover (SURVEY §5 "failure detection / elastic"): a
+        # replica whose scheduler loop dies beyond the batcher's own device
+        # recovery is marked dead and its unfinished requests migrate to
+        # the survivors as continuations (prompt = original prompt + tokens
+        # generated so far); _carry holds the already-generated prefix to
+        # splice back at finish/stream time
+        self._dead = [False] * n
+        self._carry: Dict[int, list] = {}
         self._done: Dict[int, Request] = {}
         self._done_cv = threading.Condition()
         self._fatal: Optional[str] = None
@@ -100,7 +108,10 @@ class BatcherServer:
                       max_new_tokens=int(max_new_tokens),
                       eos_token_id=eos_token_id, sampling=sampling,
                       stop_sequences=stop_sequences)
-        r = self._outstanding.index(min(self._outstanding))  # least loaded
+        live = [i for i in range(len(self.replicas)) if not self._dead[i]]
+        if not live:
+            raise RuntimeError(f"all replicas dead: {self._fatal}")
+        r = min(live, key=lambda i: self._outstanding[i])  # least loaded
         with self._locks[r]:
             self.replicas[r].add_request(req)
             self._uid_replica[uid] = r
@@ -146,7 +157,8 @@ class BatcherServer:
                 per.append(b.metrics())
         if len(per) == 1:
             return per[0]
-        agg: dict = {"replicas": per, "num_replicas": len(per)}
+        agg: dict = {"replicas": per, "num_replicas": len(per),
+                     "replicas_dead": sum(self._dead)}
         for key in ("tokens_generated", "requests_finished", "requests_queued",
                     "slots_active", "prefills_pending", "recoveries",
                     "tokens_per_s"):
@@ -196,19 +208,77 @@ class BatcherServer:
                     if finished:
                         with self._done_cv:
                             for r in finished:
+                                carry = self._carry.pop(r.uid, None)
+                                if carry:
+                                    # continuation after failover: splice the
+                                    # pre-failover tokens back in front
+                                    r.output_ids = list(carry) + list(r.output_ids)
                                 self._done[r.uid] = r
                                 self._uid_replica.pop(r.uid, None)
                                 self._outstanding[ridx] -= 1
                             self._done_cv.notify_all()
                         b.finished = []
             except Exception as e:  # noqa: BLE001 — a dead loop must not strand waiters
-                with self._done_cv:
-                    self._fatal = repr(e)
-                    self._done_cv.notify_all()
-                self._drain_cancels(ridx, dead=True)
+                self._failover(ridx, e)
                 return
             if not stepped:
                 self._stop.wait(self._idle_sleep_s)
+
+    def _failover(self, ridx: int, err: Exception):
+        """Migrate a dead replica's unfinished requests to the survivors.
+
+        The batcher already retries device failures internally
+        (max_recoveries); landing here means the replica is beyond
+        recovery.  Each orphaned request continues on another replica from
+        its full token history (prompt + generated so far) — the same
+        re-prefill contract the batcher's own recovery uses — so greedy
+        outputs are unchanged.  With no survivors, waiters get the fatal
+        error (previous behavior)."""
+        self._dead[ridx] = True
+        self._drain_cancels(ridx, dead=True)
+        survivors = [i for i in range(len(self.replicas)) if not self._dead[i]]
+        b = self.replicas[ridx]
+        orphans = [r for r in list(b.queue) + list(b.slots)
+                   if r is not None and not r.done]
+        if not survivors:
+            with self._done_cv:
+                self._fatal = repr(err)
+                self._done_cv.notify_all()
+            return
+        for req in orphans:
+            prior = list(self._carry.pop(req.uid, [])) + [int(t) for t in req.output_ids]
+            remaining = req.max_new_tokens - len(req.output_ids)
+            with self._done_cv:
+                self._outstanding[ridx] -= 1
+            if remaining <= 0:  # nothing left to generate: deliver as-is
+                req.output_ids = prior
+                with self._done_cv:
+                    self._done[req.uid] = req
+                    self._uid_replica.pop(req.uid, None)
+                    self._done_cv.notify_all()
+                continue
+            cont = Request(
+                uid=req.uid,
+                prompt_ids=np.concatenate([
+                    np.asarray(req.prompt_ids, np.int32),
+                    np.asarray(prior, np.int32),
+                ]) if prior else np.asarray(req.prompt_ids, np.int32),
+                max_new_tokens=remaining,
+                eos_token_id=req.eos_token_id,
+                sampling=req.sampling,
+                stop_sequences=req.stop_sequences,
+            )
+            cont.t_submit = req.t_submit
+            if prior:
+                self._carry[req.uid] = prior
+            target = min(survivors, key=lambda i: self._outstanding[i])
+            with self._locks[target]:
+                self.replicas[target].add_request(cont)
+                self._uid_replica[req.uid] = target
+                self._outstanding[target] += 1
+        print(f"[dgq_tpu.serve] replica {ridx} FAILED ({repr(err)[:120]}); "
+              f"{len(orphans)} request(s) migrated to replicas {survivors}",
+              flush=True)
 
     def _drain_cancels(self, ridx: int, dead: bool = False):
         """Apply queued cancels (caller holds the replica's lock unless
@@ -232,14 +302,18 @@ class BatcherServer:
             if entry is None:
                 continue
             send, sent = entry
-            if len(req.output_ids) > sent:
-                delta = [int(t) for t in req.output_ids[sent:]]
+            # `sent` counts EFFECTIVE tokens: after a replica failover the
+            # continuation's output_ids restart at 0 while the already-
+            # streamed prefix lives in _carry
+            full = self._carry.get(req.uid, []) + list(req.output_ids)
+            if len(full) > sent:
+                delta = [int(t) for t in full[sent:]]
                 try:
                     send({"uid": req.uid, "token_ids": delta, "done": False})
                 except Exception:  # noqa: BLE001 — dead client: stop streaming
                     self._streams.pop(req.uid, None)
                     continue
-                self._streams[req.uid] = (send, len(req.output_ids))
+                self._streams[req.uid] = (send, len(full))
 
     def _accept_loop(self):
         while not self._stop.is_set():

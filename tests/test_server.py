@@ -264,3 +264,38 @@ def test_server_dp_replicas(engine):
     # least-loaded routing spread the requests over both replicas
     per = [m["requests_finished"] for m in metrics["replicas"]]
     assert all(n > 0 for n in per), per
+
+
+def test_replica_failover_migrates_requests(engine):
+    """A replica whose loop dies beyond the batcher's own recovery hands
+    its unfinished requests to the survivors; outputs (including already-
+    generated prefixes) are byte-identical to a healthy run (SURVEY §5
+    failure detection / elastic)."""
+    cfg, eng = engine
+    prompt_a = np.asarray([3, 5, 3, 5], np.int32)
+    prompt_b = np.asarray([7, 7, 2, 7], np.int32)
+
+    # ground truth: a healthy single batcher
+    ref = _batcher(cfg, eng)
+    ref.add_request(Request(uid=0, prompt_ids=prompt_a.copy(), max_new_tokens=6))
+    ref.add_request(Request(uid=1, prompt_ids=prompt_b.copy(), max_new_tokens=6))
+    want = {r.uid: r.output_ids for r in ref.run()}
+
+    b0, b1 = _batcher(cfg, eng), _batcher(cfg, eng)
+    # sabotage replica 0: every step dies (and the batcher's internal
+    # recovery is exhausted immediately)
+    def boom():
+        raise RuntimeError("injected replica failure")
+    b0.step = boom
+    with BatcherServer([b0, b1]) as srv:
+        u0 = srv.submit(prompt_a, 6)   # least-loaded routing -> replica 0
+        u1 = srv.submit(prompt_b, 6)   # -> replica 1
+        r0 = srv.wait(u0, timeout=120)
+        r1 = srv.wait(u1, timeout=120)
+        assert r0.output_ids == want[0], (r0.output_ids, want[0])
+        assert r1.output_ids == want[1]
+        m = srv.metrics()
+        assert m["replicas_dead"] == 1
+        # the surviving replica still serves new work
+        u2 = srv.submit(prompt_a, 6)
+        assert srv.wait(u2, timeout=120).output_ids == want[0]
