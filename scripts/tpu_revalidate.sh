@@ -6,7 +6,7 @@
 set -u
 cd "$(dirname "$0")/.."
 
-echo "== 1/7 tunnel probe (tiny matmul) =="
+echo "== 1/8 tunnel probe (tiny matmul) =="
 timeout 180 python - <<'EOF' || { echo "TUNNEL WEDGED - aborting"; exit 1; }
 import time, jax, jax.numpy as jnp
 t0 = time.time()
@@ -15,24 +15,27 @@ print("probe ok:", float(jax.device_get(y[0, 0])), jax.devices()[0].device_kind,
       f"{time.time()-t0:.1f}s")
 EOF
 
-echo "== 2/7 hardware kernel compile gate (all Pallas entry points) =="
+echo "== 2/8 hardware kernel compile gate (all Pallas entry points) =="
 timeout 900 python scripts/tpu_kernel_compile_gate.py || echo "compile gate FAILED"
 
-echo "== 3/7 TP=1-mesh kernel smoke (shard_map + real kernels on chip) =="
+echo "== 3/8 TP=1-mesh kernel smoke (shard_map + real kernels on chip) =="
 timeout 600 python scripts/tp1_kernel_smoke.py || echo "tp1 smoke FAILED"
 
-echo "== 4/7 paged vs dense decode attention (B=8, 2k ctx) =="
+echo "== 3b/8 native-s4 rowpair GEMV A/B (bit-exactness + rotated pairs) =="
+timeout 900 python scripts/ab_rp_gemv.py || echo "ab_rp_gemv FAILED"
+
+echo "== 4/8 paged vs dense decode attention (B=8, 2k ctx) =="
 timeout 900 python scripts/bench_paged.py --batch 8 --max-len 2048 \
   --steps 16 --layers 2 --skip-step || echo "bench_paged attention FAILED"
 
-echo "== 5/7 paged vs dense batched decode step (7B shapes, 2 layers) =="
+echo "== 5/8 paged vs dense batched decode step (7B shapes, 2 layers) =="
 timeout 900 python scripts/bench_paged.py --batch 8 --max-len 2048 \
   --steps 16 --layers 2 --occupied 256 --skip-attention \
   || echo "bench_paged step FAILED"
 
-echo "== 6/7 W4A8 vs bf16-dense decode baseline (7B, 32 steps) =="
+echo "== 6/8 W4A8 vs bf16-dense decode baseline (7B, 32 steps) =="
 timeout 1800 python scripts/bench_fp16_baseline.py || echo "fp16 baseline FAILED"
 
-echo "== 7/7 driver benchmark (GEMM roofline + decode) =="
-timeout 3000 python bench.py || echo "bench.py FAILED"
+echo "== 7/8 driver benchmark (GEMM roofline + decode) =="
+timeout 5400 python bench.py || echo "bench.py FAILED"
 echo "done"
