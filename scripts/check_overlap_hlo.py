@@ -40,6 +40,14 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Array construction must NOT touch the tunneled TPU backend (a wedged
+# tunnel hangs even trivial device work, and the axon plugin re-pins
+# jax_platforms); the TPU topology AOT compile below is host-side and
+# backend-independent, so the whole check runs tunnel-free on CPU arrays.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 
 def build_and_compile(topology: str = "v5e:2x4", tp: int = 4, dp: int = 2):
     import jax
