@@ -591,11 +591,14 @@ class EngineConfig:
     # quantization of the unnormalized exp-weights, 1/denom folded into the
     # epilogue — ops/attention._quantize_exp).  V stays int8 in VMEM
     # (4x smaller V tile -> VMEM headroom for long contexts); quality-gated
-    # in tests/test_quant_pv.py.  The round-2 per-row-scale version was 2x
-    # slower than fp p@V (per-row max + two divisions over (rep, Smax));
-    # round 3 removed all of that (see _quantize_exp) — re-measure with
-    # scripts/tpu_quant_pv_smoke.py before flipping the default.
-    quant_pv: bool = False
+    # in tests/test_quant_pv.py.  Default ON by round-4 measurement: with
+    # the trunc(x+0.5) quantization rule the attention kernel pairs at
+    # 0.71-0.83x fp p@V (probe_quant_pv_parts, 5-cycle paired medians) and
+    # the full B=8 near-full-cache decode step at 0.99x, never a loss
+    # (scripts/ab_quant_pv_step.py).  The round-2 per-row-scale version was
+    # 2x slower; round 3 reduced the scale to a constant, round 4 removed
+    # the round-half-to-even VPU cost.
+    quant_pv: bool = True
     # native-s4 decode GEMVs (ROADMAP round-4 lever #1): weights stored
     # rowpair-shifted so the kernel bitcasts them to s4 in VMEM (zero
     # unpack) and contracts on the int4 MXU path (~2x the int8 operand
@@ -963,9 +966,18 @@ def _block(ecfg: EngineConfig, layer: EngineLayer, x: jax.Array,
         qg = q_s8.reshape(b, hk, rep * s, dh)  # (B, Hkv, rep*S, Dh)
         scores = _attention_scores(qg, k_cache, layer.q_scale, layer.k_scale, dh)
         scores = scores.reshape(b, hk, rep, s, -1) + mask[None, None, None, :, :]
-        if ecfg.quant_pv and s == 1:
-            # mirror the kernel's INT8 p @ V on the fallback decode path:
-            # constant-scale exp-weight quantization, 1/denom in the epilogue
+        if ecfg.quant_pv and s <= 8:
+            # mirror the kernel's INT8 p @ V on the fallback path: constant-
+            # scale exp-weight quantization, 1/denom in the epilogue.  The
+            # rule is per-ROW (every row's exp(s - m) max is exactly 1), so
+            # it applies beyond s == 1 — crucially to the s = k+1
+            # speculative-verification windows, which must reproduce decode
+            # numerics or speculation breaks its bitwise greedy-equality
+            # contract (tests/test_speculative.py).  The s <= 8 boundary is
+            # the flash-prefill dispatch boundary above: longer windows are
+            # prefill, which rides the fp flash kernel on TPU, so the
+            # fallback keeps fp there for path-parity (quant_pv is a decode
+            # optimization; prefill is GEMM-bound)
             from dgq_tpu.ops.attention import _quantize_exp
 
             sf = scores.astype(jnp.float32)

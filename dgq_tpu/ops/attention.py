@@ -53,8 +53,16 @@ def _quantize_exp(e):
 
     SINGLE source of the quantization rule: the Pallas kernels, the XLA
     goldens and the engine fallback all call this, so the bit-for-bit gate
-    in tests/test_quant_pv.py stays meaningful."""
-    return jnp.round(e * 127.0).astype(jnp.int8)
+    in tests/test_quant_pv.py stays meaningful.
+
+    Rounding is trunc(x + 0.5) (round-half-up), not jnp.round: e >= 0 so
+    the two agree except on exact .5 ties (round-half-even breaks ties
+    down half the time; immaterial for quality, gated the same), and the
+    on-chip parts probe (scripts/probe_quant_pv_parts.py) measured
+    jnp.round's half-to-even lowering at ~100 us/call of pure VPU time at
+    the 7B decode shape -- 2.7x the whole s8 dot -- while add+truncating
+    cast is free next to it (162 vs 60 us best-window)."""
+    return (e * 127.0 + 0.5).astype(jnp.int8)
 
 
 def _decode_kernel(

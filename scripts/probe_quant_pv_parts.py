@@ -57,6 +57,8 @@ def _body(len_ref, scale_ref, q_ref, kt_ref, v_ref, out_ref, *, mode):
     else:
         if mode == "quant":
             qe = jnp.round(e * 127.0).astype(jnp.int8)
+        elif mode == "quant_fast":  # shipped rule: round-half-up via trunc
+            qe = (e * 127.0 + 0.5).astype(jnp.int8)
         else:  # noround / s32dot
             qe = (e * 127.0).astype(jnp.int8)
         acc = jax.lax.dot_general(
@@ -106,22 +108,31 @@ def main():
 
     # warm all programs first, then measure ROUND-ROBIN so window drift hits
     # every variant equally (the tunnel swings 2x across minutes)
-    modes = ("fp", "nodeq", "quant", "noround", "s32dot")
+    modes = ("fp", "nodeq", "quant", "quant_fast", "noround", "s32dot")
     fns = {}
     for mode in modes:
         f = functools.partial(attn, kt=kt, v=v, length=length, mode=mode)
         fns[mode] = lambda a, f=f: f(a)
         jax.device_get(fns[mode](q))
+    ncyc = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     res = {m: [] for m in modes}
-    for rep in range(3):
+    for rep in range(ncyc):
         for mode in modes:
             t = device_time(fns[mode], q, feedback=fb, iters=48, base_iters=12,
                             repeats=1)
             res[mode].append(t * 1e6)
     for mode in modes:
         v3 = ", ".join(f"{x:7.1f}" for x in res[mode])
-        print(f"{mode:8s}: best {min(res[mode]):7.1f} us  reps [{v3}]",
+        print(f"{mode:10s}: best {min(res[mode]):7.1f} us  reps [{v3}]",
               flush=True)
+    # paired per-cycle ratios cancel slow window drift (both legs of a pair
+    # sit in the same ~second of tunnel time); median over cycles kills the
+    # remaining spikes
+    for mode in modes[1:]:
+        ratios = sorted(res[mode][i] / res["fp"][i] for i in range(ncyc))
+        med = ratios[len(ratios) // 2]
+        print(f"paired {mode:10s}/fp: median {med:5.2f}  "
+              f"[{', '.join(f'{x:4.2f}' for x in ratios)}]", flush=True)
 
 
 if __name__ == "__main__":

@@ -39,9 +39,11 @@ def gqa_setup():
 
 
 def test_gqa_engine_decode_matches_prefill(gqa_setup):
-    """Feeding tokens one at a time == feeding them at once (rep>1 cache)."""
+    """Feeding tokens one at a time == feeding them at once (rep>1 cache).
+    quant_pv pinned OFF: decode's int8 p@V vs prefill's fp path differ by
+    the quantization budget, gated separately in tests/test_quant_pv.py."""
     cfg, eng = gqa_setup
-    ecfg = EngineConfig(cfg=cfg, use_kernel=False)
+    ecfg = EngineConfig(cfg=cfg, use_kernel=False, quant_pv=False)
     ids = jnp.asarray(synthetic_stream(cfg.vocab_size, 12, seed=5).reshape(1, 12))
 
     cache = init_kv_cache(cfg, 1, 32)
