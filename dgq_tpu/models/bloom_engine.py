@@ -242,12 +242,18 @@ def _bloom_block(ecfg: BloomEngineConfig, layer: BloomEngineLayer, x, k_cache, v
     return x, k_cache, v_cache
 
 
-@partial(jax.jit, static_argnames=("ecfg",))
+@partial(jax.jit, static_argnames=("ecfg", "window"))
 def bloom_engine_forward(
     ecfg: BloomEngineConfig,
     params: BloomEngineParams,
     input_ids: jax.Array,
     cache: BloomKVCache,
+    *,
+    window: str = "auto",  # forward-contract parity with engine_forward:
+    # declares S > 1 windows prefill vs decode/verify.  This family applies
+    # fp p @ V everywhere (quant_pv is LLaMA-engine kv8-scoped), so the
+    # flag is accepted for the family-generic speculative contract
+    # (serving/speculative.py) and does not alter numerics here.
 ) -> Tuple[jax.Array, BloomKVCache]:
     cfg = ecfg.cfg
     b, s = input_ids.shape

@@ -598,6 +598,14 @@ class EngineConfig:
     # (scripts/ab_quant_pv_step.py).  The round-2 per-row-scale version was
     # 2x slower; round 3 reduced the scale to a constant, round 4 removed
     # the round-half-to-even VPU cost.
+    #
+    # SCOPE (round 5, VERDICT r4 #1): applies to DECODE and speculative-
+    # VERIFY windows on the INT8-KV paths only, with one path-invariant
+    # rule — codes quantized against the GLOBAL row max (the chunked and
+    # paged kernels run a two-pass for it).  Prefill windows are always fp
+    # p @ V whatever their chunking, and INT4-KV paths keep fp p @ V, so
+    # every dispatch/storage variant emits identical tokens; gated with
+    # quant_pv both ON and OFF in tests/test_path_consistency.py.
     quant_pv: bool = True
     # native-s4 decode GEMVs (ROADMAP round-4 lever #1): weights stored
     # rowpair-shifted so the kernel bitcasts them to s4 in VMEM (zero
@@ -826,11 +834,18 @@ def _block_tail(ecfg: EngineConfig, layer: EngineLayer, x: jax.Array,
 
 
 def _block(ecfg: EngineConfig, layer: EngineLayer, x: jax.Array,
-           k_cache, v_cache, cache_len, pos_cos, pos_sin, mask, bm: int):
+           k_cache, v_cache, cache_len, pos_cos, pos_sin, mask, bm: int,
+           decode_window: bool = False):
     """One engine decoder block on (B, S, D) fp activations.
 
     Returns (x_out, new_k_cache, new_v_cache).  k/v caches are
     (B, Hkv, Smax, Dh) int8; new tokens are written at [cache_len, cache_len+S).
+
+    ``decode_window``: the S > 1 window is a DECODE-side window (speculative
+    verification), not prompt prefill.  quant_pv applies to decode/verify
+    windows only — prefill always runs fp p @ V, whatever its chunking, so
+    whole / chunked / prefix-remainder prefill of the same tokens emit
+    identical logits (VERDICT r4 #1 prefix-cache + chunked-prefill breaks).
     """
     cfg = ecfg.cfg
     b, s, d = x.shape
@@ -934,7 +949,11 @@ def _block(ecfg: EngineConfig, layer: EngineLayer, x: jax.Array,
             )  # (B, H, Dh) f32
         ctx = ctx.reshape(b, 1, h * dh)
     elif (ecfg.use_kernel and ecfg.flash_prefill and s > 8
+          and not (ecfg.quant_pv and decode_window)
           and k_cache.shape[-1] % 128 == 0):
+        # decode/verify windows with quant_pv never ride the fp flash
+        # kernel: a spec_k > 7 verification window must still reproduce
+        # decode numerics (the fallback below quantizes p @ V for it)
         # short multi-token windows (s <= 8, speculative verification) skip
         # the flash kernel: padding 5 queries to the kernel's 128-row block
         # costs more than the tiny (s, Smax) score materialization below
@@ -966,18 +985,18 @@ def _block(ecfg: EngineConfig, layer: EngineLayer, x: jax.Array,
         qg = q_s8.reshape(b, hk, rep * s, dh)  # (B, Hkv, rep*S, Dh)
         scores = _attention_scores(qg, k_cache, layer.q_scale, layer.k_scale, dh)
         scores = scores.reshape(b, hk, rep, s, -1) + mask[None, None, None, :, :]
-        if ecfg.quant_pv and s <= 8:
+        if ecfg.quant_pv and (s == 1 or decode_window):
             # mirror the kernel's INT8 p @ V on the fallback path: constant-
             # scale exp-weight quantization, 1/denom in the epilogue.  The
             # rule is per-ROW (every row's exp(s - m) max is exactly 1), so
             # it applies beyond s == 1 — crucially to the s = k+1
-            # speculative-verification windows, which must reproduce decode
-            # numerics or speculation breaks its bitwise greedy-equality
-            # contract (tests/test_speculative.py).  The s <= 8 boundary is
-            # the flash-prefill dispatch boundary above: longer windows are
-            # prefill, which rides the fp flash kernel on TPU, so the
-            # fallback keeps fp there for path-parity (quant_pv is a decode
-            # optimization; prefill is GEMM-bound)
+            # speculative-verification windows (decode_window=True), which
+            # must reproduce decode numerics or speculation breaks its
+            # bitwise greedy-equality contract (tests/test_speculative.py).
+            # PREFILL windows of any size stay fp: the same prompt tokens
+            # can arrive whole (flash fp), chunked, or as a prefix-cache
+            # remainder, and all three must emit identical logits
+            # (tests/test_prefix_cache.py, test_serving chunked prefill).
             from dgq_tpu.ops.attention import _quantize_exp
 
             sf = scores.astype(jnp.float32)
@@ -998,20 +1017,30 @@ def _block(ecfg: EngineConfig, layer: EngineLayer, x: jax.Array,
     return x, k_cache, v_cache
 
 
-@partial(jax.jit, static_argnames=("ecfg",))
+@partial(jax.jit, static_argnames=("ecfg", "window"))
 def engine_forward(
     ecfg: EngineConfig,
     params: EngineParams,
     input_ids: jax.Array,  # (B, S)
     cache: KVCache,
+    *,
+    window: str = "auto",
 ) -> Tuple[jax.Array, KVCache]:
     """Prefill or decode step: runs S tokens starting at cache.length.
 
     Returns (logits (B, S, V), updated cache).
-    """
+
+    ``window`` declares the S > 1 window kind: "prefill" (prompt tokens;
+    fp p @ V regardless of quant_pv, so chunked/whole/prefix prefill
+    agree), "decode" (speculative-verification window; quant_pv's INT8
+    p @ V applies so verification reproduces decode numerics bitwise), or
+    "auto" (S == 1 -> decode, S > 1 -> prefill).  Every engine family's
+    forward shares this contract (serving/speculative.py passes
+    window="decode" on verify windows)."""
     cfg = ecfg.cfg
     b, s = input_ids.shape
     smax = cache.k.shape[4]  # k is (L, B, Hkv, Dh, Smax)
+    decode_window = window == "decode" or (window == "auto" and s == 1)
     x = params.embed_tokens[input_ids].astype(jnp.float32)
 
     positions = cache.length + jnp.arange(s)
@@ -1026,7 +1055,8 @@ def engine_forward(
 
     def scan_body(x, layer_and_cache):
         layer, k_c, v_c = layer_and_cache
-        x, k_c, v_c = _block(ecfg, layer, x, k_c, v_c, cache.length, pos_cos, pos_sin, mask, bm)
+        x, k_c, v_c = _block(ecfg, layer, x, k_c, v_c, cache.length, pos_cos, pos_sin, mask, bm,
+                             decode_window=decode_window)
         return x, (k_c, v_c)
 
     x, (new_k, new_v) = jax.lax.scan(scan_body, x, (params.layers, cache.k, cache.v))

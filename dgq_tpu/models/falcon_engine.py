@@ -196,12 +196,18 @@ def _falcon_block(ecfg: FalconEngineConfig, layer: FalconEngineLayer, x,
     return x, k_cache, v_cache
 
 
-@partial(jax.jit, static_argnames=("ecfg",))
+@partial(jax.jit, static_argnames=("ecfg", "window"))
 def falcon_engine_forward(
     ecfg: FalconEngineConfig,
     params: FalconEngineParams,
     input_ids: jax.Array,
     cache: FalconKVCache,
+    *,
+    window: str = "auto",  # forward-contract parity with engine_forward:
+    # declares S > 1 windows prefill vs decode/verify.  This family applies
+    # fp p @ V everywhere (quant_pv is LLaMA-engine kv8-scoped), so the
+    # flag is accepted for the family-generic speculative contract
+    # (serving/speculative.py) and does not alter numerics here.
 ) -> Tuple[jax.Array, FalconKVCache]:
     cfg = ecfg.cfg
     b, s = input_ids.shape

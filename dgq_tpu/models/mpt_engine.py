@@ -206,12 +206,18 @@ def _mpt_block(ecfg: MPTEngineConfig, layer: MPTEngineLayer, x, k_cache, v_cache
     return x, k_cache, v_cache
 
 
-@partial(jax.jit, static_argnames=("ecfg",))
+@partial(jax.jit, static_argnames=("ecfg", "window"))
 def mpt_engine_forward(
     ecfg: MPTEngineConfig,
     params: MPTEngineParams,
     input_ids: jax.Array,
     cache: MPTKVCache,
+    *,
+    window: str = "auto",  # forward-contract parity with engine_forward:
+    # declares S > 1 windows prefill vs decode/verify.  This family applies
+    # fp p @ V everywhere (quant_pv is LLaMA-engine kv8-scoped), so the
+    # flag is accepted for the family-generic speculative contract
+    # (serving/speculative.py) and does not alter numerics here.
 ) -> Tuple[jax.Array, MPTKVCache]:
     cfg = ecfg.cfg
     b, s = input_ids.shape

@@ -294,12 +294,18 @@ def _linear_s8_int8out(lin: EngineLinear, x_s8, *, use_kernel, bm, interpret, gr
     return y.reshape(*x_s8.shape[:-1], -1)
 
 
-@partial(jax.jit, static_argnames=("ecfg",))
+@partial(jax.jit, static_argnames=("ecfg", "window"))
 def opt_engine_forward(
     ecfg: OPTEngineConfig,
     params: OPTEngineParams,
     input_ids: jax.Array,  # (B, S)
     cache: OPTKVCache,
+    *,
+    window: str = "auto",  # forward-contract parity with engine_forward:
+    # declares S > 1 windows prefill vs decode/verify.  This family applies
+    # fp p @ V everywhere (quant_pv is LLaMA-engine kv8-scoped), so the
+    # flag is accepted for the family-generic speculative contract
+    # (serving/speculative.py) and does not alter numerics here.
 ) -> Tuple[jax.Array, OPTKVCache]:
     cfg = ecfg.cfg
     b, s = input_ids.shape

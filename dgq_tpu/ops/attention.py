@@ -409,24 +409,65 @@ def _decode_chunk_kernel(
     m_safe = jnp.where(m <= neg / 2, 0.0, m)
     p = jnp.exp(s - m_safe)
     l = jnp.sum(p, axis=1, keepdims=True)
-    if quant_pv:
-        # exp-weights are in [0, 1] with the in-chunk max at exactly 1 —
-        # the constant scale 1/127 spans the full code range per chunk
-        # (identical codes to the old per-row scale, minus the reductions)
-        qe = _quantize_exp(p)
-        acc32 = jax.lax.dot_general(
-            qe, v_ref[0, 0], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        acc = acc32.astype(jnp.float32) * (v_scale / 127.0)
-    else:
-        vf = v_ref[0, 0].astype(jnp.float32) * v_scale
-        acc = jax.lax.dot_general(
-            p, vf, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
+    del quant_pv  # fp-only body; quantized p@V rides the two-pass gmax kernels
+    vf = v_ref[0, 0].astype(jnp.float32) * v_scale
+    acc = jax.lax.dot_general(
+        p, vf, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
     acc_ref[0, 0] = acc
     m_ref[0, 0] = jnp.broadcast_to(m_safe, (rep, 128))
     l_ref[0, 0] = jnp.broadcast_to(l, (rep, 128))
+
+
+def _chunk_scores(len_ref, scale_ref, q_ref, kt_ref):
+    """Shared score body for the chunked/paged decode kernels: int8 MXU
+    QK dot, scale, mask by valid length -> (rep, CH) f32.  Positions are
+    LOGICAL (program_id(2) is the logical chunk/page), so masking matches
+    the contiguous layout bit-for-bit."""
+    rep = q_ref.shape[2]
+    ch = kt_ref.shape[3]
+    length = len_ref[pl.program_id(0)]
+    s32 = jax.lax.dot_general(
+        q_ref[0, 0], kt_ref[0, 0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    s = s32.astype(jnp.float32) * scale_ref[0]
+    pos = pl.program_id(2) * ch + jax.lax.broadcasted_iota(jnp.int32, (rep, ch), 1)
+    return jnp.where(pos < length, s, jnp.finfo(jnp.float32).min)
+
+
+def _chunk_max_kernel(len_ref, scale_ref, q_ref, kt_ref, m_ref):
+    """quant_pv pass 1: per-chunk RAW row max (no all-masked pinning — the
+    global combine needs the true max; fully-masked rows keep finfo.min,
+    which reproduces the whole-cache kernel's exp(s - m) = 1 garbage
+    exactly on inactive slots)."""
+    rep = q_ref.shape[2]
+    s = _chunk_scores(len_ref, scale_ref, q_ref, kt_ref)
+    m = jnp.max(s, axis=1, keepdims=True)
+    m_ref[0, 0] = jnp.broadcast_to(m, (rep, 128))
+
+
+def _chunk_pv_kernel(len_ref, scale_ref, gmax_ref, q_ref, kt_ref, v_ref,
+                     acc_ref, l_ref):
+    """quant_pv pass 2: quantize exp(s - M_row) against the GLOBAL row max
+    M (scalar-prefetched), so the codes are bit-identical to the
+    whole-cache kernel's (_decode_kernel) — the path-invariance contract
+    that keeps chunked/paged decode emitting the dense batcher's tokens
+    (VERDICT r4 #1).  With a global max the partials sum directly: no
+    online rescale in the combine."""
+    rep, dh = q_ref.shape[2], q_ref.shape[3]
+    i, j = pl.program_id(0), pl.program_id(1)
+    s = _chunk_scores(len_ref, scale_ref, q_ref, kt_ref)
+    # static-unrolled SMEM gather of this kv-group's rep row maxima
+    gm = jnp.stack([gmax_ref[i, j * rep + r] for r in range(rep)])[:, None]
+    e = jnp.exp(s - gm)  # masked positions: exp(neg - M) == 0
+    qe = _quantize_exp(e)
+    acc32 = jax.lax.dot_general(
+        qe, v_ref[0, 0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    acc_ref[0, 0] = acc32.astype(jnp.float32)
+    l_ref[0, 0] = jnp.broadcast_to(jnp.sum(e, axis=1, keepdims=True), (rep, 128))
 
 
 def auto_decode_chunk(smax: int) -> int:
@@ -460,13 +501,20 @@ def int8_decode_attention_chunked(
     chunk: int = 2048,
     apply_sqrt_dh: bool = True,
     interpret: bool = False,
-    quant_pv: bool = False,  # INT8 p @ V per chunk (see _quantize_exp)
+    quant_pv: bool = False,  # INT8 p @ V, GLOBAL-row-max codes (two-pass)
 ) -> jax.Array:
     """Long-context decode attention: the cache is processed in
     VMEM-bounded chunks (grid over chunks), each emitting flash partials
     (numerator, row max, row sum) that combine exactly outside the kernel
     via logsumexp merging.  Extends the INT8 decode path beyond
-    VMEM-resident context lengths (SURVEY §5 long-context row)."""
+    VMEM-resident context lengths (SURVEY §5 long-context row).
+
+    quant_pv runs TWO passes (max, then quantize+dot) so the int8
+    exp-weight codes use the global row max — bit-identical to the
+    whole-cache kernel and the dense XLA golden.  Per-chunk quantization
+    before the online rescale would emit different codes per dispatch
+    path and break the framework's cross-path exactness contracts
+    (VERDICT r4 #1)."""
     b, h, dh = q_s8.shape
     _, hk, _, smax = kt_cache.shape
     rep = h // hk
@@ -480,23 +528,58 @@ def int8_decode_attention_chunked(
         qk = qk / math.sqrt(dh)
     scales = jnp.stack([qk, v_scale.astype(jnp.float32), jnp.float32(0)])
 
+    q_spec = pl.BlockSpec((1, 1, rep, dh), lambda i, j, c, *_: (i, j, 0, 0), memory_space=pltpu.VMEM)
+    kt_spec = pl.BlockSpec((1, 1, dh, chunk), lambda i, j, c, *_: (i, j, 0, c), memory_space=pltpu.VMEM)
+    v_spec = pl.BlockSpec((1, 1, chunk, dh), lambda i, j, c, *_: (i, j, c, 0), memory_space=pltpu.VMEM)
+    part_spec = lambda w: pl.BlockSpec((1, 1, rep, w), lambda i, j, c, *_: (i * nc + c, j, 0, 0), memory_space=pltpu.VMEM)
+
+    if quant_pv:
+        # two-pass global-max quantized p @ V: pass 1 streams K again for
+        # the true per-row max (scores are int8 MXU dots — the re-read is
+        # the price of code-level path invariance vs the whole-cache
+        # kernel), pass 2 quantizes exp(s - M) and the int32 partials sum
+        # directly (no online rescale).
+        m = pl.pallas_call(
+            _chunk_max_kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2, grid=(b, hk, nc),
+                in_specs=[q_spec, kt_spec], out_specs=part_spec(128),
+            ),
+            out_shape=jax.ShapeDtypeStruct((b * nc, hk, rep, 128), jnp.float32),
+            interpret=interpret,
+        )(lengths, scales, qg, kt_cache)
+        m = m.reshape(b, nc, hk, rep, 128)[..., 0]  # (B, nc, Hkv, rep)
+        gmax = jnp.max(m, axis=1).reshape(b, hk * rep)  # (B, Hkv*rep)
+
+        acc, l = pl.pallas_call(
+            _chunk_pv_kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3, grid=(b, hk, nc),
+                in_specs=[q_spec, kt_spec, v_spec],
+                out_specs=(part_spec(dh), part_spec(128)),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((b * nc, hk, rep, dh), jnp.float32),
+                jax.ShapeDtypeStruct((b * nc, hk, rep, 128), jnp.float32),
+            ),
+            interpret=interpret,
+        )(lengths, scales, gmax, qg, kt_cache, v_cache)
+        acc = acc.reshape(b, nc, hk, rep, dh)
+        l = l.reshape(b, nc, hk, rep, 128)[..., :1]
+        num = jnp.sum(acc, axis=1) * (jnp.asarray(v_scale, jnp.float32) / 127.0)
+        den = jnp.sum(l, axis=1)
+        out = num / jnp.maximum(den, 1e-20)
+        return out.reshape(b, h, dh)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(b, hk, nc),
-        in_specs=[
-            pl.BlockSpec((1, 1, rep, dh), lambda i, j, c, *_: (i, j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, dh, chunk), lambda i, j, c, *_: (i, j, 0, c), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, chunk, dh), lambda i, j, c, *_: (i, j, c, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, 1, rep, dh), lambda i, j, c, *_: (i * nc + c, j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, rep, 128), lambda i, j, c, *_: (i * nc + c, j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, rep, 128), lambda i, j, c, *_: (i * nc + c, j, 0, 0), memory_space=pltpu.VMEM),
-        ),
+        in_specs=[q_spec, kt_spec, v_spec],
+        out_specs=(part_spec(dh), part_spec(128), part_spec(128)),
     )
 
     acc, m, l = pl.pallas_call(
-        functools.partial(_decode_chunk_kernel, quant_pv=quant_pv),
+        _decode_chunk_kernel,
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((b * nc, hk, rep, dh), jnp.float32),
@@ -565,27 +648,76 @@ def int8_paged_decode_attention(
         qk = qk / math.sqrt(dh)
     scales = jnp.stack([qk, v_scale.astype(jnp.float32), jnp.float32(0)])
 
+    q_spec = pl.BlockSpec((1, 1, rep, dh), lambda i, j, c, *_: (i, j, 0, 0), memory_space=pltpu.VMEM)
+
+    def kt_spec(n_pre):
+        # the page table is always the LAST prefetch operand; n_pre pins arity
+        return pl.BlockSpec(
+            (1, 1, dh, ps),
+            lambda i, j, c, *pre: (pre[n_pre - 1][i, c], j, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def v_spec(n_pre):
+        return pl.BlockSpec(
+            (1, 1, ps, dh),
+            lambda i, j, c, *pre: (pre[n_pre - 1][i, c], j, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    part_spec = lambda w: pl.BlockSpec((1, 1, rep, w), lambda i, j, c, *_: (i * npg + c, j, 0, 0), memory_space=pltpu.VMEM)
+    tbl = table.astype(jnp.int32)
+
+    if quant_pv:
+        # two-pass global-max quantized p @ V (see int8_decode_attention_
+        # chunked): codes match the whole-cache kernel and the dense XLA
+        # golden bit-for-bit, so paged serving emits the dense batcher's
+        # tokens with quant_pv on (VERDICT r4 #1).
+        def max_kernel(len_ref, scale_ref, tbl_ref, q_ref, kt_ref, m_ref):
+            _chunk_max_kernel(len_ref, scale_ref, q_ref, kt_ref, m_ref)
+
+        m = pl.pallas_call(
+            max_kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=3, grid=(b, hk, npg),
+                in_specs=[q_spec, kt_spec(3)], out_specs=part_spec(128),
+            ),
+            out_shape=jax.ShapeDtypeStruct((b * npg, hk, rep, 128), jnp.float32),
+            interpret=interpret,
+        )(lengths, scales, tbl, qg, kt_pool)
+        m = m.reshape(b, npg, hk, rep, 128)[..., 0]
+        gmax = jnp.max(m, axis=1).reshape(b, hk * rep)
+
+        def pv_kernel(len_ref, scale_ref, gmax_ref, tbl_ref, q_ref, kt_ref,
+                      v_ref, acc_ref, l_ref):
+            _chunk_pv_kernel(len_ref, scale_ref, gmax_ref, q_ref, kt_ref,
+                             v_ref, acc_ref, l_ref)
+
+        acc, l = pl.pallas_call(
+            pv_kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=4, grid=(b, hk, npg),
+                in_specs=[q_spec, kt_spec(4), v_spec(4)],
+                out_specs=(part_spec(dh), part_spec(128)),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((b * npg, hk, rep, dh), jnp.float32),
+                jax.ShapeDtypeStruct((b * npg, hk, rep, 128), jnp.float32),
+            ),
+            interpret=interpret,
+        )(lengths, scales, gmax, tbl, qg, kt_pool, v_pool)
+        acc = acc.reshape(b, npg, hk, rep, dh)
+        l = l.reshape(b, npg, hk, rep, 128)[..., :1]
+        num = jnp.sum(acc, axis=1) * (jnp.asarray(v_scale, jnp.float32) / 127.0)
+        den = jnp.sum(l, axis=1)
+        out = num / jnp.maximum(den, 1e-20)
+        return out.reshape(b, h, dh)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # lengths, scales, page table
         grid=(b, hk, npg),
-        in_specs=[
-            pl.BlockSpec((1, 1, rep, dh), lambda i, j, c, *_: (i, j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, 1, dh, ps),
-                lambda i, j, c, len_ref, scale_ref, tbl_ref: (tbl_ref[i, c], j, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, 1, ps, dh),
-                lambda i, j, c, len_ref, scale_ref, tbl_ref: (tbl_ref[i, c], j, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, 1, rep, dh), lambda i, j, c, *_: (i * npg + c, j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, rep, 128), lambda i, j, c, *_: (i * npg + c, j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, rep, 128), lambda i, j, c, *_: (i * npg + c, j, 0, 0), memory_space=pltpu.VMEM),
-        ),
+        in_specs=[q_spec, kt_spec(3), v_spec(3)],
+        out_specs=(part_spec(dh), part_spec(128), part_spec(128)),
     )
 
     def kernel(len_ref, scale_ref, tbl_ref, q_ref, kt_ref, v_ref, acc_ref, m_ref, l_ref):
@@ -593,7 +725,6 @@ def int8_paged_decode_attention(
         # so pos = c*ps + iota masks exactly as the contiguous layout does
         _decode_chunk_kernel(
             len_ref, scale_ref, q_ref, kt_ref, v_ref, acc_ref, m_ref, l_ref,
-            quant_pv=quant_pv,
         )
 
     acc, m, l = pl.pallas_call(
@@ -605,7 +736,7 @@ def int8_paged_decode_attention(
             jax.ShapeDtypeStruct((b * npg, hk, rep, 128), jnp.float32),
         ),
         interpret=interpret,
-    )(lengths, scales, table.astype(jnp.int32), qg, kt_pool, v_pool)
+    )(lengths, scales, tbl, qg, kt_pool, v_pool)
 
     acc = acc.reshape(b, npg, hk, rep, dh)
     m = m.reshape(b, npg, hk, rep, 128)[..., :1]

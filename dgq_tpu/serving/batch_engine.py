@@ -178,13 +178,13 @@ def _decode_block_batched(ecfg: EngineConfig, layer, x, k_cache, v_cache, length
             ctx = int8_decode_attention_chunked(
                 q_s8[:, :, 0, :], k_cache, v_cache, lengths + 1,
                 layer.q_scale, layer.k_scale, layer.v_scale,
-                chunk=chunk, interpret=ecfg.interpret,
+                chunk=chunk, interpret=ecfg.interpret, quant_pv=ecfg.quant_pv,
             ).reshape(b, 1, h * dh)
         else:
             ctx = int8_decode_attention(
                 q_s8[:, :, 0, :], k_cache, v_cache, lengths + 1,
                 layer.q_scale, layer.k_scale, layer.v_scale,
-                interpret=ecfg.interpret,
+                interpret=ecfg.interpret, quant_pv=ecfg.quant_pv,
             ).reshape(b, 1, h * dh)
     else:
         from dgq_tpu.ops.attention import int8_decode_attention_xla
@@ -192,6 +192,7 @@ def _decode_block_batched(ecfg: EngineConfig, layer, x, k_cache, v_cache, length
         ctx = int8_decode_attention_xla(
             q_s8[:, :, 0, :], k_cache, v_cache, lengths + 1,
             layer.q_scale, layer.k_scale, layer.v_scale,
+            quant_pv=ecfg.quant_pv,
         ).reshape(b, 1, h * dh)
 
     x = _block_tail(ecfg, layer, x, ctx, ecfg.bm_decode, fused)
@@ -334,9 +335,25 @@ def _verify_block_batched(ecfg: EngineConfig, layer, x, k_cache, v_cache,
     kpos = jnp.arange(smax)[None, None, None, None, :]
     qpos = lengths[:, None, None, None, None] + jnp.arange(k1)[None, None, None, :, None]
     scores = jnp.where(kpos <= qpos, scores, jnp.finfo(jnp.float32).min)
-    p = jax.nn.softmax(scores, axis=-1)
-    vf = v_att.astype(jnp.float32) * v_eff
-    ctx = jnp.einsum("bgrqs,bgsd->bgrqd", p, vf)  # (B, Hkv, rep, K1, Dh)
+    if ecfg.quant_pv and ecfg.kv_bits == 8:
+        # verification is a DECODE-side window: mirror the decode paths'
+        # INT8 p @ V (global-row-max codes, ops/attention._quantize_exp) so
+        # accepted drafts reproduce the plain decode step's logits exactly
+        # and speculation keeps its bitwise greedy-equality contract.
+        # INT4 KV stays fp p @ V everywhere (quant_pv is kv8-scoped).
+        from dgq_tpu.ops.attention import _quantize_exp
+
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        e = jnp.exp(scores - m)
+        denom = jnp.sum(e, axis=-1, keepdims=True)
+        qe = _quantize_exp(e)
+        acc = jnp.einsum("bgrqs,bgsd->bgrqd", qe, v_att,
+                         preferred_element_type=jnp.int32)
+        ctx = acc.astype(jnp.float32) * ((v_eff / 127.0) / denom)
+    else:
+        p = jax.nn.softmax(scores, axis=-1)
+        vf = v_att.astype(jnp.float32) * v_eff
+        ctx = jnp.einsum("bgrqs,bgsd->bgrqd", p, vf)  # (B, Hkv, rep, K1, Dh)
     ctx = ctx.transpose(0, 3, 1, 2, 4).reshape(b, k1, h * dh)
 
     x = _block_tail(ecfg, layer, x, ctx, ecfg.bm_decode, fused)

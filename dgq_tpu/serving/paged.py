@@ -263,7 +263,10 @@ def _paged_decode_block(ecfg, layer, x, kt_pool, v_pool, table, lengths,
                 q_s8[:, :, 0, :], unpack_nibbles(kt_pool, axis=2),
                 unpack_nibbles(v_pool, axis=-1), table, lengths + 1,
                 layer.q_scale, layer.k_scale * KV4_RATIO,
-                layer.v_scale * KV4_RATIO, quant_pv=ecfg.quant_pv,
+                layer.v_scale * KV4_RATIO,
+                # NO quant_pv: INT4-KV paths keep fp p @ V everywhere (the
+                # dense kv4 decode in batch_engine and models/engine is fp,
+                # and the kv4 paged KERNEL is fp) — quant_pv is kv8-scoped
             ).reshape(b, 1, h * dh)
         x = _block_tail(ecfg, layer, x, ctx, ecfg.bm_decode, fused)
         return x, kt_pool, v_pool

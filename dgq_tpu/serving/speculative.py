@@ -97,7 +97,11 @@ def spec_verify_step(
     masked and overwritten — the rollback contract."""
     b, kd = drafts.shape
     ids = jnp.concatenate([tok, drafts], axis=1)  # (1, K+1)
-    logits, cache2 = forward_fn(ecfg, params, ids, cache)
+    # window="decode": the K+1 window is VERIFICATION, not prefill — with
+    # quant_pv on, the fallback attention must quantize p @ V exactly as
+    # the s == 1 decode step does, or accepted drafts would not reproduce
+    # plain decode's logits (every family forward accepts this kwarg)
+    logits, cache2 = forward_fn(ecfg, params, ids, cache, window="decode")
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (1, K+1)
     # greedy[:, i] is the model's token after ids[:, :i+1] (causal), so
     # draft i is accepted iff every earlier draft matched and it matches
@@ -131,7 +135,10 @@ def draft_model_propose(
 
     forward_fn = forward_fn or _fwd
     ids = jnp.asarray(feed_toks, jnp.int32)[None, :]
-    logits, dcache = forward_fn(decfg, dparams, ids, dcache)
+    # the multi-token feed is a DECODE-side window (mid-generation catch-up,
+    # not prompt prefill): declaring it keeps a self-draft bitwise equal to
+    # the target's verify windows — perfect acceptance stays perfect
+    logits, dcache = forward_fn(decfg, dparams, ids, dcache, window="decode")
     t = jnp.argmax(logits[:, -1:, :], axis=-1).astype(jnp.int32)  # (1, 1)
     drafts = [t[0, 0]]
     for _ in range(k - 1):

@@ -132,8 +132,14 @@ def gate_attention(results):
             q, kt, v, lengths, s, s, s, quant_pv=True)),
         ("attention.chunked", lambda: int8_decode_attention_chunked(
             q, kt, v, lengths, s, s, s, chunk=256)),
+        # round-5 two-pass global-max quant_pv kernels (path invariance):
+        # gated against the XLA quant_pv golden below, not just compiled
+        ("attention.chunked_quant_pv", lambda: int8_decode_attention_chunked(
+            q, kt, v, lengths, s, s, s, chunk=256, quant_pv=True)),
         ("attention.paged", lambda: int8_paged_decode_attention(
             q, kt_pool, v_pool, table, lengths, s, s, s)),
+        ("attention.paged_quant_pv", lambda: int8_paged_decode_attention(
+            q, kt_pool, v_pool, table, lengths, s, s, s, quant_pv=True)),
         ("attention.paged4", lambda: int4_paged_decode_attention(
             q, kt4_pool, v4_pool, table, lengths, s, s, s)),
         ("attention.flash_prefill", lambda: int8_prefill_attention(
@@ -154,6 +160,18 @@ def gate_attention(results):
                 # chunked streams the softmax; fp32 accumulation order
                 # differs from the whole-cache kernel on real hardware
                 np.testing.assert_allclose(out, ref, rtol=1e-3, atol=5e-3)
+            elif name in ("attention.chunked_quant_pv",
+                          "attention.paged_quant_pv"):
+                # global-row-max codes must land on the dense quant rule
+                if name.startswith("attention.chunked"):
+                    gold = np.asarray(int8_decode_attention_xla(
+                        q, kt, v, lengths, s, s, s, quant_pv=True))
+                else:
+                    from dgq_tpu.ops.attention import gather_paged_kv
+                    ktd, vd = gather_paged_kv(kt_pool, v_pool, table)
+                    gold = np.asarray(int8_decode_attention_xla(
+                        q, ktd, vd, lengths, s, s, s, quant_pv=True))
+                np.testing.assert_allclose(out, gold, rtol=1e-3, atol=5e-3)
             _ok(name, results)
         except Exception as e:  # noqa: BLE001
             _fail(name, e, results)

@@ -36,6 +36,10 @@ timeout 900 python scripts/bench_paged.py --batch 8 --max-len 2048 \
 echo "== 6/8 W4A8 vs bf16-dense decode baseline (7B, 32 steps) =="
 timeout 1800 python scripts/bench_fp16_baseline.py || echo "fp16 baseline FAILED"
 
+echo "== 6b/8 chip-scale PTQ e2e proof (calibrate->pack->engine, ~0.5B) =="
+timeout 5400 python scripts/tpu_ptq_e2e.py --layers 8 --seq 256 --nsamples 2 \
+  || echo "ptq e2e FAILED"
+
 echo "== 7/8 driver benchmark (GEMM roofline + decode) =="
 timeout 5400 python bench.py || echo "bench.py FAILED"
 echo "done"
