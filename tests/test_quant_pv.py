@@ -1,10 +1,13 @@
 """Quantized-probs p @ V path (EngineConfig.quant_pv).
 
 The reference attempted int8 softmax output and abandoned it for accuracy
-(reference: opt_a8w4.py:176-179).  The retry here uses per-query-row prob
-scales; these tests are the quality gate: the kernel must match its XLA
-golden bit-for-bit, sit within a tight error of the fp p @ V, and not move
-a tiny engine's NLL.
+(reference: opt_a8w4.py:176-179).  The rule here quantizes the
+unnormalized exp-weights against the GLOBAL row max with the constant
+scale 1/127 (ops/attention._quantize_exp) — path-invariant across the
+whole-cache, chunked (two-pass) and paged (two-pass) kernels.  These
+tests are the quality gate: every kernel must match the XLA golden, sit
+within a tight error of fp p @ V, and not move a tiny engine's NLL; the
+cross-path token-equality contracts live in test_path_consistency.py.
 """
 
 import numpy as np
