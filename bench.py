@@ -517,7 +517,18 @@ def worker_serving():
             # the same RANDOM prompts as the plain stream, so
             # serving_spec_random_tok_s compares 1:1 against serving_tok_s
             # (adaptive speculation may suspend itself — that IS the
-            # mechanism under test)
+            # mechanism under test).  Warm the PLAIN fused multi-decode
+            # program inside this spec batcher first: the repetitive warm
+            # stream above never suspends, so the first suspension would
+            # otherwise pay its cold Mosaic compile inside the measured
+            # window (r5 capture: 93 vs 302 tok/s — one ~8 s compile in an
+            # ~11 s window).
+            for i in range(bs.num_slots):
+                bs.add_request(Request(
+                    uid=35_000 + i,
+                    prompt_ids=rng.integers(0, cfg.vocab_size, 48).astype(np.int32),
+                    max_new_tokens=8 * (bs.decode_steps + 1)))
+            bs.run()
             bs.finished = []
             t0 = time.time()
             for i, r in enumerate(reqs):
@@ -530,7 +541,8 @@ def worker_serving():
             out["serving_spec_random_tok_s"] = round(toks_r / dtr, 1)
             m = bs.metrics()
             out["serving_spec_tokens_per_step"] = m.get("spec_tokens_per_step")
-            out["serving_spec_suspended"] = m.get("spec_suspended_steps", 0) > 0
+            out["serving_spec_suspensions"] = m.get("spec_suspensions", 0)
+            out["serving_spec_suspended"] = m.get("spec_suspensions", 0) > 0
     except Exception as e:  # noqa: BLE001
         out["serving_spec_error"] = repr(e)[:200]
 

@@ -154,6 +154,7 @@ class ContinuousBatcher:
         self._spec_ewma: Optional[float] = None
         self._spec_ewma_n = 0
         self._spec_suspended = 0  # steps remaining in suspension
+        self._spec_suspensions = 0  # cumulative count (metrics: suspension ever engaged)
         self.max_recoveries = max_recoveries
         self._recoveries = 0
         self.cache = self._fn("init_batched_cache")(ecfg.cfg, num_slots, max_len, kv_bits=ecfg.kv_bits)
@@ -427,6 +428,7 @@ class ContinuousBatcher:
             )
             if self.spec_adaptive:
                 out["spec_suspended_steps"] = self._spec_suspended
+                out["spec_suspensions"] = self._spec_suspensions
                 if self._spec_ewma is not None:
                     out["spec_rate_ewma"] = round(self._spec_ewma, 3)
         if self._prefix is not None:
@@ -668,6 +670,7 @@ class ContinuousBatcher:
         self._spec_ewma_n += steps
         if self._spec_ewma_n >= 8 and self._spec_ewma < self.spec_cost_ratio:
             self._spec_suspended = self.spec_probe_every
+            self._spec_suspensions += 1
             self._spec_ewma = None
             self._spec_ewma_n = 0
 

@@ -1,10 +1,13 @@
-"""On-chip block-shape sweep for the 13B/30B/65B engine GEMM shapes
-(VERDICT r3 #9): measure the candidate kernels/blocks per shape at M=2048
-and write the winners into dgq_tpu/ops/autotune_defaults.json, replacing
-the heuristic-derived entries so larger configs don't inherit 7B choices.
+"""On-chip block-shape sweep for the engine GEMM shapes
+(VERDICT r3 #9, r4 weak #7): measure the candidate kernels/blocks per
+shape and write the winners into dgq_tpu/ops/autotune_defaults.json,
+replacing the heuristic-derived entries so larger configs don't inherit
+7B choices — and so serving-prefill M (128/256/512 after prefill_pad)
+gets measured entries instead of heuristics.
 
 Run (one TPU process at a time, ~1-2 min per shape):
   python scripts/sweep_family_shapes.py --fams 13b 30b [--update]
+  python scripts/sweep_family_shapes.py --fams 7b --m 256 [--update]
 """
 import argparse
 import json
@@ -40,8 +43,10 @@ def main():
 
     import jax.numpy as jnp
 
+    from dgq_tpu.ops.fused_decode import pack_rowpair_s4
     from dgq_tpu.ops.quant_matmul import (
-        w4a8_matmul_packed, w4a8_matmul_pipe, w4a8_matmul_wres,
+        w4a8_matmul_packed, w4a8_matmul_pipe, w4a8_matmul_rp_pipe,
+        w4a8_matmul_wres,
     )
     from dgq_tpu.utils.benchmarking import gemm_tops
 
@@ -53,22 +58,33 @@ def main():
     for n, k in shapes:
         x = jnp.asarray(rng.integers(-127, 128, (m, k)), jnp.int8)
         qw = jnp.asarray(rng.integers(-128, 128, (k // 2, n)), jnp.int8)
+        qw_rp = pack_rowpair_s4(jnp.asarray(qw), 2 * g)
         ws = jnp.asarray(rng.integers(1, 4, (k // g, n)), jnp.int8)
         wz = jnp.asarray(rng.integers(0, 16, (k // g, n)), jnp.int8)
         al = jnp.asarray(rng.random(n), jnp.float32)
         bkp = 1024 if k % 1024 == 0 else 512
+        # bm never exceeds the (pow2-padded) problem M: the kernels pad M
+        # up to bm, so a 2048 block at M=256 would do 8x wasted rows —
+        # exactly the serving-prefill shapes this sweep now covers
+        bmc = min(2048, max(128, 1 << (m - 1).bit_length()))
         cands = {
-            "wres(512,512,-1)": (
-                lambda x_: w4a8_matmul_wres(x_, qw, ws, wz, al, bm=512, bn=512),
-                [512, 512, -1]),
-            "packed(2048,512,256)": (
-                lambda x_: w4a8_matmul_packed(x_, qw, ws, wz, al, bm=2048,
+            f"wres({min(512, bmc)},512,-1)": (
+                lambda x_: w4a8_matmul_wres(x_, qw, ws, wz, al,
+                                            bm=min(512, bmc), bn=512),
+                [min(512, bmc), 512, -1]),
+            f"packed({bmc},512,256)": (
+                lambda x_: w4a8_matmul_packed(x_, qw, ws, wz, al, bm=bmc,
                                               bn=512, bk=256),
-                [2048, 512, 256]),
-            f"pipe(2048,256,{bkp})": (
-                lambda x_: w4a8_matmul_pipe(x_, qw, ws, wz, al, bm=2048,
+                [bmc, 512, 256]),
+            f"pipe({bmc},256,{bkp})": (
+                lambda x_: w4a8_matmul_pipe(x_, qw, ws, wz, al, bm=bmc,
                                             bn=256, bk=bkp),
-                [2048, 256, bkp]),
+                [bmc, 256, bkp]),
+            f"rp_pipe({bmc},256,{bkp})": (
+                lambda x_: w4a8_matmul_rp_pipe(x_, qw_rp, ws, wz, al,
+                                               groupsize=g, bm=bmc, bn=256,
+                                               bk=bkp),
+                [bmc, 256, bkp]),
         }
         best_name, best_tops, best_blocks = None, -1.0, None
         rows = []
