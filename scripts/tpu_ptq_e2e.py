@@ -33,7 +33,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--layers", type=int, default=24)
     ap.add_argument("--hidden", type=int, default=2048)
-    ap.add_argument("--intermediate", type=int, default=5504)
+    # intermediate must have an EVEN group count (span packing pairs two
+    # groups per byte row; every real LLaMA size does: 11008/128=86): 5632
+    # keeps ~0.7B scale with 44 groups
+    ap.add_argument("--intermediate", type=int, default=5632)
     ap.add_argument("--heads", type=int, default=16)
     ap.add_argument("--kv-heads", type=int, default=16)
     ap.add_argument("--vocab", type=int, default=32000)
