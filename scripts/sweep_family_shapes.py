@@ -26,6 +26,10 @@ FAMS = {
 }
 GROUPSIZE = 128
 DEVICE = "TPU_v5_lite"
+# device_kind -> INT8 TOPS (mirrors bench.py PEAK_INT8_OPS; used only to
+# clamp/reject physically impossible readings from degraded tunnel windows)
+PEAK_INT8_TOPS = {"TPU_v5_lite": 394.7, "TPU_v5": 918.0, "TPU_v4": 275.0,
+                  "TPU_v6_lite": 1836.0}
 
 
 def gemm_shapes(h, f):
@@ -39,6 +43,8 @@ def main():
     ap.add_argument("--update", action="store_true",
                     help="write winners into autotune_defaults.json")
     ap.add_argument("--iters", type=int, default=24)
+    ap.add_argument("--reps", type=int, default=3,
+                    help="rotated round-robin reps per candidate (median wins)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -86,18 +92,41 @@ def main():
                                                bk=bkp),
                 [bmc, 256, bkp]),
         }
+        # rotated round-robin so every candidate samples every tunnel
+        # window; median per candidate, super-roofline readings rejected
+        # (gemm_tops clamps dt to the physical floor via peak_tops, and
+        # anything still >1.02x peak is a window-crossing artifact)
+        import jax
+
+        peak = PEAK_INT8_TOPS.get(
+            jax.devices()[0].device_kind.replace(" ", "_"), 394.7)
+        samples = {name: [] for name in cands}
+        failed = set()
+        for _ in range(args.reps):
+            for name, (fn, blocks) in cands.items():
+                if name in failed:
+                    continue
+                try:
+                    _, tops = gemm_tops(fn, (x,), m, n, k, iters=args.iters,
+                                        base_iters=args.iters // 4,
+                                        repeats=1, peak_tops=peak)
+                except Exception:  # noqa: BLE001
+                    failed.add(name)
+                    continue
+                if tops <= peak * 1.02:
+                    samples[name].append(tops)
         best_name, best_tops, best_blocks = None, -1.0, None
         rows = []
         for name, (fn, blocks) in cands.items():
-            try:
-                _, tops = gemm_tops(fn, (x,), m, n, k, iters=args.iters,
-                                    base_iters=args.iters // 4, repeats=1)
-            except Exception as e:  # noqa: BLE001
-                rows.append(f"{name}: FAIL {type(e).__name__}")
+            vals = sorted(samples[name])
+            if not vals:
+                rows.append(f"{name}: FAIL" if name in failed
+                            else f"{name}: all readings rejected")
                 continue
-            rows.append(f"{name}: {tops:6.1f} TOPS")
-            if tops > best_tops:
-                best_name, best_tops, best_blocks = name, tops, blocks
+            med = vals[len(vals) // 2]
+            rows.append(f"{name}: {med:6.1f} TOPS (n={len(vals)})")
+            if med > best_tops:
+                best_name, best_tops, best_blocks = name, med, blocks
         print(f"{n}x{k}: " + " | ".join(rows) + f"  -> {best_name}",
               flush=True)
         results[f"{DEVICE}:{m}:{n}x{k}g{g}"] = best_blocks
