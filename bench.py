@@ -30,8 +30,11 @@ PEAK_INT8_OPS = {"v5e": 394.7e12, "v5p": 918e12, "v4": 275e12, "v6e": 1836e12}
 MAX_ATTEMPTS = int(os.environ.get("DGQ_BENCH_ATTEMPTS", "8"))
 # best-sustained = max over rounds; the in-capture variant matrices show the
 # fused variants' good windows are 380+ TOPS while bad windows collapse 5x,
-# so more rounds directly raise the odds of sampling a clean window
-TARGET_GOOD_ROUNDS = 4
+# so more rounds directly raise the odds of sampling a clean window.  A
+# round costs ~2 min warm (r5 second capture: 4 rounds + cold compile in
+# 9 min), so 6 rounds still leaves the extras >25 min of a 40-min budget;
+# the deadline logic skips lower-priority extras if the windows run slow.
+TARGET_GOOD_ROUNDS = int(os.environ.get("DGQ_BENCH_ROUNDS", "6"))
 SLEEPS = (20, 45, 90, 150, 240)
 WORKER_TIMEOUT_FIRST = 900  # cold Mosaic remote-compile can take minutes
 WORKER_TIMEOUT_NEXT = 420
