@@ -372,6 +372,100 @@ class FalconAdapter:
         )
 
 
+class MixtralAdapter:
+    """Mixtral sparse-MoE (beyond-reference family; the reference has no MoE
+    support at all).  The linear map is built per-instance — it depends on
+    cfg.num_local_experts.  All experts' w1/w3 share the pre-routing
+    activation family ("moe_inp"); each w2 gets its expert's DENSE
+    intermediate (see models/mixtral.py module docstring for why).  The
+    router gate is never quantized (tiny, control-flow-critical)."""
+
+    name = "mixtral"
+
+    kv_keys = ("q_rope", "k_rope", "v_rope")
+    minmax_keys = ("attn_ln_out", "moe_ln_out")
+
+    def __init__(self, cfg):
+        self.cfg = cfg
+        e = cfg.num_local_experts
+        linears = {
+            "q_proj": (("self_attn", "q_proj"), "qkv_inp"),
+            "k_proj": (("self_attn", "k_proj"), "qkv_inp"),
+            "v_proj": (("self_attn", "v_proj"), "qkv_inp"),
+            "o_proj": (("self_attn", "o_proj"), "o_proj_inp"),
+        }
+        down_fams = []
+        for i in range(e):
+            base = ("block_sparse_moe", "experts", i)
+            linears[f"e{i}.w1"] = (base + ("w1",), "moe_inp")
+            linears[f"e{i}.w3"] = (base + ("w3",), "moe_inp")
+            linears[f"e{i}.w2"] = (base + ("w2",), f"expert{i}_down_inp")
+            down_fams.append(f"expert{i}_down_inp")
+        self.linears = linears
+        self.max_absmax_keys = (
+            "attn_ln_out", "moe_ln_out", "o_proj_inp", *down_fams
+        )
+        self.hessian_fams = ("qkv_inp", "o_proj_inp", "moe_inp", *down_fams)
+
+    def layers(self, params):
+        return params["layers"]
+
+    def rebuild(self, params, new_layers):
+        out = dict(params)
+        out["layers"] = new_layers
+        return out
+
+    def embed(self, params, input_ids):
+        from dgq_tpu.models.mixtral import mixtral_embed
+
+        return mixtral_embed(params, input_ids)
+
+    def make_aux(self, seqlen, dtype):
+        mask = llama_mod.causal_mask(seqlen, seqlen, dtype)
+        cos, sin = llama_mod.rope_cos_sin(
+            jnp.arange(seqlen), self.cfg.head_dim, self.cfg.rope_theta, dtype
+        )
+        return (mask, cos, sin)
+
+    def block(self, layer, x, aux, qs: QuantState, kv_scales, collect_stats=False):
+        from dgq_tpu.models.mixtral import mixtral_block
+
+        mask, cos, sin = aux
+        return mixtral_block(
+            layer, x, mask, cos, sin, self.cfg, qs, kv_scales, collect_stats
+        )
+
+    def smooth(self, layer, stats):
+        from dgq_tpu.models.mixtral import smooth_mixtral_layer
+
+        e = self.cfg.num_local_experts
+        s = {
+            "attn_ln_out_absmax": stats["attn_ln_out"],
+            "moe_ln_out_absmax": stats["moe_ln_out"],
+        }
+        for i in range(e):
+            s[f"expert{i}_down_inp_absmax"] = stats[f"expert{i}_down_inp"]
+        return smooth_mixtral_layer(layer, s)
+
+    def meanact(self, layer, stats_max, stats_min):
+        from dgq_tpu.models.mixtral import meanact_mixtral_layer
+
+        return meanact_mixtral_layer(layer, stats_max, stats_min)
+
+    def head(self, params, x):
+        from dgq_tpu.models.mixtral import mixtral_head
+
+        return mixtral_head(params, x, self.cfg)
+
+    def kv_state(self, stats_min) -> KVQuantState:
+        maxq = 255.0
+        return KVQuantState(
+            q_scale=2.0 * jnp.max(stats_min["q_rope"]) / maxq,
+            k_scale=2.0 * jnp.max(stats_min["k_rope"]) / maxq,
+            v_scale=2.0 * jnp.max(stats_min["v_rope"]) / maxq,
+        )
+
+
 def get_adapter(arch: str, cfg):
     return {
         "llama": LlamaAdapter,
@@ -379,4 +473,5 @@ def get_adapter(arch: str, cfg):
         "bloom": BloomAdapter,
         "mpt": MPTAdapter,
         "falcon": FalconAdapter,
+        "mixtral": MixtralAdapter,
     }[arch](cfg)
