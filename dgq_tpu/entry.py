@@ -14,8 +14,9 @@ with the reference's quirks fixed (SURVEY §7 "quirks to NOT replicate"):
     --sym, --true-sequential, --observe, --nearest, --csqa_eval) are
     accepted for CLI compatibility and reported as no-ops.
 
-MODEL is a HF checkpoint directory (LLaMA-family) or "tiny[:llama|opt|bloom]"
-for a random-initialized smoke-test model.
+MODEL is a HF checkpoint directory (llama/opt/bloom/mpt/falcon/mixtral) or
+"tiny[:llama|opt|bloom|mpt|falcon|mixtral]" for a random-initialized
+smoke-test model.
 """
 
 from __future__ import annotations
@@ -149,6 +150,12 @@ def prepare_model(model: str, seed: int = 0):
 
             cfg = tiny_falcon_config(hidden_size=256)
             return init_falcon_params(cfg, key), cfg, arch, None
+        if arch == "mixtral":
+            from dgq_tpu.models.mixtral import init_mixtral_params, tiny_mixtral_config
+
+            cfg = tiny_mixtral_config(hidden_size=256, intermediate_size=512,
+                                      num_attention_heads=4, num_key_value_heads=2)
+            return init_mixtral_params(cfg, key), cfg, arch, None
         raise ValueError(arch)
 
     import os
@@ -176,9 +183,13 @@ def prepare_model(model: str, seed: int = 0):
         from dgq_tpu.models.hf_loader import load_falcon_config, load_falcon_params
 
         return load_falcon_params(model), load_falcon_config(model), "falcon", model
+    if model_type == "mixtral":
+        from dgq_tpu.models.hf_loader import load_mixtral_config, load_mixtral_params
+
+        return load_mixtral_params(model), load_mixtral_config(model), "mixtral", model
     raise NotImplementedError(
         f"HF ingestion for {model_type} not wired; supported: "
-        "llama/opt/bloom/mpt/falcon"
+        "llama/opt/bloom/mpt/falcon/mixtral"
     )
 
 
@@ -205,6 +216,10 @@ def apply_fn_for(arch: str, cfg):
         from dgq_tpu.models.bloom import bloom_apply
 
         return lambda ps, ids, qs=None, kv=None: bloom_apply(ps, ids, cfg, qs or _fp_qs(), kv)
+    if arch == "mixtral":
+        from dgq_tpu.models.mixtral import mixtral_apply
+
+        return lambda ps, ids, qs=None, kv=None: mixtral_apply(ps, ids, cfg, qs or _fp_qs(), kv)
     raise ValueError(arch)
 
 
@@ -226,6 +241,13 @@ def _engine_eval_fns(arch: str):
         from dgq_tpu.models.falcon_engine import falcon_engine_forward, init_falcon_kv_cache
 
         return falcon_engine_forward, init_falcon_kv_cache
+    if arch == "mixtral":
+        from dgq_tpu.models.mixtral_engine import (
+            init_mixtral_kv_cache,
+            mixtral_engine_forward,
+        )
+
+        return mixtral_engine_forward, init_mixtral_kv_cache
     from dgq_tpu.models.engine import engine_forward, init_kv_cache
 
     return engine_forward, init_kv_cache
@@ -304,6 +326,14 @@ def main(argv=None):
             from dgq_tpu.models.falcon_engine import FalconEngineConfig, from_ptq_falcon
 
             engine_state = (FalconEngineConfig(cfg=cfg, use_kernel=on_tpu), from_ptq_falcon(params, kv_scales, cfg))
+        elif arch == "mixtral":
+            from dgq_tpu.models.mixtral_engine import (
+                MixtralEngineConfig,
+                from_ptq_mixtral,
+            )
+
+            engine_state = (MixtralEngineConfig(cfg=cfg, use_kernel=on_tpu),
+                            from_ptq_mixtral(params, kv_scales, cfg))
         else:
             print(f"[dgq_tpu] no INT8 engine for {arch} (fake-quant only)")
         if engine_state is not None:

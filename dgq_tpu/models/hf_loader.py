@@ -308,3 +308,75 @@ def load_falcon_params(model_dir: str, dtype=jnp.bfloat16) -> Dict:
     if "lm_head" not in params:
         params["lm_head"] = {"weight": params["embed_tokens"]}
     return params
+
+
+def load_mixtral_config(model_dir: str):
+    from dgq_tpu.models.mixtral import MixtralConfig
+
+    with open(os.path.join(model_dir, "config.json")) as f:
+        hf = json.load(f)
+    return MixtralConfig(
+        vocab_size=hf["vocab_size"],
+        hidden_size=hf["hidden_size"],
+        intermediate_size=hf["intermediate_size"],
+        num_hidden_layers=hf["num_hidden_layers"],
+        num_attention_heads=hf["num_attention_heads"],
+        num_key_value_heads=hf.get("num_key_value_heads", 8),
+        num_local_experts=hf.get("num_local_experts", 8),
+        num_experts_per_tok=hf.get("num_experts_per_tok", 2),
+        max_position_embeddings=hf.get("max_position_embeddings", 32768),
+        rms_norm_eps=hf.get("rms_norm_eps", 1e-5),
+        rope_theta=hf.get("rope_theta", 1e6),
+        tie_word_embeddings=hf.get("tie_word_embeddings", False),
+    )
+
+
+def load_mixtral_params(model_dir: str, dtype=jnp.bfloat16) -> Dict:
+    """Read HF MixtralForCausalLM weights into the dgq_tpu params pytree.
+
+    HF layout: ``model.layers.{i}.block_sparse_moe.gate.weight`` (router)
+    and ``...block_sparse_moe.experts.{e}.{w1|w2|w3}.weight`` per expert;
+    the attention half matches LLaMA."""
+    cfg = load_mixtral_config(model_dir)
+    layers: list = [
+        {
+            "input_layernorm": {},
+            "self_attn": {"q_proj": {}, "k_proj": {}, "v_proj": {}, "o_proj": {}},
+            "post_attention_layernorm": {},
+            "block_sparse_moe": {
+                "gate": {},
+                "experts": [
+                    {"w1": {}, "w3": {}, "w2": {}}
+                    for _ in range(cfg.num_local_experts)
+                ],
+            },
+        }
+        for _ in range(cfg.num_hidden_layers)
+    ]
+    params: Dict = {"layers": layers}
+
+    for name, arr in _open_shards(model_dir):
+        a = jnp.asarray(arr).astype(dtype)
+        if name == "model.embed_tokens.weight":
+            params["embed_tokens"] = a
+        elif name == "model.norm.weight":
+            params["norm"] = {"weight": a}
+        elif name == "lm_head.weight":
+            params["lm_head"] = {"weight": a}
+        elif name.startswith("model.layers."):
+            parts = name.split(".")
+            li = int(parts[2])
+            sub = parts[3]
+            if sub in ("input_layernorm", "post_attention_layernorm"):
+                layers[li][sub]["weight"] = a
+            elif sub == "self_attn":
+                layers[li][sub][parts[4]][parts[5]] = a
+            elif sub == "block_sparse_moe":
+                if parts[4] == "gate":
+                    layers[li][sub]["gate"][parts[5]] = a
+                elif parts[4] == "experts":
+                    e = int(parts[5])
+                    layers[li][sub]["experts"][e][parts[6]][parts[7]] = a
+    if "lm_head" not in params:
+        params["lm_head"] = {"weight": params["embed_tokens"]}
+    return params

@@ -116,6 +116,28 @@ def _qcfg_from_dict(d: dict) -> QuantConfig:
     )
 
 
+def _config_cls(arch: str):
+    """Model-config dataclass for an arch name (manifest round-trip)."""
+    if arch == "llama":
+        return LlamaConfig
+    if arch == "opt":
+        from dgq_tpu.models.opt import OPTConfig
+        return OPTConfig
+    if arch == "bloom":
+        from dgq_tpu.models.bloom import BloomConfig
+        return BloomConfig
+    if arch == "mpt":
+        from dgq_tpu.models.mpt import MPTConfig
+        return MPTConfig
+    if arch == "falcon":
+        from dgq_tpu.models.falcon import FalconConfig
+        return FalconConfig
+    if arch == "mixtral":
+        from dgq_tpu.models.mixtral import MixtralConfig
+        return MixtralConfig
+    raise ValueError(f"unknown arch {arch!r}")
+
+
 def load_quantized(path: str):
     """Returns (params, cfg, qcfg, kv_scales)."""
     from safetensors.flax import load_file
@@ -123,7 +145,7 @@ def load_quantized(path: str):
     tensors = load_file(path)
     with open(path + ".json") as f:
         manifest = json.load(f)
-    cfg = LlamaConfig(**manifest["model_config"])
+    cfg = _config_cls(manifest.get("arch", "llama"))(**manifest["model_config"])
     qcfg = _qcfg_from_dict(manifest["quant_config"])
     packed_meta = manifest["packed"]
 
@@ -358,6 +380,12 @@ def load_engine_sharded(path: str, mesh=None):
 
         return (_namedtuple_from_nested(FalconEngineParams, restored),
                 FalconConfig(**manifest["model_config"]))
+    if arch == "mixtral":
+        from dgq_tpu.models.mixtral import MixtralConfig
+        from dgq_tpu.models.mixtral_engine import MixtralEngineParams
+
+        return (_namedtuple_from_nested(MixtralEngineParams, restored),
+                MixtralConfig(**manifest["model_config"]))
     raise ValueError(f"unknown arch {arch!r}")
 
 
@@ -423,6 +451,12 @@ def load_engine(path: str):
         from dgq_tpu.models.falcon_engine import FalconEngineParams
 
         return _rebuild_namedtuple(FalconEngineParams, tensors), FalconConfig(**manifest["model_config"])
+    if arch == "mixtral":
+        from dgq_tpu.models.mixtral import MixtralConfig
+        from dgq_tpu.models.mixtral_engine import MixtralEngineParams
+
+        return (_rebuild_namedtuple(MixtralEngineParams, tensors),
+                MixtralConfig(**manifest["model_config"]))
     cfg = LlamaConfig(**manifest["model_config"])
 
     def lin(prefix: str) -> EngineLinear:
