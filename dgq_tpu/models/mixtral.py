@@ -83,6 +83,12 @@ class MixtralConfig:
     def head_dim(self) -> int:
         return self.hidden_size // self.num_attention_heads
 
+    @property
+    def layer_norm_eps(self) -> float:
+        """Family-generic eps alias (serving/family_batch_engine.py passes
+        cfg.layer_norm_eps to every adapter's ``final``); Mixtral is RMS."""
+        return self.rms_norm_eps
+
 
 def tiny_mixtral_config(**overrides) -> MixtralConfig:
     """Tiny fixture config for CPU tests (SURVEY §4 fake-backend pattern)."""

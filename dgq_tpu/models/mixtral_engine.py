@@ -181,11 +181,12 @@ class MixtralEngineConfig:
     ep_axis: Optional[str] = None  # expert-parallel mesh axis (parallel/moe.py)
     tp_axis: Optional[str] = None
     decode_attn_chunk: int = -1  # -1 AUTO / 0 off / >0 manual
+    kv_bits: int = 8  # scheduler contract; this family serves INT8 KV only
 
     def __hash__(self):
         return hash((self.cfg, self.use_kernel, self.interpret, self.fp_scales,
                      self.bm_prefill, self.bm_decode, self.ep_axis,
-                     self.tp_axis, self.decode_attn_chunk))
+                     self.tp_axis, self.decode_attn_chunk, self.kv_bits))
 
 
 def _moe_tail(ecfg: MixtralEngineConfig, layer: MixtralEngineLayer,

@@ -1,7 +1,7 @@
-"""Continuous batching for the BLOOM, MPT, and Falcon INT8 engines.
+"""Continuous batching for the BLOOM, MPT, Falcon, and Mixtral INT8 engines.
 
 Completes the family-generic serving story: with opt_batch_engine.py and
-the native LLaMA path, ALL FIVE engine families are served by the same
+the native LLaMA path, ALL SIX engine families are served by the same
 ContinuousBatcher scheduler (serving/scheduler.py resolves device fns
 through the ``fns`` namespace; no reference counterpart — the reference
 has no serving layer at all, SURVEY §2.3).
@@ -437,10 +437,101 @@ def falcon_serving_fns() -> SimpleNamespace:
     ))
 
 
+# -- Mixtral (sparse MoE) --------------------------------------------------------
+
+
+def _mixtral_decode_block_batched(ecfg, layer, x, k_cache, v_cache, lengths):
+    """_mixtral_block at s=1 with per-slot RoPE/append (mixtral_engine.py:236).
+
+    The attention half is the LLaMA dataflow (RMSNormQ, fused qkv, GQA);
+    the MoE tail is position-independent so the engine's ``_moe_tail``
+    (one requant point, fp router, dense-over-local-experts) is reused
+    unchanged — including its ep_axis psum under expert parallelism."""
+    from dgq_tpu.models.engine import _rms_norm_q
+    from dgq_tpu.models.mixtral_engine import _moe_tail
+
+    cfg = ecfg.cfg
+    b = x.shape[0]
+    dh = cfg.head_dim
+    kw = dict(use_kernel=ecfg.use_kernel, bm=ecfg.bm_decode,
+              interpret=ecfg.interpret, fp_scales=ecfg.fp_scales)
+
+    x_s8 = _rms_norm_q(x, layer.ln1_weight, cfg.rms_norm_eps, layer.ln1_bias)
+    qkv = _linear_s8(layer.qkv_proj, x_s8, **kw)
+    rep = cfg.num_attention_heads // cfg.num_key_value_heads
+    hk = qkv.shape[-1] // dh // (rep + 2)
+    h = rep * hk
+    q, k, v = jnp.split(qkv, [h * dh, (h + hk) * dh], axis=-1)
+    q = q.reshape(b, 1, h, dh).transpose(0, 2, 1, 3)
+    k = k.reshape(b, 1, hk, dh).transpose(0, 2, 1, 3)
+    v = v.reshape(b, 1, hk, dh).transpose(0, 2, 1, 3)
+
+    pos_cos, pos_sin = jax.vmap(
+        lambda p: rope_cos_sin(p[None], dh, cfg.rope_theta, jnp.float32)
+    )(lengths)
+    cos = pos_cos[:, None, :, :]
+    sin = pos_sin[:, None, :, :]
+    q = q * cos + rotate_half(q) * sin
+    k = k * cos + rotate_half(k) * sin
+
+    q_s8 = _requant(q, layer.q_scale)
+    k_s8 = _requant(k, layer.k_scale)
+    v_s8 = _requant(v, layer.v_scale)
+    k_cache, v_cache = _vmap_append(k_cache, v_cache, k_s8, v_s8, lengths)
+
+    if ecfg.use_kernel:
+        from dgq_tpu.ops.attention import int8_decode_attention
+
+        ctx = int8_decode_attention(
+            q_s8[:, :, 0, :], k_cache, v_cache, lengths + 1,
+            layer.q_scale, layer.k_scale, layer.v_scale,
+            interpret=ecfg.interpret,
+        ).reshape(b, 1, h * dh)
+    else:
+        from dgq_tpu.ops.attention import int8_decode_attention_xla
+
+        ctx = int8_decode_attention_xla(
+            q_s8[:, :, 0, :], k_cache, v_cache, lengths + 1,
+            layer.q_scale, layer.k_scale, layer.v_scale,
+        ).reshape(b, 1, h * dh)
+
+    ctx_s8 = _requant(ctx, layer.out_input_scale, qmin=-127.0)
+    attn_out = _linear_s8(layer.o_proj, ctx_s8, **kw)
+    if ecfg.tp_axis is not None:
+        attn_out = jax.lax.psum(attn_out, ecfg.tp_axis)
+    x = x + attn_out.astype(x.dtype)
+
+    return _moe_tail(ecfg, layer, x, ecfg.bm_decode), k_cache, v_cache
+
+
+def mixtral_serving_fns() -> SimpleNamespace:
+    from dgq_tpu.models.llama import rms_norm
+    from dgq_tpu.models.mixtral_engine import _mixtral_block
+
+    def block_prefill(ecfg, layer, x, k_c, v_c, start, positions, mask, bm):
+        pos_cos, pos_sin = rope_cos_sin(positions, ecfg.cfg.head_dim,
+                                        ecfg.cfg.rope_theta, jnp.float32)
+        return _mixtral_block(ecfg, layer, x, k_c, v_c, start,
+                              pos_cos, pos_sin, mask, bm)
+
+    def final(params, x, eps):
+        return rms_norm(x.astype(jnp.float32), params.norm_weight, eps)
+
+    return _make_family_fns(SimpleNamespace(
+        hk_dh=lambda cfg: (cfg.num_key_value_heads, cfg.head_dim),
+        embed_prefill=lambda ecfg, params, ids, pos: params.embed_tokens[ids].astype(jnp.float32),
+        block_prefill=block_prefill,
+        embed_decode=lambda ecfg, params, toks, lens: params.embed_tokens[toks].astype(jnp.float32),
+        block_decode=_mixtral_decode_block_batched,
+        final=final,
+    ))
+
+
 _FAMILY_FNS = {
     "bloom": bloom_serving_fns,
     "mpt": mpt_serving_fns,
     "falcon": falcon_serving_fns,
+    "mixtral": mixtral_serving_fns,
 }
 
 
@@ -499,6 +590,10 @@ def batcher_from_checkpoint(path: str, *, use_kernel=None, **kw):
         from dgq_tpu.models.falcon_engine import FalconEngineConfig
 
         ecfg = FalconEngineConfig(cfg=cfg, use_kernel=use_kernel)
+    elif arch == "mixtral":
+        from dgq_tpu.models.mixtral_engine import MixtralEngineConfig
+
+        ecfg = MixtralEngineConfig(cfg=cfg, use_kernel=use_kernel)
     else:
         raise ValueError(f"unknown engine family {arch!r} in {path}.json")
     return arch, family_batcher(arch, ecfg, eng, **kw)

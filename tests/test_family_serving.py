@@ -1,5 +1,6 @@
-"""BLOOM / MPT / Falcon continuous batching via the family-generic
-scheduler (serving/family_batch_engine.py): all five families served."""
+"""BLOOM / MPT / Falcon / Mixtral continuous batching via the
+family-generic scheduler (serving/family_batch_engine.py): all six
+families served."""
 
 import numpy as np
 import jax
@@ -66,6 +67,24 @@ def falcon_setup():
             falcon_engine_forward, init_falcon_kv_cache)
 
 
+@pytest.fixture(scope="module")
+def mixtral_setup():
+    from dgq_tpu.models.mixtral import init_mixtral_params, tiny_mixtral_config
+    from dgq_tpu.models.mixtral_engine import (
+        MixtralEngineConfig, from_ptq_mixtral, init_mixtral_kv_cache,
+        mixtral_engine_forward,
+    )
+
+    cfg = tiny_mixtral_config(hidden_size=256, intermediate_size=512,
+                              num_attention_heads=4, num_key_value_heads=2)
+    params = init_mixtral_params(cfg, jax.random.PRNGKey(0))
+    calib = jnp.asarray(synthetic_stream(cfg.vocab_size, 2 * 48).reshape(2, 48))
+    res = ptq(params, cfg, calib, _qcfg(), arch="mixtral", verbose=False)
+    eng = from_ptq_mixtral(res.params, res.kv_scales, cfg)
+    return (cfg, eng, MixtralEngineConfig(cfg=cfg, use_kernel=False),
+            mixtral_engine_forward, init_mixtral_kv_cache)
+
+
 def _sequential_greedy(cfg, eng, ecfg, fwd, init_cache, prompt, n_new, max_len=64):
     cache = init_cache(cfg, 1, max_len)
     logits, cache = fwd(ecfg, eng, jnp.asarray(prompt[None]), cache)
@@ -101,6 +120,58 @@ def test_mpt_batcher_matches_sequential(mpt_setup):
 
 def test_falcon_batcher_matches_sequential(falcon_setup):
     _check_family("falcon", falcon_setup)
+
+
+def test_mixtral_batcher_matches_sequential(mixtral_setup):
+    _check_family("mixtral", mixtral_setup)
+
+
+def test_mixtral_batcher_prefix_chunk_multi(mixtral_setup):
+    """Prefix cache, chunked prefill, and multi-step decode ride the
+    generic scheduler machinery for the sparse-MoE family too — routing
+    is per-token, so a prefix template copied into a slot must reproduce
+    the same routed experts and hence the same tokens."""
+    cfg, eng, ecfg, fwd, init_cache = mixtral_setup
+    rng = np.random.default_rng(7)
+    prefix = rng.integers(0, cfg.vocab_size, size=10).astype(np.int32)
+    prompts = [
+        np.concatenate([prefix, rng.integers(0, cfg.vocab_size, size=4).astype(np.int32)]),
+        rng.integers(0, cfg.vocab_size, size=18).astype(np.int32),
+    ]
+
+    def run(**kw):
+        b = family_batcher("mixtral", ecfg, eng, num_slots=2, max_len=64,
+                           prefill_pad=8, **kw)
+        b.register_prefix(prefix)
+        for i, p in enumerate(prompts):
+            b.add_request(Request(uid=i, prompt_ids=p, max_new_tokens=5))
+        out = {r.uid: r.output_ids for r in b.run()}
+        assert b.prefix_hits == 1
+        return out
+
+    base = run()
+    assert run(decode_steps=3) == base
+    assert run(prefill_chunk=8) == base
+
+
+def test_mixtral_kernel_decode_matches_xla(mixtral_setup):
+    """GQA + MoE decode through the batcher with interpret-mode kernels
+    matches the XLA path."""
+    import dataclasses
+
+    cfg, eng, ecfg, fwd, init_cache = mixtral_setup
+    rng = np.random.default_rng(11)
+    prompt = rng.integers(0, cfg.vocab_size, size=6).astype(np.int32)
+
+    def run(cfg_run):
+        b = family_batcher("mixtral", cfg_run, eng, num_slots=1, max_len=32,
+                           prefill_pad=8)
+        b.add_request(Request(uid=0, prompt_ids=prompt, max_new_tokens=4))
+        return b.run()[0].output_ids
+
+    xla = run(ecfg)
+    kern = run(dataclasses.replace(ecfg, use_kernel=True, interpret=True))
+    assert xla == kern, (xla, kern)
 
 
 def test_bloom_batcher_prefix_chunk_multi(bloom_setup):
