@@ -137,3 +137,34 @@ def test_falcon_hf_dir_roundtrip(tmp_path):
         want = model(torch.tensor(ids.astype(np.int64))).logits.numpy()
     got = np.asarray(falcon_apply(params, jnp.asarray(ids), cfg))
     np.testing.assert_allclose(got, want, rtol=3e-3, atol=3e-3)
+
+
+def test_mixtral_hf_dir_roundtrip(tmp_path):
+    import torch
+    from transformers import MixtralConfig as HFConfig
+    from transformers.models.mixtral.modeling_mixtral import MixtralForCausalLM
+
+    from dgq_tpu.models.hf_loader import load_mixtral_config, load_mixtral_params
+    from dgq_tpu.models.mixtral import mixtral_apply
+
+    hf_cfg = HFConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=4, num_experts_per_tok=2,
+        max_position_embeddings=256, attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    model = MixtralForCausalLM(hf_cfg).eval()
+    model.save_pretrained(tmp_path, safe_serialization=True)
+
+    cfg = load_mixtral_config(str(tmp_path))
+    params = load_mixtral_params(str(tmp_path), dtype=jnp.float32)
+    assert cfg.num_local_experts == 4 and cfg.num_experts_per_tok == 2
+    assert len(params["layers"][0]["block_sparse_moe"]["experts"]) == 4
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 128, size=(1, 12)).astype(np.int32)
+    with torch.no_grad():
+        want = model(torch.tensor(ids.astype(np.int64))).logits.numpy()
+    got = np.asarray(mixtral_apply(params, jnp.asarray(ids), cfg))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
